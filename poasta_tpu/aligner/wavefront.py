@@ -1,0 +1,352 @@
+"""TPU wavefront engine: batched dense gap-affine POA alignment.
+
+This is the throughput path of the framework — the TPU-native redesign of
+the reference's A* search (``src/aligner/astar.rs``): instead of popping
+one (node, offset, state) at a time from a bucket queue, the whole
+(topo-rank × query-offset) state space is filled as a masked batched scan.
+
+Layout and mapping to the hardware:
+
+* **Offsets are lanes.** Each rank-row update is elementwise over the
+  query-offset axis (padded to a multiple of 128) and the read batch —
+  VPU-shaped work.  The affine insertion chain collapses to one
+  ``lax.cummin`` per row (see :mod:`poasta_tpu.ops.dp_rows`).
+* **Ranks are a `lax.scan`.**  Topological order guarantees predecessor
+  rows are final; the carry is a ring buffer of the last ``W`` rows where
+  ``W`` covers the graph's maximum edge rank-span — POA graphs are mostly
+  unbranched chains, so ``W`` stays small and the working set is
+  O(B·W·L), not O(B·N·L).
+* **Reads are the batch.**  Queries are padded/bucketed by length;
+  per-read scores gather at each read's true length.  Data parallelism
+  over devices shards this axis (see :mod:`poasta_tpu.parallel`).
+* **Shapes are bucketed.**  Node count, ring size, and predecessor width
+  are padded to buckets so the growing-graph fusion loop and heterogeneous
+  read batches reuse cached executables instead of recompiling
+  (the reference rebuilds per-alignment state each call;
+  ``src/aligner/config.rs:113-134``).
+
+Two fill variants:
+
+* :func:`dp_fill_scores` — scores only (ring-buffer carry), the serving
+  configuration.
+* :func:`dp_fill_full` — additionally materializes the M/I/D tables for
+  host-side backtrace (:func:`backtrace_dense`); used when alignments (not
+  just scores) are needed and the state space fits in HBM.
+
+Scores are provably equal to the host oracle's (same recurrence, full
+relaxation); tests randomize graphs/queries and assert equality.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graphs.flat import FlatGraph
+from ..ops.dp_rows import INF, row_update
+from .alignment import AlignedPair, Alignment
+from .costs import GapAffine
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _next_pow2(x: int) -> int:
+    v = 1
+    while v < x:
+        v <<= 1
+    return v
+
+
+@dataclass(frozen=True)
+class DeviceGraph:
+    """Static, bucket-padded device-side view of a flat graph."""
+
+    symbols: jnp.ndarray  # (Np,) int32; padding rows are symbol -1
+    pred_slots: jnp.ndarray  # (Np, P) ring slot per predecessor
+    pred_valid: jnp.ndarray  # (Np, P) bool
+    end_rank: jnp.ndarray  # () int32 — true end-node rank
+    window: int  # ring size W (static, pow2)
+    n_nodes_padded: int
+    n_nodes: int
+
+    @staticmethod
+    def build(flat: FlatGraph, node_bucket: int = 64) -> "DeviceGraph":
+        n = flat.n_nodes
+        max_span = 1
+        for r in range(n):
+            lo, hi = flat.pred_ptr[r], flat.pred_ptr[r + 1]
+            for p in flat.pred_idx[lo:hi]:
+                max_span = max(max_span, r - int(p))
+        window = _next_pow2(max_span + 1)
+
+        P = _next_pow2(max(1, flat.max_in_degree))
+        np_nodes = _round_up(n, node_bucket)
+
+        symbols = np.full((np_nodes,), -1, dtype=np.int32)
+        symbols[:n] = flat.symbols.astype(np.int32)
+        pred_slots = np.zeros((np_nodes, P), dtype=np.int32)
+        pred_valid = np.zeros((np_nodes, P), dtype=bool)
+        for r in range(n):
+            preds = flat.pred_idx[flat.pred_ptr[r] : flat.pred_ptr[r + 1]]
+            for i, p in enumerate(preds):
+                pred_slots[r, i] = int(p) % window
+                pred_valid[r, i] = True
+
+        return DeviceGraph(
+            symbols=jnp.asarray(symbols),
+            pred_slots=jnp.asarray(pred_slots),
+            pred_valid=jnp.asarray(pred_valid),
+            end_rank=jnp.asarray(n - 1, dtype=jnp.int32),
+            window=window,
+            n_nodes_padded=np_nodes,
+            n_nodes=n,
+        )
+
+
+def pack_queries(queries, pad_to: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack byte-string reads into a padded (B, L) batch + (B,) lengths.
+
+    Column ``j`` holds ``q[j-1]`` (offset j consumes query char j-1);
+    column 0 and the padding are 0, which matches no nucleotide symbol.
+    ``L`` is rounded up to a multiple of 128 so offsets fill whole lanes.
+    """
+    maxlen = max((len(q) for q in queries), default=0)
+    L = _round_up(max(pad_to or 0, maxlen) + 1, 128)
+    B = len(queries)
+    arr = np.zeros((B, L), dtype=np.int32)
+    lengths = np.zeros((B,), dtype=np.int32)
+    for b, q in enumerate(queries):
+        qa = np.frombuffer(bytes(q), dtype=np.uint8).astype(np.int32)
+        arr[b, 1 : len(q) + 1] = qa
+        lengths[b] = len(q)
+    return jnp.asarray(arr), jnp.asarray(lengths)
+
+
+def _make_step(window: int, o: int, e: int, x: int, free_start: bool,
+               collect: str, end_rank, qshift, lengths):
+    """Build the scan body; `collect` in {"at_len", "tables"}."""
+    idx = lengths.astype(jnp.int32)[:, None]  # (B, 1)
+
+    def step(carry, xs):
+        M_ring, D_ring = carry
+        rank, sym, slots, valid = xs
+
+        pred_M = jnp.take(M_ring, slots, axis=1)  # (B, P, L)
+        pred_D = jnp.take(D_ring, slots, axis=1)
+
+        match_cost = jnp.where(qshift == sym, jnp.int32(0), jnp.int32(x))
+
+        is_start = rank == 0
+        is_end = rank == end_rank
+        # real graph nodes only — excludes start, end, and bucket padding
+        is_real = jnp.logical_and(rank > 0, rank < end_rank)
+
+        M, I, D = row_update(
+            pred_M, pred_D, valid, match_cost, o, e,
+            is_start_row=is_start,
+            free_start=jnp.logical_and(is_real, free_start),
+        )
+
+        # Virtual end node: zero-cost hop at the same offset from any
+        # predecessor (the reference DFA's RefGraphEnd semantics,
+        # ``dfa.rs:222-227``).
+        mask = valid.reshape(1, -1, 1)
+        min_pm_same = jnp.min(jnp.where(mask, pred_M, INF), axis=1)
+        M = jnp.where(is_end, min_pm_same, M)
+        I = jnp.where(is_end, INF, I)
+        D = jnp.where(is_end, INF, D)
+
+        slot = jnp.mod(rank, window)
+        M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, slot, axis=1)
+        D_ring = jax.lax.dynamic_update_index_in_dim(D_ring, D, slot, axis=1)
+
+        if collect == "tables":
+            ys = (M, I, D)
+        else:  # "at_len": M at each read's final offset, (B,)
+            ys = jnp.take_along_axis(M, idx, axis=1)[:, 0]
+        return (M_ring, D_ring), ys
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _scores_exec(window: int, o: int, e: int, x: int,
+                 free_start: bool, free_end: bool):
+    """Cached jitted scores kernel, keyed by static config."""
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, end_rank, qshift, lengths):
+        B, L = qshift.shape
+        Np = symbols.shape[0]
+        M0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
+        D0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
+        step = _make_step(window, o, e, x, free_start, "at_len",
+                          end_rank, qshift, lengths)
+        ranks = jnp.arange(Np, dtype=jnp.int32)
+        xs = (ranks, symbols, pred_slots, pred_valid)
+        _, at_len = jax.lax.scan(step, (M0, D0), xs)  # (Np, B)
+        score_global = jnp.take(at_len, end_rank, axis=0)
+        if free_end:
+            # best over real ranks (exclude start, end, padding)
+            rank_ok = jnp.logical_and(ranks > 0, ranks < end_rank)[:, None]
+            best_real = jnp.min(jnp.where(rank_ok, at_len, INF), axis=0)
+            score_global = jnp.minimum(score_global, best_real)
+        return score_global
+
+    return fn
+
+
+def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
+                   costs: GapAffine, free_start: bool = False,
+                   free_end: bool = False) -> jnp.ndarray:
+    """(B,) optimal alignment scores for a packed read batch."""
+    fn = _scores_exec(dg.window, costs.gap_open, costs.gap_extend,
+                      costs.mismatch, free_start, free_end)
+    return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.end_rank,
+              qshift, lengths)
+
+
+@functools.lru_cache(maxsize=None)
+def _full_exec(window: int, o: int, e: int, x: int, free_start: bool):
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, end_rank, qshift, lengths):
+        B, L = qshift.shape
+        Np = symbols.shape[0]
+        M0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
+        D0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
+        step = _make_step(window, o, e, x, free_start, "tables",
+                          end_rank, qshift, lengths)
+        ranks = jnp.arange(Np, dtype=jnp.int32)
+        xs = (ranks, symbols, pred_slots, pred_valid)
+        _, (M, I, D) = jax.lax.scan(step, (M0, D0), xs)
+        end_row = jnp.take(M, end_rank, axis=0)  # (B, L)
+        idx = lengths.astype(jnp.int32)[:, None]
+        scores = jnp.take_along_axis(end_row, idx, axis=1)[:, 0]
+        return scores, M, I, D
+
+    return fn
+
+
+def dp_fill_full(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
+                 costs: GapAffine, free_start: bool = False):
+    """Full fill: (scores (B,), M, I, D each (Np, B, L)) for host backtrace."""
+    fn = _full_exec(dg.window, costs.gap_open, costs.gap_extend,
+                    costs.mismatch, free_start)
+    return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.end_rank,
+              qshift, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Host backtrace over dense tables
+# ---------------------------------------------------------------------------
+
+
+def backtrace_dense(flat: FlatGraph, M: np.ndarray, I: np.ndarray, D: np.ndarray,
+                    query: bytes, costs: GapAffine) -> Alignment:
+    """Reconstruct one optimal alignment from converged dense score tables.
+
+    Same priority rules as the exact engine's backtrace (diagonal first,
+    predecessors scanned oldest-edge-first, then deletion closure, then
+    insertion closure).  Tables are rank-major: ``M[rank, offset]``.
+    """
+    o, e, x = costs.gap_open, costs.gap_extend, costs.mismatch
+    n = len(query)
+    end_rank = flat.n_nodes - 1
+
+    def preds(r):
+        # CSR stores newest-edge-first; the backtrace scans oldest-first.
+        lst = flat.pred_idx[flat.pred_ptr[r] : flat.pred_ptr[r + 1]]
+        return list(lst[::-1])
+
+    alignment: Alignment = []
+    j = n
+    cur = int(M[end_rank, j])
+    r = None
+    for p in preds(end_rank):
+        if int(M[p, j]) == cur:
+            r = int(p)
+            break
+    if r is None:
+        raise RuntimeError("dense backtrace: no predecessor for end state")
+    state = "M"
+
+    while True:
+        cur = int(M[r, j]) if state == "M" else (
+            int(D[r, j]) if state == "D" else int(I[r, j])
+        )
+        step = None
+        if state == "M":
+            if j > 0:
+                sym_match = int(flat.symbols[r]) == query[j - 1]
+                want = cur if sym_match else cur - x
+                for p in preds(r):
+                    if int(M[p, j - 1]) == want:
+                        step = (int(p), j - 1, "M")
+                        break
+            if step is None and int(D[r, j]) == cur:
+                step = (r, j, "D")
+            if step is None and int(I[r, j]) == cur:
+                step = (r, j, "I")
+        elif state == "D":
+            for p in preds(r):
+                if int(M[p, j]) == cur - o - e:
+                    step = (int(p), j, "M")
+                    break
+            if step is None:
+                for p in preds(r):
+                    if int(D[p, j]) == cur - e:
+                        step = (int(p), j, "D")
+                        break
+        else:  # insertion
+            if j > 0:
+                if int(M[r, j - 1]) == cur - o - e:
+                    step = (r, j - 1, "M")
+                elif int(I[r, j - 1]) == cur - e:
+                    step = (r, j - 1, "I")
+
+        if step is None:
+            break
+
+        bt_r, bt_j, bt_state = step
+        if state == "M" and bt_state in ("D", "I"):
+            r, j, state = bt_r, bt_j, bt_state
+            continue
+
+        node = int(flat.node_of_rank[r])
+        if state == "M":
+            alignment.append(AlignedPair(node, j - 1))
+        elif state == "I":
+            alignment.append(AlignedPair(None, j - 1))
+        else:
+            alignment.append(AlignedPair(node, None))
+
+        if bt_r == 0:  # virtual start node
+            break
+        r, j, state = bt_r, bt_j, bt_state
+
+    alignment.reverse()
+    return alignment
+
+
+def alignment_cost(graph, query: bytes, alignment: Alignment, costs: GapAffine) -> int:
+    """Recompute an alignment's gap-affine cost (validation helper)."""
+    total = 0
+    prev_state = "M"
+    for pair in alignment:
+        if pair.is_aligned():
+            total += 0 if graph.is_symbol_equal(pair.rpos, query[pair.qpos]) else costs.mismatch
+            prev_state = "M"
+        elif pair.is_insertion():  # graph node skipped: deletion state
+            total += costs.gap_extend + (costs.gap_open if prev_state != "D" else 0)
+            prev_state = "D"
+        else:  # query char unaligned: insertion state
+            total += costs.gap_extend + (costs.gap_open if prev_state != "I" else 0)
+            prev_state = "I"
+    return total

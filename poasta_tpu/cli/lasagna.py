@@ -1,0 +1,107 @@
+"""`lasagna` CLI: align reads to a static GFA graph, emit GAF.
+
+Flag-compatible with the reference binary (``src/bin/lasagna.rs:46-106``).
+Where the reference fans reads out over ``-j`` host threads
+(``lasagna.rs:214-273``), this implementation batches reads onto the
+accelerator: the wavefront engine scores/aligns whole batches per device
+dispatch, and ``-j`` selects the batch size instead of a thread count.
+Use ``--engine exact`` to force the host A* engine per read.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def align_subcommand(args):
+    from ..aligner import GapAffine, Global, PoastaAligner
+    from ..bubbles import BubbleIndex
+    from ..io import (
+        alignment_to_gaf,
+        load_graph_from_gfa,
+        NodeSegmentResolver,
+        read_fasta,
+        read_fastq,
+    )
+    from ..parallel import BatchMapper
+
+    graph, segments = load_graph_from_gfa(args.graph)
+    resolver = NodeSegmentResolver(graph, segments)
+    costs = GapAffine(args.cost_mismatch, args.cost_gap_extend, args.cost_gap_open)
+
+    path = str(args.sequences)
+    base = path[:-3] if path.endswith(".gz") else path
+    is_fastq = base.endswith((".fastq", ".fq"))
+    reader = read_fastq(args.sequences) if is_fastq else read_fasta(args.sequences)
+
+    out = open(args.output, "w") if args.output else sys.stdout
+
+    def emit_record(name, seq, score, alignment):
+        rec = alignment_to_gaf(graph, segments, name, seq, alignment, resolver)
+        if rec is not None:
+            rec.additional_fields.append(("AS", "i", str(score)))
+            out.write(str(rec) + "\n")
+
+    if args.engine == "exact":
+        bubble_index = BubbleIndex(graph)
+        aligner = PoastaAligner(costs, Global(), heuristic="mingap")
+        for name, seq in reader:
+            res = aligner.align_with_existing_bubbles(graph, seq, bubble_index)
+            emit_record(name, seq, res.score, res.alignment)
+    else:
+        mapper = BatchMapper(graph, costs, batch_size=args.batch_size)
+        batch = []
+        for rec in reader:
+            batch.append(rec)
+            if len(batch) >= args.batch_size:
+                _flush(mapper, batch, emit_record)
+                batch = []
+        if batch:
+            _flush(mapper, batch, emit_record)
+
+    if args.output:
+        out.close()
+
+
+def _flush(mapper, batch, emit_record):
+    results = mapper.align_batch([seq for _, seq in batch])
+    for (name, seq), (score, alignment) in zip(batch, results):
+        emit_record(name, seq, score, alignment)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="lasagna",
+                                description="Read-to-graph aligner (TPU-native)")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    sub = p.add_subparsers(dest="command")
+
+    a = sub.add_parser("align", help="Align reads to a graph, output GAF")
+    a.add_argument("graph")
+    a.add_argument("sequences")
+    a.add_argument("-j", "--num-threads", dest="batch_size", type=int, default=64,
+                   help="device batch size (reference: worker thread count)")
+    a.add_argument("-o", "--output", default=None)
+    a.add_argument("-O", "--output-type", dest="output_type", default="gaf",
+                   choices=["gaf"])
+    a.add_argument("-m", "--alignment-span", dest="alignment_span", default="global",
+                   choices=["global", "semi-global", "ends-free"])
+    a.add_argument("-n", dest="cost_mismatch", type=int, default=4)
+    a.add_argument("-g", dest="cost_gap_open", type=int, default=6)
+    a.add_argument("-e", dest="cost_gap_extend", type=int, default=2)
+    a.add_argument("--engine", default="wavefront", choices=["wavefront", "exact"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.command == "align":
+        align_subcommand(args)
+    else:
+        print("No subcommand given.", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

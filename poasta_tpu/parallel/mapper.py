@@ -1,0 +1,222 @@
+"""Multi-chip execution of the wavefront fill.
+
+The reference's only parallelism is a host thread pool fanning reads out
+over crossbeam channels (``src/bin/lasagna.rs:214-273``).  Here the same
+work is laid out over a ``jax.sharding.Mesh`` with two axes:
+
+* ``dp`` — data parallelism over the read batch (the outer axis; the
+  direct analogue of lasagna's ``-j`` threads).  Graph arrays are
+  replicated; no communication is needed until results gather.
+* ``sp`` — sequence parallelism over the query-offset axis, the
+  long-query analogue of context parallelism: each device owns a
+  contiguous slab of offsets.  Per rank-row the fill needs
+  (a) a one-column halo of the predecessor Match row for the diagonal
+  term — a ``ppermute`` shift from the left neighbor, and
+  (b) a global affine prefix-min for the insertion chain — computed as
+  local ``cummin`` + ``all_gather`` of per-device totals + exclusive
+  combine, the classic blocked-scan decomposition.
+
+Collectives ride ICI inside a slice; the dp axis can span hosts over DCN
+since it never communicates inside the fill.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..aligner.costs import GapAffine
+from ..aligner.wavefront import DeviceGraph
+from ..ops.dp_rows import INF
+
+
+def make_mesh(devices=None, dp: Optional[int] = None, sp: int = 1) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // sp
+    assert dp * sp == n, f"dp({dp}) * sp({sp}) must equal device count ({n})"
+    dev_array = np.asarray(devices).reshape(dp, sp)
+    return Mesh(dev_array, ("dp", "sp"))
+
+
+def _sp_scan_rows(symbols, pred_slots, pred_valid, end_rank, qshift, lengths,
+                  *, window: int, o: int, e: int, x: int, free_start: bool,
+                  free_end: bool):
+    """Per-shard body: local offsets slab, full rank scan.
+
+    Runs inside shard_map with axis names ("dp", "sp").
+    """
+    Bloc, Lloc = qshift.shape
+    sp = jax.lax.axis_size("sp")
+    sp_idx = jax.lax.axis_index("sp")
+    j_global = sp_idx * Lloc + jnp.arange(Lloc, dtype=jnp.int32)  # (Lloc,)
+    left_perm = [(i, i + 1) for i in range(sp - 1)]  # shift right along sp
+
+    idx_local = lengths.astype(jnp.int32)[:, None] - sp_idx * Lloc  # (B, 1)
+    in_range = jnp.logical_and(idx_local >= 0, idx_local < Lloc)
+    idx_clamped = jnp.clip(idx_local, 0, Lloc - 1)
+
+    M0 = jnp.full((Bloc, window, Lloc), INF, dtype=jnp.int32)
+    D0 = jnp.full((Bloc, window, Lloc), INF, dtype=jnp.int32)
+    # the scan carry varies across both mesh axes (halo/prefix collectives)
+    M0 = jax.lax.pcast(M0, ("dp", "sp"), to="varying")
+    D0 = jax.lax.pcast(D0, ("dp", "sp"), to="varying")
+
+    def step(carry, xs):
+        M_ring, D_ring = carry
+        rank, sym, slots, valid = xs
+
+        pred_M = jnp.take(M_ring, slots, axis=1)  # (B, P, Lloc)
+        pred_D = jnp.take(D_ring, slots, axis=1)
+        mask = valid.reshape(1, -1, 1)
+        pm = jnp.where(mask, pred_M, INF)
+        pd = jnp.where(mask, pred_D, INF)
+
+        min_pm_same = jnp.min(pm, axis=1)  # (B, Lloc)
+        min_pd_same = jnp.min(pd, axis=1)
+        D = jnp.minimum(min_pm_same + o + e, min_pd_same + e)
+
+        # Diagonal: shift predecessor Match row right by one global offset.
+        # Column 0's source lives on the left sp-neighbor.
+        halo = min_pm_same[:, -1:]
+        halo_in = jax.lax.ppermute(halo, "sp", left_perm)
+        halo_in = jnp.where(sp_idx == 0, INF, halo_in)
+        diag_src = jnp.concatenate([halo_in, min_pm_same[:, :-1]], axis=1)
+        match_cost = jnp.where(qshift == sym, jnp.int32(0), jnp.int32(x))
+        diag = diag_src + match_cost
+
+        A = jnp.minimum(diag, D)
+
+        is_start = rank == 0
+        is_end = rank == end_rank
+        is_real = jnp.logical_and(rank > 0, rank < end_rank)
+        origin = jnp.logical_or(is_start, jnp.logical_and(is_real, free_start))
+        zero_at_0 = jnp.where(
+            jnp.logical_and(origin, j_global[None, :] == 0), jnp.int32(0), INF
+        )
+        A = jnp.minimum(A, zero_at_0)
+
+        # Insertion chain: global affine prefix-min across the sp axis.
+        t = A - e * j_global[None, :]
+        local_cum = jax.lax.cummin(t, axis=1)
+        totals = local_cum[:, -1]  # (B,)
+        all_totals = jax.lax.all_gather(totals, "sp", axis=1)  # (B, sp)
+        dev_ids = jnp.arange(sp)
+        excl = jnp.min(
+            jnp.where(dev_ids[None, :] < sp_idx, all_totals, INF), axis=1
+        )  # (B,)
+        prefix_incl = jnp.minimum(local_cum, excl[:, None])
+        prefix_m1 = jnp.concatenate([excl[:, None], prefix_incl[:, :-1]], axis=1)
+        I = prefix_m1 + o + e * j_global[None, :] + e * 0
+        I = jnp.minimum(I, INF)
+
+        M = jnp.minimum(A, I)
+
+        # Virtual end node: zero-cost same-offset hop.
+        M = jnp.where(is_end, min_pm_same, M)
+        I = jnp.where(is_end, INF, I)
+        D = jnp.where(is_end, INF, jnp.minimum(D, INF))
+
+        slot = jnp.mod(rank, window)
+        M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, slot, axis=1)
+        D_ring = jax.lax.dynamic_update_index_in_dim(D_ring, D, slot, axis=1)
+
+        at_len_local = jnp.take_along_axis(M, idx_clamped, axis=1)[:, 0]
+        at_len = jnp.where(in_range[:, 0], at_len_local, INF)
+        return (M_ring, D_ring), at_len
+
+    ranks = jnp.arange(symbols.shape[0], dtype=jnp.int32)
+    xs = (ranks, symbols, pred_slots, pred_valid)
+    _, at_len = jax.lax.scan(step, (M0, D0), xs)  # (Np, Bloc)
+
+    # each read's score lives on exactly one sp shard; min-reduce over sp
+    at_len = jax.lax.pmin(at_len, "sp")
+
+    score = jnp.take(at_len, end_rank, axis=0)
+    if free_end:
+        rank_ok = jnp.logical_and(ranks > 0, ranks < end_rank)[:, None]
+        best_real = jnp.min(jnp.where(rank_ok, at_len, INF), axis=0)
+        score = jnp.minimum(score, best_real)
+    return score
+
+
+def make_sharded_score_fn(dg: DeviceGraph, costs: GapAffine, mesh: Mesh,
+                          free_start: bool = False, free_end: bool = False):
+    """Jitted (qshift (B, L), lengths (B,)) -> (B,) scores over the mesh.
+
+    The read batch shards over ``dp``; query offsets shard over ``sp``;
+    graph arrays replicate.
+    """
+    body = functools.partial(
+        _sp_scan_rows,
+        window=dg.window,
+        o=costs.gap_open,
+        e=costs.gap_extend,
+        x=costs.mismatch,
+        free_start=free_start,
+        free_end=free_end,
+    )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("dp", "sp"), P("dp")),
+        out_specs=P("dp"),
+    )
+
+    @jax.jit
+    def fn(qshift, lengths):
+        return mapped(dg.symbols, dg.pred_slots, dg.pred_valid, dg.end_rank,
+                      qshift, lengths)
+
+    return fn
+
+
+class BatchMapper:
+    """lasagna-equivalent batch read mapper.
+
+    Static graph; reads stream in, padded/bucketed into batches, scored
+    (and optionally backtraced) on the mesh.  Deterministic output order.
+    """
+
+    def __init__(self, graph, costs: GapAffine, mesh: Optional[Mesh] = None,
+                 batch_size: int = 64):
+        from ..graphs.flat import FlatGraph
+
+        self.graph = graph
+        self.flat = graph.flatten()
+        self.dg = DeviceGraph.build(self.flat)
+        self.costs = costs
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self._score_fn = None
+
+    def score_batch(self, queries) -> np.ndarray:
+        from ..aligner.wavefront import dp_fill_scores, pack_queries
+
+        qshift, lengths = pack_queries(queries)
+        if self.mesh is not None:
+            if self._score_fn is None:
+                self._score_fn = make_sharded_score_fn(self.dg, self.costs, self.mesh)
+            return np.asarray(self._score_fn(qshift, lengths))
+        return np.asarray(dp_fill_scores(self.dg, qshift, lengths, self.costs))
+
+    def align_batch(self, queries):
+        """Scores + alignments (host backtrace over dense tables)."""
+        from ..aligner.wavefront import backtrace_dense, dp_fill_full, pack_queries
+
+        qshift, lengths = pack_queries(queries)
+        scores, M, I, D = dp_fill_full(self.dg, qshift, lengths, self.costs)
+        M, I, D = np.asarray(M), np.asarray(I), np.asarray(D)
+        out = []
+        for b, q in enumerate(queries):
+            aln = backtrace_dense(self.flat, M[:, b, :], I[:, b, :], D[:, b, :],
+                                  q, self.costs)
+            out.append((int(scores[b]), aln))
+        return out

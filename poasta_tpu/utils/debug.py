@@ -1,0 +1,67 @@
+"""Debug output sink: per-alignment DP-state dumps + intermediate graphs.
+
+Mirrors the reference's debug subsystem (``src/debug.rs``): for each
+aligned sequence it writes ``graph_for_<seq>.dot`` and an
+``astar_iterations/<seq>.iter0.tsv`` dump of the visited score table with
+the same TSV schema (``node_id\toffset\tmatrix\tscore``;
+``gap_affine.rs:659-698``), so the contrib visualization tooling
+(``poasta_plot.py``) keeps working unchanged.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+from ..aligner.costs import AlignState
+
+_MATRIX_NAMES = {
+    AlignState.MATCH: "match",
+    AlignState.INSERTION: "insertion",
+    AlignState.DELETION: "deletion",
+    AlignState.INSERTION2: "insertion2",
+    AlignState.DELETION2: "deletion2",
+}
+
+
+class DebugOutputWriter:
+    def __init__(self, directory: str) -> None:
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+        os.makedirs(os.path.join(directory, "astar_iterations"), exist_ok=True)
+        self.curr_seq = "none"
+
+    def new_sequence(self, name: str, sequence: bytes, graph) -> None:
+        self.curr_seq = name
+        if not graph.is_empty():
+            from ..io import format_as_dot
+
+            buf = io.StringIO()
+            format_as_dot(graph, buf)
+            path = os.path.join(self.directory, f"graph_for_{name}.dot")
+            with open(path, "w") as fh:
+                fh.write(buf.getvalue())
+
+    def log_astar_data(self, visited, graph) -> None:
+        """Dump the visited score table as TSV (reference schema)."""
+        path = os.path.join(
+            self.directory, "astar_iterations", f"{self.curr_seq}.iter0.tsv"
+        )
+        two_piece = visited.costs.is_two_piece
+        states = (
+            (AlignState.MATCH, AlignState.INSERTION, AlignState.DELETION)
+            if not two_piece
+            else tuple(AlignState)
+        )
+        with open(path, "w") as fh:
+            fh.write("node_id\toffset\tmatrix\tscore\n")
+            for (node, offset), cell in sorted(visited.scores.items()):
+                for st in states:
+                    if cell[st] is not None:
+                        name = _MATRIX_NAMES[st]
+                        if two_piece and st in (AlignState.INSERTION, AlignState.DELETION):
+                            name += "1"
+                        fh.write(f"{node}\t{offset}\t{name}\t{cell[st]}\n")
+
+    def close(self) -> None:
+        pass
