@@ -74,13 +74,24 @@ def main():
     cells_per_sec = n_cells / elapsed
     reads_per_sec = len(reads) / elapsed
 
-    # Baseline: exact host engine (reference-equivalent A*) on a sample.
-    aligner = PoastaAligner(costs, Global(), heuristic="mingap")
-    sample = reads[:3]
-    t0 = time.perf_counter()
-    for q in sample:
-        aligner.align(graph, q)
-    host_elapsed = time.perf_counter() - t0
+    # Baseline: native (C++) exact engine — single-core, same A* algorithm
+    # family and data structures as the reference's Rust implementation.
+    try:
+        from poasta_tpu.native import NativeAligner
+
+        na = NativeAligner(graph)
+        sample = reads[:8]
+        t0 = time.perf_counter()
+        for q in sample:
+            na.align(q, costs)
+        host_elapsed = time.perf_counter() - t0
+    except Exception:
+        aligner = PoastaAligner(costs, Global(), heuristic="mingap")
+        sample = reads[:3]
+        t0 = time.perf_counter()
+        for q in sample:
+            aligner.align(graph, q)
+        host_elapsed = time.perf_counter() - t0
     host_reads_per_sec = len(sample) / host_elapsed
 
     print(json.dumps({

@@ -132,6 +132,20 @@ def align_subcommand(args):
 
     graph = _load_any_graph(args.graph) if args.graph else POAGraph()
 
+    # The native engine is byte-identical to the Python engine (same search
+    # and backtrace semantics); prefer it for speed when it covers the
+    # requested configuration.
+    use_native = False
+    if args.alignment_span == "global" and debug_sink is None and (
+        aligner.heuristic_name in ("mingap", "dijkstra")
+    ):
+        try:
+            from ..native import native_available
+
+            use_native = native_available()
+        except Exception:
+            use_native = False
+
     for name, seq in read_fasta(args.sequences):
         weights = [1] * len(seq)
         if debug_sink is not None:
@@ -139,14 +153,22 @@ def align_subcommand(args):
         if graph.is_empty():
             graph.add_alignment_with_weights(name, seq, None, weights)
         else:
-            result = aligner.align(graph, seq)
+            if use_native and graph.node_count() > 0:
+                from ..native import NativeAligner
+
+                score, alignment, _stats = NativeAligner(graph).align(
+                    seq, aligner.costs, heuristic=aligner.heuristic_name
+                )
+            else:
+                result = aligner.align(graph, seq)
+                score, alignment = result.score, result.alignment
             print(
                 f"DEBUG: Aligned '{name}' (len={len(seq)}) - "
-                f"Score: Score({result.score}), "
-                f"Alignment length: {len(result.alignment)}",
+                f"Score: Score({score}), "
+                f"Alignment length: {len(alignment)}",
                 file=sys.stderr,
             )
-            graph.add_alignment_with_weights(name, seq, result.alignment, weights)
+            graph.add_alignment_with_weights(name, seq, alignment, weights)
 
     _emit(graph, args.output_type or "poasta", args.output)
     if debug_sink is not None:

@@ -1,0 +1,173 @@
+"""ctypes binding for the native exact alignment engine.
+
+The shared library is built on demand with g++ -O3 and cached next to the
+source; if no toolchain is available the package falls back to the pure
+Python engine transparently (``NativeAligner.available``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "engine.cpp")
+_LIB = os.path.join(_HERE, "_libpoasta.so")
+_lock = threading.Lock()
+_lib = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
+            return None
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB]
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+        if res.returncode != 0:
+            return res.stderr[-2000:]
+        return None
+    except Exception as exc:  # toolchain missing etc.
+        return str(exc)
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        err = _build()
+        if err is not None:
+            _build_error = err
+            return None
+        lib = ctypes.CDLL(_LIB)
+        lib.poasta_engine_create.restype = ctypes.c_void_p
+        lib.poasta_engine_create.argtypes = [
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.poasta_engine_destroy.argtypes = [ctypes.c_void_p]
+        lib.poasta_align.restype = ctypes.c_int64
+        lib.poasta_align.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class NativeAligner:
+    """Native exact aligner over a fixed graph snapshot.
+
+    Semantics identical to :class:`poasta_tpu.aligner.engine.PoastaAligner`
+    for global alignment with the dijkstra/mingap heuristics (validated by
+    tests/test_native.py byte-for-byte).
+    """
+
+    def __init__(self, graph) -> None:
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native engine unavailable: {_build_error}")
+        self._lib = lib
+        n = graph.node_count_with_start_and_end()
+        symbols = np.asarray(graph.symbols, dtype=np.uint8)
+
+        def csr(adj_fn):
+            ptr = np.zeros(n + 1, dtype=np.int32)
+            idx: List[int] = []
+            for v in range(n):
+                lst = list(adj_fn(v))
+                idx.extend(lst)
+                ptr[v + 1] = len(idx)
+            return ptr, np.asarray(idx, dtype=np.int32)
+
+        # iteration order (newest edge first) to match the python engine
+        succ_ptr, succ_idx = csr(graph.successors)
+        pred_ptr, pred_idx = csr(graph.predecessors)
+        if succ_idx.size == 0:
+            succ_idx = np.zeros(1, dtype=np.int32)
+        if pred_idx.size == 0:
+            pred_idx = np.zeros(1, dtype=np.int32)
+
+        self._handle = lib.poasta_engine_create(
+            n,
+            symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _i32ptr(succ_ptr), _i32ptr(succ_idx),
+            _i32ptr(pred_ptr), _i32ptr(pred_idx),
+            graph.start_node, graph.end_node,
+        )
+        self._n = n
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.poasta_engine_destroy(handle)
+            self._handle = None
+
+    def align(self, seq: bytes, costs, heuristic: str = "mingap",
+              enable_pruning: bool = True):
+        """Returns (score, alignment, (queued, visited, pruned))."""
+        from ..aligner.alignment import AlignedPair
+
+        n = len(seq)
+        cap = 4 * (n + self._n) + 16
+        out_rpos = np.zeros(cap, dtype=np.int32)
+        out_qpos = np.zeros(cap, dtype=np.int32)
+        out_score = np.zeros(1, dtype=np.int64)
+        out_stats = np.zeros(3, dtype=np.int64)
+        seq_arr = np.frombuffer(bytes(seq), dtype=np.uint8) if n else np.zeros(1, dtype=np.uint8)
+
+        two_piece = 1 if costs.is_two_piece else 0
+        count = self._lib.poasta_align(
+            self._handle,
+            seq_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            costs.mismatch, costs.gap_open, costs.gap_extend,
+            costs.gap_open2 if two_piece else 0,
+            costs.gap_extend2 if two_piece else 0,
+            two_piece,
+            0 if heuristic == "dijkstra" else 1,
+            1 if enable_pruning else 0,
+            _i32ptr(out_rpos), _i32ptr(out_qpos), cap,
+            out_score.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if count < 0:
+            raise RuntimeError(f"native alignment failed (code {count})")
+        alignment = [
+            AlignedPair(
+                int(out_rpos[i]) if out_rpos[i] >= 0 else None,
+                int(out_qpos[i]) if out_qpos[i] >= 0 else None,
+            )
+            for i in range(count)
+        ]
+        return int(out_score[0]), alignment, tuple(int(s) for s in out_stats)
+
+
+def native_available() -> bool:
+    return _load() is not None

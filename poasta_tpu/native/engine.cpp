@@ -1,0 +1,843 @@
+// Native exact A* POA alignment engine.
+//
+// Host-side counterpart of poasta_tpu/aligner/engine.py with identical
+// observable semantics (same bucket-queue pop order, greedy match
+// extension, bubble pruning, and backtrace tiebreaks), built for raw
+// single-core throughput: this is the framework's native runtime for the
+// sequential graph-fusion path and the honest baseline for the TPU
+// engine's speedup numbers.  (The reference implements this layer in
+// Rust; see src/aligner/astar.rs, dfa.rs, scoring/gap_affine*.rs,
+// bubbles/*.rs for the behavioural contract.)
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC engine.cpp -o _libpoasta.so
+// Binding: ctypes (see poasta_tpu/native/__init__.py).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <queue>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr int32_t kUnvisited = INT32_MAX;
+
+enum State : int { M = 0, D = 1, I = 2, D2 = 3, I2 = 4 };
+
+struct Costs {
+  int mismatch;
+  int gap_open;
+  int gap_extend;
+  int gap_open2;
+  int gap_extend2;
+  bool two_piece;
+
+  // gap_cost for the mingap heuristic (single-piece form; two-piece uses
+  // the cheaper piece-2 constants, mirroring the python engine).
+  int64_t gap_cost(int state, int64_t length, int o, int e) const {
+    if (length == 0) return 0;
+    int open = (state == I || state == D) ? 0 : o;
+    return open + length * e;
+  }
+};
+
+struct Graph {
+  int n;                       // nodes incl. virtual start/end
+  const uint8_t* symbols;      // per node id
+  // adjacency in iteration order (newest inserted edge first)
+  std::vector<std::vector<int32_t>> succs;
+  std::vector<std::vector<int32_t>> preds;
+  int32_t start_node, end_node;
+
+  bool symbol_equal(int32_t node, uint8_t c) const {
+    return node == end_node || symbols[node] == c;
+  }
+};
+
+// ---------------------------------------------------------------------
+// Bubble index (superbubbles + distance bounds), mirroring
+// poasta_tpu/bubbles (host precompute; reference: src/bubbles/).
+// ---------------------------------------------------------------------
+
+struct BubbleEntry {
+  int32_t exit_node;
+  int32_t min_dist;
+  int32_t max_dist;
+};
+
+struct BubbleIndex {
+  std::vector<int8_t> is_exit;
+  std::vector<std::vector<BubbleEntry>> node_bubbles;
+  std::vector<int32_t> min_dist_to_end, max_dist_to_end;
+};
+
+static std::vector<int32_t> rev_postorder(const Graph& g) {
+  std::vector<int32_t> order;
+  order.reserve(g.n);
+  std::vector<int8_t> visited(g.n, 0);
+  // stack entries: (node, next successor index)
+  std::vector<std::pair<int32_t, size_t>> stack;
+  stack.push_back({g.start_node, 0});
+  while (!stack.empty()) {
+    auto& top = stack.back();
+    const auto& succ = g.succs[top.first];
+    bool descended = false;
+    while (top.second < succ.size()) {
+      int32_t child = succ[top.second++];
+      if (!visited[child]) {
+        visited[child] = 1;
+        stack.push_back({child, 0});
+        descended = true;
+        break;
+      }
+    }
+    if (!descended && stack.back().second >= g.succs[stack.back().first].size()) {
+      order.push_back(stack.back().first);
+      stack.pop_back();
+    }
+  }
+  std::reverse(order.begin(), order.end());
+  return order;
+}
+
+static BubbleIndex build_bubble_index(const Graph& g) {
+  BubbleIndex bi;
+  bi.is_exit.assign(g.n, 0);
+  bi.node_bubbles.assign(g.n, {});
+  bi.min_dist_to_end.assign(g.n, 0);
+  bi.max_dist_to_end.assign(g.n, 0);
+
+  std::vector<int32_t> inv = rev_postorder(g);
+  std::vector<int32_t> rpo(g.n, 0);
+  for (size_t i = 0; i < inv.size(); ++i) rpo[inv[i]] = (int32_t)i;
+
+  constexpr int64_t NEG = -1, POS = INT64_MAX;
+  std::vector<int64_t> out_parent(g.n), out_child(g.n);
+  for (int v = 0; v < g.n; ++v) {
+    int64_t mn = NEG;
+    bool first = true;
+    for (int32_t p : g.preds[v]) {
+      if (first || rpo[p] < mn) mn = rpo[p];
+      first = false;
+    }
+    out_parent[v] = first ? NEG : mn;
+    int64_t mx = POS;
+    first = true;
+    for (int32_t s : g.succs[v]) {
+      if (first || rpo[s] > mx) mx = rpo[s];
+      first = false;
+    }
+    out_child[v] = first ? POS : mx;
+  }
+
+  // superbubble enumeration (Gaertner et al. style sweep)
+  std::vector<std::pair<int32_t, int32_t>> bubbles;  // (entrance, exit)
+  {
+    std::unordered_map<int32_t, int64_t> opm;
+    std::vector<int32_t> stack;
+    int32_t candidate = -1;
+    for (int64_t curr = (int64_t)inv.size() - 1; curr >= 0; --curr) {
+      int32_t n = inv[curr];
+      int64_t fc = out_child[n];
+      std::pair<int32_t, int32_t> ret{-1, -1};
+
+      if (fc == curr + 1) {
+        if (candidate != -1) stack.push_back(candidate);
+        candidate = inv[curr + 1];
+      } else {
+        while (candidate != -1) {
+          if (fc <= rpo[candidate]) break;
+          int32_t prev = candidate;
+          candidate = stack.empty() ? -1 : stack.back();
+          if (!stack.empty()) stack.pop_back();
+          if (candidate != -1) {
+            int64_t np = std::min(opm[prev], opm[candidate]);
+            opm[candidate] = np;
+          }
+        }
+      }
+
+      if (candidate != -1 && opm.count(candidate) && opm[candidate] == curr) {
+        ret = {n, candidate};
+        int32_t prev = candidate;
+        candidate = stack.empty() ? -1 : stack.back();
+        if (!stack.empty()) stack.pop_back();
+        if (candidate != -1) {
+          int64_t np = std::min(opm[prev], opm[candidate]);
+          opm[candidate] = np;
+        }
+      }
+
+      opm[n] = out_parent[n];
+      if (candidate != -1) {
+        opm[candidate] = std::min(opm[n], opm[candidate]);
+      }
+      if (ret.first != -1) bubbles.push_back(ret);
+    }
+  }
+
+  std::vector<int32_t> entrance_of(g.n, -1), exit_of(g.n, -1);
+  for (auto& [ent, ex] : bubbles) {
+    entrance_of[ent] = ex;
+    exit_of[ex] = ent;
+    bi.is_exit[ex] = 1;
+  }
+
+  // backward BFS from the end node with an active-bubble stack
+  {
+    std::vector<int8_t> visited(g.n, 0);
+    struct Item {
+      int32_t node;
+      int32_t dist;
+      std::vector<std::pair<int32_t, int32_t>> stack;  // (dist, exit)
+    };
+    std::deque<Item> queue;
+    std::vector<std::pair<int32_t, int32_t>> init;
+    if (exit_of[g.end_node] != -1) init.push_back({0, g.end_node});
+    queue.push_back({g.end_node, 0, init});
+    visited[g.end_node] = 1;
+    while (!queue.empty()) {
+      Item it = std::move(queue.front());
+      queue.pop_front();
+      for (auto& [bd, ex] : it.stack)
+        bi.node_bubbles[it.node].push_back({ex, it.dist - bd, 0});
+      bi.min_dist_to_end[it.node] = it.dist;
+      for (int32_t pred : g.preds[it.node]) {
+        if (!visited[pred]) {
+          int32_t nd = it.dist + 1;
+          auto ns = it.stack;
+          if (entrance_of[pred] != -1) {
+            auto [bd, ex] = ns.back();
+            ns.pop_back();
+            bi.node_bubbles[pred].push_back({ex, nd - bd, 0});
+          }
+          if (exit_of[pred] != -1) ns.push_back({nd, pred});
+          visited[pred] = 1;
+          queue.push_back({pred, nd, std::move(ns)});
+        }
+      }
+    }
+  }
+
+  // longest path to end by postorder sweep + bubble max dists
+  for (auto it = inv.rbegin(); it != inv.rend(); ++it) {
+    int32_t n = *it, mx = 0;
+    for (int32_t s : g.succs[n]) mx = std::max(mx, bi.max_dist_to_end[s] + 1);
+    bi.max_dist_to_end[n] = mx;
+    for (auto& b : bi.node_bubbles[n])
+      b.max_dist = mx - bi.max_dist_to_end[b.exit_node];
+  }
+  return bi;
+}
+
+// ---------------------------------------------------------------------
+// Visited store + bubble pruning
+// ---------------------------------------------------------------------
+
+struct Cell {
+  int32_t s[5] = {kUnvisited, kUnvisited, kUnvisited, kUnvisited, kUnvisited};
+};
+
+struct Visited {
+  std::unordered_map<int64_t, Cell> cells;
+  std::vector<std::vector<int32_t>> reached;  // sorted offsets per exit node
+  const Graph* g;
+  const BubbleIndex* bi;
+  const Costs* c;
+  int64_t seq_len;
+
+  static int64_t key(int32_t node, int32_t off) {
+    return ((int64_t)node << 32) | (uint32_t)off;
+  }
+  int32_t get(int32_t node, int32_t off, int st) const {
+    auto it = cells.find(key(node, off));
+    return it == cells.end() ? kUnvisited : it->second.s[st];
+  }
+  void set(int32_t node, int32_t off, int st, int32_t sc) {
+    cells[key(node, off)].s[st] = sc;
+  }
+  bool update_if_lower(int32_t node, int32_t off, int st, int32_t sc) {
+    auto& cell = cells[key(node, off)];
+    if (sc < cell.s[st]) {
+      cell.s[st] = sc;
+      return true;
+    }
+    return false;
+  }
+  void mark_reached(int32_t node, int32_t off, int st) {
+    if (st == M && bi->is_exit[node]) {
+      auto& v = reached[node];
+      auto it = std::lower_bound(v.begin(), v.end(), off);
+      if (it == v.end() || *it != off) v.insert(it, off);
+    }
+  }
+
+  bool can_improve_at(int32_t exit_node, int64_t off, int64_t score,
+                      const int32_t* left, const int32_t* right,
+                      int64_t min_dist_end) const {
+    bool have = false;
+    int64_t implicit = 0;
+    if (left && right) {
+      int64_t ls = get(exit_node, *left, M);
+      int64_t rs = get(exit_node, *right, M);
+      int64_t fl = ls + c->gap_cost(M, off - *left, c->gap_open, c->gap_extend);
+      int64_t fr = rs + c->gap_cost(M, *right - off, c->gap_open, c->gap_extend);
+      implicit = (*right - off > min_dist_end) ? fl : std::min(fl, fr);
+      have = true;
+    } else if (right) {
+      if (*right - off <= min_dist_end) {
+        int64_t rs = get(exit_node, *right, M);
+        implicit = rs + c->gap_cost(M, *right - off, c->gap_open, c->gap_extend);
+        have = true;
+      }
+    } else if (left) {
+      int64_t ls = get(exit_node, *left, M);
+      implicit = ls + c->gap_cost(M, off - *left, c->gap_open, c->gap_extend);
+      have = true;
+    }
+    return !have || score < implicit;
+  }
+
+  bool can_improve_bubble(const BubbleEntry& b, int32_t node, int32_t off,
+                          int st, int64_t score) const {
+    const auto& r = reached[b.exit_node];
+    if (r.empty()) return true;
+    if (node == b.exit_node) return true;
+
+    int64_t tmin = off + b.min_dist;
+    int64_t tmax = off + b.max_dist;
+    int64_t mde = std::max<int64_t>(bi->min_dist_to_end[b.exit_node] - 1, 0);
+    if (tmax > seq_len) return true;
+
+    auto lo = std::lower_bound(r.begin(), r.end(), (int32_t)tmin);
+    const int32_t* prev = (lo == r.begin()) ? nullptr : &*(lo - 1);
+
+    bool have_last = false;
+    int64_t last_off = 0;
+    for (auto it = lo; it != r.end() && *it <= tmax; ++it) {
+      int32_t nxt = *it;
+      int64_t off1 = prev ? std::max(tmin, (int64_t)*prev + 1) : tmin;
+
+      if (st == D) {
+        if ((int64_t)get(b.exit_node, nxt, M) + c->gap_open > score) return true;
+      } else if (st == D2) {
+        if ((int64_t)get(b.exit_node, nxt, M) + c->gap_open2 > score) return true;
+      }
+      if (prev) {
+        if (st == I) {
+          if ((int64_t)get(b.exit_node, *prev, M) + c->gap_open > score) return true;
+        } else if (st == I2) {
+          if ((int64_t)get(b.exit_node, *prev, M) + c->gap_open2 > score) return true;
+        }
+      }
+
+      if (can_improve_at(b.exit_node, off1, score, prev, &nxt, mde)) return true;
+      int64_t off2 = std::min(tmax, std::max(tmin, (int64_t)nxt - 1));
+      if (off2 != off1 &&
+          can_improve_at(b.exit_node, off2, score, prev, &nxt, mde))
+        return true;
+
+      prev = &*it;
+      last_off = off2;
+      have_last = true;
+    }
+
+    auto hi = std::upper_bound(r.begin(), r.end(), (int32_t)tmax);
+    const int32_t* nxt = (hi == r.end()) ? nullptr : &*hi;
+
+    if (!have_last && can_improve_at(b.exit_node, tmin, score, prev, nxt, mde))
+      return true;
+    if ((!have_last || last_off < tmax) &&
+        can_improve_at(b.exit_node, tmax, score, prev, nxt, mde))
+      return true;
+
+    if (prev) {
+      if (st == I) {
+        if ((int64_t)get(b.exit_node, *prev, M) + c->gap_open > score) return true;
+      } else if (st == I2) {
+        if ((int64_t)get(b.exit_node, *prev, M) + c->gap_open2 > score) return true;
+      }
+    }
+    return false;
+  }
+
+  bool prune(int32_t node, int32_t off, int st, int64_t score) const {
+    if (bi->node_bubbles[node].empty()) return false;
+    for (const auto& b : bi->node_bubbles[node])
+      if (!can_improve_bubble(b, node, off, st, score)) return true;
+    return false;
+  }
+};
+
+// ---------------------------------------------------------------------
+// Bucket queue (f-layered; per-layer LIFO per state; pop M,D,D2,I,I2)
+// ---------------------------------------------------------------------
+
+struct QueueItem {
+  int32_t score, node, offset;
+};
+
+struct Layer {
+  std::vector<QueueItem> st[5];
+  bool empty() const {
+    return st[0].empty() && st[1].empty() && st[2].empty() && st[3].empty() &&
+           st[4].empty();
+  }
+};
+
+struct BucketQueue {
+  std::deque<Layer> layers;
+  int64_t layer_min = 0;
+  static constexpr int pop_order[5] = {M, D, D2, I, I2};
+
+  void push(int32_t node, int32_t off, int st, int32_t score, int64_t h) {
+    int64_t pri = score + h;
+    if (layers.empty()) {
+      layers.emplace_back();
+      layer_min = pri;
+    } else {
+      int64_t layer_max = layer_min + (int64_t)layers.size();
+      if (pri < layer_min) {
+        for (int64_t i = 0; i < layer_min - pri; ++i) layers.emplace_front();
+        layer_min = pri;
+      } else if (pri >= layer_max) {
+        int64_t need = pri - layer_min + 1;
+        while ((int64_t)layers.size() < need) layers.emplace_back();
+      }
+    }
+    layers[pri - layer_min].st[st].push_back({score, node, off});
+  }
+
+  bool pop(QueueItem* out, int* state) {
+    if (layers.empty()) return false;
+    Layer& l = layers.front();
+    bool found = false;
+    for (int s : pop_order) {
+      if (!l.st[s].empty()) {
+        *out = l.st[s].back();
+        l.st[s].pop_back();
+        *state = s;
+        found = true;
+        break;
+      }
+    }
+    while (!layers.empty() && layers.front().empty()) {
+      layers.pop_front();
+      ++layer_min;
+    }
+    return found;
+  }
+};
+
+// ---------------------------------------------------------------------
+// Engine
+// ---------------------------------------------------------------------
+
+struct Engine {
+  Graph g;
+  BubbleIndex bi;
+  std::vector<int32_t> node_storage;  // backing for adjacency (unused)
+};
+
+struct AlignParams {
+  Costs costs;
+  int heuristic;  // 0 = dijkstra, 1 = mingap
+};
+
+static int64_t heuristic_h(const Engine& eng, const AlignParams& p,
+                           int32_t node, int64_t off, int st, int64_t seq_len) {
+  if (p.heuristic == 0) return 0;
+  // mingap; two-piece uses the cheaper piece-2 constants
+  int o = p.costs.two_piece ? p.costs.gap_open2 : p.costs.gap_open;
+  int e = p.costs.two_piece ? p.costs.gap_extend2 : p.costs.gap_extend;
+  int64_t mind = std::max<int64_t>(eng.bi.min_dist_to_end[node] - 1, 0);
+  int64_t maxd = std::max<int64_t>(eng.bi.max_dist_to_end[node] - 1, 0);
+  int64_t tmin = off + mind, tmax = off + maxd;
+  int64_t gap;
+  int state = st;
+  if (tmin > seq_len) {
+    gap = tmin - seq_len;
+    if (state != D) state = M;
+  } else if (tmax < seq_len) {
+    gap = seq_len - tmax;
+    if (state != I) state = M;
+  } else {
+    gap = 0;
+  }
+  return p.costs.gap_cost(state, gap, o, e);
+}
+
+struct BtStep {
+  int32_t node, offset;
+  int state;
+  bool ok;
+};
+
+static BtStep backtrace_step(const Engine& eng, const Visited& v,
+                             const Costs& c, const uint8_t* seq, int64_t n,
+                             int32_t node, int32_t off, int st) {
+  const Graph& g = eng.g;
+  int32_t cur = v.get(node, off, st);
+  if (cur == kUnvisited) return {0, 0, 0, false};
+
+  // oldest-inserted-edge-first predecessor order for candidate scans
+  auto preds_oldest = [&](int32_t nd) {
+    std::vector<int32_t> r(g.preds[nd].rbegin(), g.preds[nd].rend());
+    return r;
+  };
+
+  if (st == M) {
+    if (off > 0) {
+      bool match_or_end =
+          g.symbol_equal(node, seq[off - 1]) || node == g.end_node;
+      int32_t pred_off = (node == g.end_node) ? off : off - 1;
+      for (int32_t p : preds_oldest(node)) {
+        int32_t ps = v.get(p, pred_off, M);
+        if (ps == kUnvisited) continue;
+        if ((match_or_end && ps == cur) ||
+            (!match_or_end && ps == cur - c.mismatch))
+          return {p, pred_off, M, true};
+      }
+    }
+    if (v.get(node, off, D) == cur) return {node, off, D, true};
+    if (c.two_piece && v.get(node, off, D2) == cur) return {node, off, D2, true};
+    if (v.get(node, off, I) == cur) return {node, off, I, true};
+    if (c.two_piece && v.get(node, off, I2) == cur) return {node, off, I2, true};
+  } else if (st == D) {
+    for (int32_t p : preds_oldest(node))
+      if (v.get(p, off, M) == cur - c.gap_open - c.gap_extend)
+        return {p, off, M, true};
+    for (int32_t p : preds_oldest(node))
+      if (v.get(p, off, D) == cur - c.gap_extend) return {p, off, D, true};
+  } else if (st == D2) {
+    for (int32_t p : preds_oldest(node))
+      if (v.get(p, off, D) == cur - c.gap_extend2) return {p, off, D, true};
+    for (int32_t p : preds_oldest(node))
+      if (v.get(p, off, D2) == cur - c.gap_extend2) return {p, off, D2, true};
+  } else if (st == I) {
+    if (off > 0) {
+      if (v.get(node, off - 1, M) == cur - c.gap_open - c.gap_extend)
+        return {node, off - 1, M, true};
+      if (v.get(node, off - 1, I) == cur - c.gap_extend)
+        return {node, off - 1, I, true};
+    }
+  } else {  // I2
+    if (off > 0) {
+      if (v.get(node, off - 1, I) == cur - c.gap_extend2)
+        return {node, off - 1, I, true};
+      if (v.get(node, off - 1, I2) == cur - c.gap_extend2)
+        return {node, off - 1, I2, true};
+    }
+  }
+  return {0, 0, 0, false};
+}
+
+}  // namespace
+
+extern "C" {
+
+void* poasta_engine_create(int32_t n_nodes, const uint8_t* symbols,
+                           const int32_t* succ_ptr, const int32_t* succ_idx,
+                           const int32_t* pred_ptr, const int32_t* pred_idx,
+                           int32_t start_node, int32_t end_node) {
+  auto* eng = new Engine();
+  eng->g.n = n_nodes;
+  eng->g.start_node = start_node;
+  eng->g.end_node = end_node;
+  // copy symbols so python can free its buffer
+  static_assert(sizeof(uint8_t) == 1, "");
+  uint8_t* sym = new uint8_t[n_nodes];
+  std::memcpy(sym, symbols, n_nodes);
+  eng->g.symbols = sym;
+  eng->g.succs.assign(n_nodes, {});
+  eng->g.preds.assign(n_nodes, {});
+  for (int32_t v = 0; v < n_nodes; ++v) {
+    eng->g.succs[v].assign(succ_idx + succ_ptr[v], succ_idx + succ_ptr[v + 1]);
+    eng->g.preds[v].assign(pred_idx + pred_ptr[v], pred_idx + pred_ptr[v + 1]);
+  }
+  eng->bi = build_bubble_index(eng->g);
+  return eng;
+}
+
+void poasta_engine_destroy(void* ptr) {
+  auto* eng = static_cast<Engine*>(ptr);
+  delete[] eng->g.symbols;
+  delete eng;
+}
+
+// Returns the number of alignment pairs written (or -1 on failure).
+// out_rpos/out_qpos have capacity cap; -1 encodes "None".
+int64_t poasta_align(void* ptr, const uint8_t* seq, int64_t seq_len,
+                     int32_t mismatch, int32_t gap_open, int32_t gap_extend,
+                     int32_t gap_open2, int32_t gap_extend2, int32_t two_piece,
+                     int32_t heuristic, int32_t enable_pruning,
+                     int32_t* out_rpos, int32_t* out_qpos, int64_t cap,
+                     int64_t* out_score, int64_t* out_stats) {
+  auto& eng = *static_cast<Engine*>(ptr);
+  const Graph& g = eng.g;
+  AlignParams p;
+  p.costs = {mismatch, gap_open, gap_extend, gap_open2, gap_extend2,
+             two_piece != 0};
+  p.heuristic = heuristic;
+  const Costs& c = p.costs;
+
+  Visited v;
+  v.g = &g;
+  v.bi = &eng.bi;
+  v.c = &c;
+  v.seq_len = seq_len;
+  v.reached.assign(g.n, {});
+
+  BucketQueue queue;
+  int64_t num_queued = 0, num_visited = 0, num_pruned = 0;
+
+  auto h_of = [&](int32_t node, int32_t off, int st) {
+    return heuristic_h(eng, p, node, off, st, seq_len);
+  };
+  auto emit = [&](int32_t delta, int32_t node, int32_t off, int st,
+                  int32_t base) {
+    ++num_queued;
+    queue.push(node, off, st, base + delta, h_of(node, off, st));
+  };
+
+  // initial state: global alignment from the virtual start node
+  queue.push(g.start_node, 0, M, 0, h_of(g.start_node, 0, M));
+  v.set(g.start_node, 0, M, 0);
+  ++num_queued;
+
+  int32_t end_score = -1, end_node = -1, end_off = -1;
+
+  auto expand_match = [&](int32_t score, int32_t node, int32_t off) {
+    int32_t child_off = off + 1;
+    for (int32_t succ : g.succs[node]) {
+      if (succ == g.end_node) continue;
+      if (child_off <= seq_len) {
+        int32_t delta =
+            g.symbol_equal(succ, seq[child_off - 1]) ? 0 : c.mismatch;
+        if (v.update_if_lower(succ, child_off, M, score + delta))
+          emit(delta, succ, child_off, M, score);
+      }
+      int32_t delta = c.gap_open + c.gap_extend;
+      if (v.update_if_lower(succ, off, D, score + delta))
+        emit(delta, succ, off, D, score);
+    }
+    int32_t delta = c.gap_open + c.gap_extend;
+    if (child_off <= seq_len &&
+        v.update_if_lower(node, child_off, I, score + delta))
+      emit(delta, node, child_off, I, score);
+  };
+
+  auto expand_mismatch = [&](int32_t score, int32_t pnode, int32_t poff,
+                             int32_t cnode, int32_t coff) {
+    if (v.update_if_lower(cnode, coff, M, score + c.mismatch))
+      emit(c.mismatch, cnode, coff, M, score);
+    int32_t delta = c.gap_open + c.gap_extend;
+    if (v.update_if_lower(pnode, poff + 1, I, score + delta))
+      emit(delta, pnode, poff + 1, I, score);
+    if (v.update_if_lower(cnode, poff, D, score + delta))
+      emit(delta, cnode, poff, D, score);
+  };
+
+  while (end_node < 0) {
+    QueueItem item;
+    int st;
+    if (!queue.pop(&item, &st)) return -1;  // empty queue: cannot align
+    int32_t score = item.score, node = item.node, off = item.offset;
+
+    int32_t stored = v.get(node, off, st);
+    if (stored != kUnvisited && score > stored) continue;
+
+    if (st == M && node == g.end_node && off == seq_len) {
+      ++num_visited;
+      end_score = score;
+      end_node = node;
+      end_off = off;
+      break;
+    }
+
+    if (enable_pruning && st == M && v.prune(node, off, st, score)) {
+      ++num_pruned;
+      continue;
+    }
+
+    v.mark_reached(node, off, st);
+    ++num_visited;
+
+    if (st == M) {
+      expand_match(score, node, off);
+
+      // depth-first greedy match extension
+      struct Frame {
+        int32_t node, off;
+        size_t idx;
+      };
+      std::vector<Frame> stack;
+      stack.push_back({node, off, 0});
+      int64_t dfa_visited = 0;
+      bool stop = false;
+
+      // initial offset-0 self-match special case
+      if (seq_len > 0 && off == 0 && g.symbol_equal(node, seq[0])) {
+        if (v.update_if_lower(node, 1, M, score)) {
+          stack.back() = {node, 1, 0};
+          v.mark_reached(node, 1, M);
+          ++dfa_visited;
+          if (seq_len == 1) {
+            // whole query consumed at the initial node
+            if (node == g.end_node) { /* unreachable for start node */
+            }
+          }
+        }
+      }
+
+      while (!stack.empty() && !stop) {
+        Frame& top = stack.back();
+        const auto& succ = g.succs[top.node];
+        bool advanced = false;
+        while (top.idx < succ.size()) {
+          int32_t child = succ[top.idx++];
+          if (child == g.end_node) {
+            v.update_if_lower(child, top.off, M, score);
+            if (top.off == seq_len) {
+              end_score = score;
+              end_node = child;
+              end_off = top.off;
+              stop = true;
+            } else {
+              // expand_ref_graph_end: open insertion from the parent
+              int32_t delta = c.gap_open + c.gap_extend;
+              if (v.update_if_lower(top.node, top.off + 1, I, score + delta))
+                emit(delta, top.node, top.off + 1, I, score);
+            }
+            break;
+          }
+          if (top.off >= seq_len) {
+            // expand_query_end: open deletion onto the child
+            int32_t delta = c.gap_open + c.gap_extend;
+            if (v.update_if_lower(child, top.off, D, score + delta))
+              emit(delta, child, top.off, D, score);
+            break;
+          }
+          int32_t child_off = top.off + 1;
+          if (g.symbol_equal(child, seq[child_off - 1])) {
+            if (v.update_if_lower(child, child_off, M, score)) {
+              if (v.prune(child, child_off, M, score)) {
+                ++num_pruned;
+                continue;
+              }
+              v.mark_reached(child, child_off, M);
+              ++dfa_visited;
+              stack.push_back({child, child_off, 0});
+              advanced = true;
+              break;
+            }
+          } else {
+            expand_mismatch(score, top.node, top.off, child, child_off);
+            break;
+          }
+        }
+        if (stop) break;
+        if (!advanced && stack.back().idx >= g.succs[stack.back().node].size())
+          stack.pop_back();
+      }
+      if (stop) {
+        // breaking pop doesn't fold DFA-visited counts (parity with engine.py)
+        break;
+      }
+      num_visited += dfa_visited;
+    } else if (st == I) {
+      if (v.update_if_lower(node, off, M, score)) emit(0, node, off, M, score);
+      if (off < seq_len) {
+        if (v.update_if_lower(node, off + 1, I, score + c.gap_extend))
+          emit(c.gap_extend, node, off + 1, I, score);
+        if (c.two_piece &&
+            v.update_if_lower(node, off + 1, I2, score + c.gap_extend2))
+          emit(c.gap_extend2, node, off + 1, I2, score);
+      }
+    } else if (st == I2) {
+      if (v.update_if_lower(node, off, M, score)) emit(0, node, off, M, score);
+      if (off < seq_len &&
+          v.update_if_lower(node, off + 1, I2, score + c.gap_extend2))
+        emit(c.gap_extend2, node, off + 1, I2, score);
+    } else if (st == D) {
+      if (v.update_if_lower(node, off, M, score)) emit(0, node, off, M, score);
+      for (int32_t succ : g.succs[node]) {
+        if (v.update_if_lower(succ, off, D, score + c.gap_extend))
+          emit(c.gap_extend, succ, off, D, score);
+        if (c.two_piece &&
+            v.update_if_lower(succ, off, D2, score + c.gap_extend2))
+          emit(c.gap_extend2, succ, off, D2, score);
+      }
+    } else {  // D2
+      if (v.update_if_lower(node, off, M, score)) emit(0, node, off, M, score);
+      for (int32_t succ : g.succs[node])
+        if (v.update_if_lower(succ, off, D2, score + c.gap_extend2))
+          emit(c.gap_extend2, succ, off, D2, score);
+    }
+  }
+
+  out_score[0] = end_score;
+  out_stats[0] = num_queued;
+  out_stats[1] = num_visited;
+  out_stats[2] = num_pruned;
+
+  // ---------------- backtrace ----------------
+  if (seq_len == 0) return 0;
+
+  int64_t count = 0;
+  if (seq_len == 1 && end_off == 1 && g.symbol_equal(end_node, seq[0])) {
+    if (cap < 1) return -2;
+    out_rpos[0] = end_node;
+    out_qpos[0] = 0;
+    return 1;
+  }
+
+  // find the first step from the end state over M, I, I2, D, D2
+  BtStep start{0, 0, 0, false};
+  int states_single[3] = {M, I, D};
+  int states_two[5] = {M, I, I2, D, D2};
+  int* states = c.two_piece ? states_two : states_single;
+  int n_states = c.two_piece ? 5 : 3;
+  for (int i = 0; i < n_states && !start.ok; ++i)
+    start = backtrace_step(eng, v, c, seq, seq_len, end_node, end_off, states[i]);
+  if (!start.ok) return -3;
+
+  int32_t rn = start.node, ro = start.offset;
+  int rs = start.state;
+  std::vector<std::pair<int32_t, int32_t>> pairs;
+
+  while (true) {
+    BtStep bt = backtrace_step(eng, v, c, seq, seq_len, rn, ro, rs);
+    if (!bt.ok) break;
+    if (rs == M && bt.state != M) {  // zero-cost indel closure
+      rn = bt.node;
+      ro = bt.offset;
+      rs = bt.state;
+      continue;
+    }
+    if (rs == M) {
+      pairs.push_back({rn, ro - 1});
+    } else if (rs == I || rs == I2) {
+      pairs.push_back({-1, ro - 1});
+    } else {
+      pairs.push_back({rn, -1});
+    }
+    if (bt.node == g.start_node) break;
+    rn = bt.node;
+    ro = bt.offset;
+    rs = bt.state;
+  }
+
+  std::reverse(pairs.begin(), pairs.end());
+  if ((int64_t)pairs.size() > cap) return -2;
+  for (auto& [r, q] : pairs) {
+    out_rpos[count] = r;
+    out_qpos[count] = q;
+    ++count;
+  }
+  return count;
+}
+
+}  // extern "C"

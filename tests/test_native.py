@@ -1,0 +1,74 @@
+"""Native (C++) engine parity with the Python exact engine."""
+
+import random
+
+import pytest
+
+from poasta_tpu.aligner import GapAffine, GapAffine2Piece, Global, PoastaAligner
+from poasta_tpu.graphs import POAGraph
+
+try:
+    from poasta_tpu.native import NativeAligner, native_available
+
+    HAVE_NATIVE = native_available()
+except Exception:
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE, reason="native toolchain unavailable")
+
+COSTS = GapAffine(4, 2, 6)
+
+
+def _case(seed, nseq=3, length=40, nq=4):
+    rng = random.Random(seed)
+    base = "".join(rng.choice("ACGT") for _ in range(length))
+
+    def mutate(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < 0.06:
+                continue
+            out.append(rng.choice("ACGT") if r < 0.12 else ch)
+            if rng.random() < 0.04:
+                out.append(rng.choice("ACGT"))
+        return "".join(out) or "A"
+
+    g = POAGraph()
+    py = PoastaAligner(COSTS, Global(), heuristic="mingap")
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * length)
+    for i in range(1, nseq):
+        s = mutate(base).encode()
+        r = py.align(g, s)
+        g.add_alignment_with_weights(f"s{i}", s, r.alignment, [1] * len(s))
+    return g, [mutate(base).encode() for _ in range(nq)]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 13])
+@pytest.mark.parametrize("heuristic", ["mingap", "dijkstra"])
+def test_native_matches_python_exactly(seed, heuristic):
+    g, queries = _case(seed)
+    py = PoastaAligner(COSTS, Global(), heuristic=heuristic)
+    na = NativeAligner(g)
+    for q in queries:
+        r = py.align(g, q)
+        score, aln, stats = na.align(q, COSTS, heuristic=heuristic)
+        assert score == r.score
+        assert [(p.rpos, p.qpos) for p in aln] == [
+            (p.rpos, p.qpos) for p in r.alignment
+        ]
+        assert stats == (r.num_queued, r.num_visited, r.num_pruned)
+
+
+def test_native_two_piece_matches_python():
+    costs2 = GapAffine2Piece(4, 2, 8, 1, 24)
+    g, queries = _case(3)
+    py = PoastaAligner(costs2, Global(), heuristic="mingap")
+    na = NativeAligner(g)
+    for q in queries:
+        r = py.align(g, q)
+        score, aln, _ = na.align(q, costs2)
+        assert score == r.score
+        assert [(p.rpos, p.qpos) for p in aln] == [
+            (p.rpos, p.qpos) for p in r.alignment
+        ]
