@@ -205,8 +205,30 @@ def _scores_exec(window: int, o: int, e: int, x: int,
 
 def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                    costs: GapAffine, free_start: bool = False,
-                   free_end: bool = False) -> jnp.ndarray:
-    """(B,) optimal alignment scores for a packed read batch."""
+                   free_end: bool = False, engine: str = "auto") -> jnp.ndarray:
+    """(B,) optimal alignment scores for a packed read batch.
+
+    ``engine``: "auto" prefers the Pallas kernel on accelerator backends
+    (VMEM-resident rings; ~3x the XLA scan) and falls back to the XLA path
+    on CPU or for configurations the kernel doesn't cover.
+    """
+    if engine in ("auto", "pallas") and not free_start and not free_end:
+        from ..ops.pallas_fill import B_BLK, pallas_fill_scores
+
+        B = qshift.shape[0]
+        if jax.default_backend() != "cpu" or engine == "pallas":
+            try:
+                pad = (-B) % B_BLK
+                if pad:
+                    qp = jnp.concatenate(
+                        [qshift, jnp.zeros((pad, qshift.shape[1]), qshift.dtype)]
+                    )
+                    lp = jnp.concatenate([lengths, jnp.zeros((pad,), lengths.dtype)])
+                    return pallas_fill_scores(dg, qp, lp, costs)[:B]
+                return pallas_fill_scores(dg, qshift, lengths, costs)
+            except Exception:
+                if engine == "pallas":
+                    raise
     fn = _scores_exec(dg.window, costs.gap_open, costs.gap_extend,
                       costs.mismatch, free_start, free_end)
     return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.end_rank,
