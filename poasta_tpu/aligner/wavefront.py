@@ -203,15 +203,80 @@ def _scores_exec(window: int, o: int, e: int, x: int,
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _scores_exec_2p(window: int, o1: int, e1: int, e2: int, x: int,
+                    free_start: bool, free_end: bool):
+    """Two-piece affine scores kernel (XLA path, 5 state layers)."""
+    from ..ops.dp_rows_2p import row_update_2p
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, end_rank, qshift, lengths):
+        B, L = qshift.shape
+        Np = symbols.shape[0]
+        idx = lengths.astype(jnp.int32)[:, None]
+        M0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
+        carry0 = (M0, M0, M0)  # M, D1, D2 rings
+
+        def step(carry, xs):
+            M_ring, D1_ring, D2_ring = carry
+            rank, sym, slots, valid = xs
+            pred_M = jnp.take(M_ring, slots, axis=1)
+            pred_D1 = jnp.take(D1_ring, slots, axis=1)
+            pred_D2 = jnp.take(D2_ring, slots, axis=1)
+            match_cost = jnp.where(qshift == sym, jnp.int32(0), jnp.int32(x))
+            is_start = rank == 0
+            is_end = rank == end_rank
+            is_real = jnp.logical_and(rank > 0, rank < end_rank)
+
+            M, I1, I2, D1, D2 = row_update_2p(
+                pred_M, pred_D1, pred_D2, valid, match_cost, o1, e1, e2,
+                is_start_row=is_start,
+                free_start=jnp.logical_and(is_real, free_start),
+            )
+            mask = valid.reshape(1, -1, 1)
+            min_pm = jnp.min(jnp.where(mask, pred_M, INF), axis=1)
+            M = jnp.where(is_end, min_pm, M)
+            D1 = jnp.where(is_end, INF, D1)
+            D2 = jnp.where(is_end, INF, D2)
+
+            slot = jnp.mod(rank, window)
+            M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, slot, 1)
+            D1_ring = jax.lax.dynamic_update_index_in_dim(D1_ring, D1, slot, 1)
+            D2_ring = jax.lax.dynamic_update_index_in_dim(D2_ring, D2, slot, 1)
+
+            at_len = jnp.take_along_axis(M, idx, axis=1)[:, 0]
+            at_len = jnp.where(is_real | is_end, at_len, INF)
+            return (M_ring, D1_ring, D2_ring), at_len
+
+        ranks = jnp.arange(Np, dtype=jnp.int32)
+        xs = (ranks, symbols, pred_slots, pred_valid)
+        _, at_len = jax.lax.scan(step, carry0, xs)
+        score = jnp.take(at_len, end_rank, axis=0)
+        if free_end:
+            rank_ok = jnp.logical_and(ranks > 0, ranks < end_rank)[:, None]
+            best_real = jnp.min(jnp.where(rank_ok, at_len, INF), axis=0)
+            score = jnp.minimum(score, best_real)
+        return score
+
+    return fn
+
+
 def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
-                   costs: GapAffine, free_start: bool = False,
+                   costs, free_start: bool = False,
                    free_end: bool = False, engine: str = "auto") -> jnp.ndarray:
     """(B,) optimal alignment scores for a packed read batch.
 
     ``engine``: "auto" prefers the Pallas kernel on accelerator backends
     (VMEM-resident rings; ~3x the XLA scan) and falls back to the XLA path
-    on CPU or for configurations the kernel doesn't cover.
+    on CPU or for configurations the kernel doesn't cover.  Two-piece cost
+    models run the 5-layer XLA scan.
     """
+    if getattr(costs, "is_two_piece", False):
+        fn = _scores_exec_2p(dg.window, costs.gap_open, costs.gap_extend,
+                             costs.gap_extend2, costs.mismatch,
+                             free_start, free_end)
+        return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.end_rank,
+                  qshift, lengths)
     if engine in ("auto", "pallas") and not free_start and not free_end:
         from ..ops.pallas_fill import B_BLK, pallas_fill_scores
 
