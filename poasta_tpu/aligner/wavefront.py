@@ -75,6 +75,7 @@ class DeviceGraph:
     window: int  # ring size W (static, pow2)
     n_nodes_padded: int
     n_nodes: int
+    pred_ranks_np: "np.ndarray" = None  # (Np, P) predecessor ranks (host)
 
     @staticmethod
     def build(flat: FlatGraph, node_bucket: int = 64) -> "DeviceGraph":
@@ -93,11 +94,13 @@ class DeviceGraph:
         symbols[:n] = flat.symbols.astype(np.int32)
         pred_slots = np.zeros((np_nodes, P), dtype=np.int32)
         pred_valid = np.zeros((np_nodes, P), dtype=bool)
+        pred_ranks = np.zeros((np_nodes, P), dtype=np.int32)
         for r in range(n):
             preds = flat.pred_idx[flat.pred_ptr[r] : flat.pred_ptr[r + 1]]
             for i, p in enumerate(preds):
                 pred_slots[r, i] = int(p) % window
                 pred_valid[r, i] = True
+                pred_ranks[r, i] = int(p)
 
         return DeviceGraph(
             symbols=jnp.asarray(symbols),
@@ -107,6 +110,7 @@ class DeviceGraph:
             window=window,
             n_nodes_padded=np_nodes,
             n_nodes=n,
+            pred_ranks_np=pred_ranks,
         )
 
 

@@ -61,6 +61,8 @@ class FlatGraph:
     npreds: np.ndarray
     min_dist_to_end: np.ndarray
     max_dist_to_end: np.ndarray
+    min_dist_from_start: np.ndarray
+    max_dist_from_start: np.ndarray
 
     @property
     def n_nodes(self) -> int:
@@ -134,6 +136,20 @@ class FlatGraph:
                 min_d[r] = 0
                 max_d[r] = 0
 
+        # min/max distance (edge count) from the start node, forward sweep;
+        # used by the banded fill's per-rank feasible offset windows.
+        ds_min = np.full(n, BIG, dtype=np.int64)
+        ds_max = np.zeros(n, dtype=np.int64)
+        ds_min[0] = 0
+        for r in range(1, n):
+            preds = pred_lists[r]
+            if preds:
+                ds_min[r] = min(ds_min[p] for p in preds) + 1
+                ds_max[r] = max(ds_max[p] for p in preds) + 1
+            else:
+                ds_min[r] = 0
+                ds_max[r] = 0
+
         return FlatGraph(
             symbols=symbols,
             node_of_rank=node_of_rank,
@@ -146,4 +162,6 @@ class FlatGraph:
             npreds=npreds,
             min_dist_to_end=min_d.astype(np.int32),
             max_dist_to_end=max_d.astype(np.int32),
+            min_dist_from_start=ds_min.astype(np.int32),
+            max_dist_from_start=ds_max.astype(np.int32),
         )
