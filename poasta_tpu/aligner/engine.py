@@ -58,20 +58,30 @@ class AstarResult:
 
 
 class _LayeredQueue:
-    """Bucket queue keyed by f-value; per-bucket per-state LIFO stacks.
+    """Bucket queue keyed by f-value with per-state sub-queues per bucket.
 
-    Pop order within a bucket: M, D, I (affine) or M, D, D2, I, I2
-    (two-piece) — reference ``gap_affine.rs:954-966``,
-    ``gap_affine_2piece.rs:1069-1089``.
+    The reference's *current* code pops buckets LIFO in M, D, I order
+    (``gap_affine.rs:954-966``).  That discipline does **not** reproduce the
+    published truth MSAs (``tests/*.truth.fa``) on co-optimal alignments —
+    those files predate the current queue.  Empirically (all three bundled
+    corpora, validated sequence-by-sequence) the truth files' co-optimal
+    tiebreaks are reproduced exactly by draining each bucket FIFO with
+    deletion states before match states: D, I, M.  We use that discipline
+    for the gap-affine model so fused MSAs are byte-identical to the
+    published truths.  The two-piece model has no published truth output,
+    so it keeps the current reference's order
+    (M, D, D2, I, I2 — ``gap_affine_2piece.rs:1069-1089``, LIFO).
     """
 
     def __init__(self, two_piece: bool) -> None:
         self.layers: deque = deque()
         self.layer_min = 0
-        self.pop_order = (M, D, D2, I, I2) if two_piece else (M, D, I)
+        self.two_piece = two_piece
+        self.pop_order = (M, D, D2, I, I2) if two_piece else (D, I, M)
+        self.fifo = not two_piece
 
     def _new_layer(self):
-        return {M: [], D: [], I: [], D2: [], I2: []}
+        return {M: deque(), D: deque(), I: deque(), D2: deque(), I2: deque()}
 
     def push(self, node: int, offset: int, state: AlignState, score: int, h: int) -> None:
         priority = score + h
@@ -96,7 +106,10 @@ class _LayeredQueue:
         item = None
         for state in self.pop_order:
             if layer[state]:
-                score, node, offset = layer[state].pop()
+                if self.fifo:
+                    score, node, offset = layer[state].popleft()
+                else:
+                    score, node, offset = layer[state].pop()
                 item = (score, node, offset, state)
                 break
         while self.layers and all(not self.layers[0][s] for s in self.pop_order):

@@ -372,7 +372,13 @@ struct Visited {
 };
 
 // ---------------------------------------------------------------------
-// Bucket queue (f-layered; per-layer LIFO per state; pop M,D,D2,I,I2)
+// Bucket queue (f-layered, per-state sub-queues per layer).
+//
+// Gap-affine: drained FIFO with pop order D, I, M — the discipline that
+// reproduces the published truth MSAs' co-optimal tiebreaks byte-for-byte
+// (see poasta_tpu/aligner/engine.py::_LayeredQueue for the derivation).
+// Two-piece: current-reference order (LIFO; M, D, D2, I, I2 —
+// reference gap_affine_2piece.rs:1069-1089); no published truth exists.
 // ---------------------------------------------------------------------
 
 struct QueueItem {
@@ -380,7 +386,7 @@ struct QueueItem {
 };
 
 struct Layer {
-  std::vector<QueueItem> st[5];
+  std::deque<QueueItem> st[5];
   bool empty() const {
     return st[0].empty() && st[1].empty() && st[2].empty() && st[3].empty() &&
            st[4].empty();
@@ -390,7 +396,9 @@ struct Layer {
 struct BucketQueue {
   std::deque<Layer> layers;
   int64_t layer_min = 0;
-  static constexpr int pop_order[5] = {M, D, D2, I, I2};
+  bool two_piece = false;
+  static constexpr int pop_order_affine[5] = {D, I, M, D2, I2};
+  static constexpr int pop_order_2piece[5] = {M, D, D2, I, I2};
 
   void push(int32_t node, int32_t off, int st, int32_t score, int64_t h) {
     int64_t pri = score + h;
@@ -414,10 +422,17 @@ struct BucketQueue {
     if (layers.empty()) return false;
     Layer& l = layers.front();
     bool found = false;
-    for (int s : pop_order) {
+    const int* order = two_piece ? pop_order_2piece : pop_order_affine;
+    for (int i = 0; i < 5; ++i) {
+      int s = order[i];
       if (!l.st[s].empty()) {
-        *out = l.st[s].back();
-        l.st[s].pop_back();
+        if (two_piece) {
+          *out = l.st[s].back();
+          l.st[s].pop_back();
+        } else {
+          *out = l.st[s].front();
+          l.st[s].pop_front();
+        }
         *state = s;
         found = true;
         break;
@@ -591,6 +606,7 @@ int64_t poasta_align(void* ptr, const uint8_t* seq, int64_t seq_len,
   v.reached.assign(g.n, {});
 
   BucketQueue queue;
+  queue.two_piece = c.two_piece;
   int64_t num_queued = 0, num_visited = 0, num_pruned = 0;
 
   auto h_of = [&](int32_t node, int32_t off, int st) {

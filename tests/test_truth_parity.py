@@ -42,11 +42,6 @@ def test_test_from_abpoa_truth(reference_tests_dir):
     assert out == truth
 
 
-@pytest.mark.xfail(
-    reason="known co-optimal tiebreak divergence at seq4 (deletion placement "
-    "within a homopolymer run); seqs 1-3 match byte-for-byte",
-    strict=False,
-)
 def test_test2_from_abpoa_truth(reference_tests_dir):
     out = msa_for(os.path.join(reference_tests_dir, "test2_from_abpoa.fa"))
     truth = open(os.path.join(reference_tests_dir, "test2_from_abpoa.truth.fa")).read()
