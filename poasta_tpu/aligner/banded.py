@@ -77,8 +77,8 @@ def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int):
     """Banded scores kernel: rings hold (B, W, Wb) windows."""
 
     @jax.jit
-    def fn(symbols, pred_slots_ranks, pred_valid, wstarts, end_rank,
-           qshift, lengths):
+    def fn(symbols, pred_slots_ranks, pred_valid, wstarts, write_slots,
+           end_rank, qshift, lengths):
         # pred_slots_ranks: (Np, P) predecessor RANKS (not ring slots)
         B, L = qshift.shape
         Np = symbols.shape[0]
@@ -91,14 +91,14 @@ def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int):
 
         def step(carry, xs):
             M_ring, D_ring = carry
-            rank, sym, pred_ranks, valid, w_r = xs
+            rank, sym, pred_ranks, valid, w_r, wslot = xs
             j_global = w_r + jloc  # (Wb,)
 
             min_pm = jnp.full((B, Wb), INF, dtype=jnp.int32)
             min_pd = jnp.full((B, Wb), INF, dtype=jnp.int32)
             for p in range(P):
                 pr = pred_ranks[p]
-                slot = jnp.mod(pr, window)
+                slot = jnp.take(write_slots, pr)
                 w_p = jnp.take(wstarts, pr)
                 delta = w_r - w_p
                 rowM = jax.lax.dynamic_index_in_dim(M_ring, slot, 1, keepdims=False)
@@ -145,9 +145,8 @@ def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int):
             M = jnp.where(is_end, min_pm, M)
             D = jnp.where(is_end, INF, D)
 
-            slot = jnp.mod(rank, window)
-            M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, slot, 1)
-            D_ring = jax.lax.dynamic_update_index_in_dim(D_ring, D, slot, 1)
+            M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, wslot, 1)
+            D_ring = jax.lax.dynamic_update_index_in_dim(D_ring, D, wslot, 1)
 
             # per-read score capture at offset = length (local coords)
             idx_loc = lengths_i - w_r
@@ -159,7 +158,8 @@ def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int):
             return (M_ring, D_ring), at_len
 
         ranks = jnp.arange(Np, dtype=jnp.int32)
-        xs = (ranks, symbols, pred_slots_ranks, pred_valid, wstarts)
+        xs = (ranks, symbols, pred_slots_ranks, pred_valid, wstarts,
+              write_slots)
         _, at_len = jax.lax.scan(step, (M0, D0), xs)  # (Np, B)
         return jnp.min(at_len, axis=0)
 
@@ -240,8 +240,8 @@ class BandedScorer:
                                   costs.mismatch)
                 scores = np.asarray(
                     fn(self.dg.symbols, self._pred_ranks,
-                       self.dg.pred_valid, wstarts, self.dg.end_rank,
-                       q_in, lengths)
+                       self.dg.pred_valid, wstarts, self.dg.write_slots,
+                       self.dg.end_rank, q_in, lengths)
                 )
             if (scores <= ub).all():
                 return scores

@@ -66,7 +66,12 @@ def _next_pow2(x: int) -> int:
 
 @dataclass(frozen=True)
 class DeviceGraph:
-    """Static, bucket-padded device-side view of a flat graph."""
+    """Static, bucket-padded device-side view of a flat graph.
+
+    Everything a fill kernel needs per call is precomputed here once —
+    per-call host↔device transfers (and the implied round trips, which
+    dominate dispatch latency on tethered TPUs) are zero.
+    """
 
     symbols: jnp.ndarray  # (Np,) int32; padding rows are symbol -1
     pred_slots: jnp.ndarray  # (Np, P) ring slot per predecessor
@@ -76,29 +81,62 @@ class DeviceGraph:
     n_nodes_padded: int
     n_nodes: int
     pred_ranks_np: "np.ndarray" = None  # (Np, P) predecessor ranks (host)
+    pred_valid_np: "np.ndarray" = None  # (Np, P) valid mask (host)
+    end_rank_i: int = 0  # host copy of end_rank (no D2H sync per call)
+    pred_slots_flat: jnp.ndarray = None  # (Np*P,) int32
+    pred_valid_flat: jnp.ndarray = None  # (Np*P,) int32 0/1
+    meta: jnp.ndarray = None  # (4,) int32 [Np, end_rank, 0, 0]
+
+    write_slots: jnp.ndarray = None  # (Np,) int32 ring slot each rank writes
 
     @staticmethod
     def build(flat: FlatGraph, node_bucket: int = 64) -> "DeviceGraph":
         n = flat.n_nodes
-        max_span = 1
-        for r in range(n):
-            lo, hi = flat.pred_ptr[r], flat.pred_ptr[r + 1]
-            for p in flat.pred_idx[lo:hi]:
-                max_span = max(max_span, r - int(p))
-        window = _next_pow2(max_span + 1)
-
         P = _next_pow2(max(1, flat.max_in_degree))
         np_nodes = _round_up(n, node_bucket)
+
+        # Liveness-colored ring slots: a rank's row must stay resident only
+        # until its last reader (max successor rank).  Greedy interval
+        # coloring gives K = peak number of simultaneously-live rows —
+        # typically ~4 for POA graphs vs. the 2^ceil(log2(max edge span))
+        # a modulo ring would need — which is what bounds VMEM and hence
+        # the batch block size.
+        last_use = np.arange(n, dtype=np.int64)
+        for r in range(n):
+            for p in flat.pred_idx[flat.pred_ptr[r] : flat.pred_ptr[r + 1]]:
+                last_use[int(p)] = max(last_use[int(p)], r)
+
+        slot_of = np.zeros(n, dtype=np.int32)
+        free: list = []
+        # rows sorted by death rank; release before allocating at each rank
+        import heapq
+
+        live: list = []  # heap of (death_rank, slot)
+        next_slot = 0
+        for r in range(n):
+            while live and live[0][0] < r:
+                _, s = heapq.heappop(live)
+                free.append(s)
+            if free:
+                s = free.pop()
+            else:
+                s = next_slot
+                next_slot += 1
+            slot_of[r] = s
+            heapq.heappush(live, (int(last_use[r]), s))
+        window = max(next_slot, 1)
 
         symbols = np.full((np_nodes,), -1, dtype=np.int32)
         symbols[:n] = flat.symbols.astype(np.int32)
         pred_slots = np.zeros((np_nodes, P), dtype=np.int32)
         pred_valid = np.zeros((np_nodes, P), dtype=bool)
         pred_ranks = np.zeros((np_nodes, P), dtype=np.int32)
+        write_slots = np.zeros((np_nodes,), dtype=np.int32)
+        write_slots[:n] = slot_of
         for r in range(n):
             preds = flat.pred_idx[flat.pred_ptr[r] : flat.pred_ptr[r + 1]]
             for i, p in enumerate(preds):
-                pred_slots[r, i] = int(p) % window
+                pred_slots[r, i] = slot_of[int(p)]
                 pred_valid[r, i] = True
                 pred_ranks[r, i] = int(p)
 
@@ -111,6 +149,13 @@ class DeviceGraph:
             n_nodes_padded=np_nodes,
             n_nodes=n,
             pred_ranks_np=pred_ranks,
+            pred_valid_np=pred_valid,
+            end_rank_i=n - 1,
+            pred_slots_flat=jnp.asarray(pred_slots.reshape(-1)),
+            pred_valid_flat=jnp.asarray(pred_valid.reshape(-1).astype(np.int32)),
+            # loop bound is the true rank count: bucket padding never runs
+            meta=jnp.asarray([n, n - 1, 0, 0], dtype=np.int32),
+            write_slots=jnp.asarray(write_slots),
         )
 
 
@@ -140,7 +185,7 @@ def _make_step(window: int, o: int, e: int, x: int, free_start: bool,
 
     def step(carry, xs):
         M_ring, D_ring = carry
-        rank, sym, slots, valid = xs
+        rank, sym, slots, valid, wslot = xs
 
         pred_M = jnp.take(M_ring, slots, axis=1)  # (B, P, L)
         pred_D = jnp.take(D_ring, slots, axis=1)
@@ -167,9 +212,8 @@ def _make_step(window: int, o: int, e: int, x: int, free_start: bool,
         I = jnp.where(is_end, INF, I)
         D = jnp.where(is_end, INF, D)
 
-        slot = jnp.mod(rank, window)
-        M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, slot, axis=1)
-        D_ring = jax.lax.dynamic_update_index_in_dim(D_ring, D, slot, axis=1)
+        M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, wslot, axis=1)
+        D_ring = jax.lax.dynamic_update_index_in_dim(D_ring, D, wslot, axis=1)
 
         if collect == "tables":
             ys = (M, I, D)
@@ -186,7 +230,8 @@ def _scores_exec(window: int, o: int, e: int, x: int,
     """Cached jitted scores kernel, keyed by static config."""
 
     @jax.jit
-    def fn(symbols, pred_slots, pred_valid, end_rank, qshift, lengths):
+    def fn(symbols, pred_slots, pred_valid, write_slots, end_rank, qshift,
+           lengths):
         B, L = qshift.shape
         Np = symbols.shape[0]
         M0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
@@ -194,7 +239,7 @@ def _scores_exec(window: int, o: int, e: int, x: int,
         step = _make_step(window, o, e, x, free_start, "at_len",
                           end_rank, qshift, lengths)
         ranks = jnp.arange(Np, dtype=jnp.int32)
-        xs = (ranks, symbols, pred_slots, pred_valid)
+        xs = (ranks, symbols, pred_slots, pred_valid, write_slots)
         _, at_len = jax.lax.scan(step, (M0, D0), xs)  # (Np, B)
         score_global = jnp.take(at_len, end_rank, axis=0)
         if free_end:
@@ -214,7 +259,8 @@ def _scores_exec_2p(window: int, o1: int, e1: int, e2: int, x: int,
     from ..ops.dp_rows_2p import row_update_2p
 
     @jax.jit
-    def fn(symbols, pred_slots, pred_valid, end_rank, qshift, lengths):
+    def fn(symbols, pred_slots, pred_valid, write_slots, end_rank, qshift,
+           lengths):
         B, L = qshift.shape
         Np = symbols.shape[0]
         idx = lengths.astype(jnp.int32)[:, None]
@@ -223,7 +269,7 @@ def _scores_exec_2p(window: int, o1: int, e1: int, e2: int, x: int,
 
         def step(carry, xs):
             M_ring, D1_ring, D2_ring = carry
-            rank, sym, slots, valid = xs
+            rank, sym, slots, valid, wslot = xs
             pred_M = jnp.take(M_ring, slots, axis=1)
             pred_D1 = jnp.take(D1_ring, slots, axis=1)
             pred_D2 = jnp.take(D2_ring, slots, axis=1)
@@ -243,17 +289,16 @@ def _scores_exec_2p(window: int, o1: int, e1: int, e2: int, x: int,
             D1 = jnp.where(is_end, INF, D1)
             D2 = jnp.where(is_end, INF, D2)
 
-            slot = jnp.mod(rank, window)
-            M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, slot, 1)
-            D1_ring = jax.lax.dynamic_update_index_in_dim(D1_ring, D1, slot, 1)
-            D2_ring = jax.lax.dynamic_update_index_in_dim(D2_ring, D2, slot, 1)
+            M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, wslot, 1)
+            D1_ring = jax.lax.dynamic_update_index_in_dim(D1_ring, D1, wslot, 1)
+            D2_ring = jax.lax.dynamic_update_index_in_dim(D2_ring, D2, wslot, 1)
 
             at_len = jnp.take_along_axis(M, idx, axis=1)[:, 0]
             at_len = jnp.where(is_real | is_end, at_len, INF)
             return (M_ring, D1_ring, D2_ring), at_len
 
         ranks = jnp.arange(Np, dtype=jnp.int32)
-        xs = (ranks, symbols, pred_slots, pred_valid)
+        xs = (ranks, symbols, pred_slots, pred_valid, write_slots)
         _, at_len = jax.lax.scan(step, carry0, xs)
         score = jnp.take(at_len, end_rank, axis=0)
         if free_end:
@@ -279,8 +324,8 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
         fn = _scores_exec_2p(dg.window, costs.gap_open, costs.gap_extend,
                              costs.gap_extend2, costs.mismatch,
                              free_start, free_end)
-        return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.end_rank,
-                  qshift, lengths)
+        return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
+                  dg.end_rank, qshift, lengths)
     if engine in ("auto", "pallas") and not free_start and not free_end:
         from ..ops.pallas_fill import B_BLK, pallas_fill_scores
 
@@ -300,14 +345,15 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                     raise
     fn = _scores_exec(dg.window, costs.gap_open, costs.gap_extend,
                       costs.mismatch, free_start, free_end)
-    return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.end_rank,
-              qshift, lengths)
+    return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
+              dg.end_rank, qshift, lengths)
 
 
 @functools.lru_cache(maxsize=None)
 def _full_exec(window: int, o: int, e: int, x: int, free_start: bool):
     @jax.jit
-    def fn(symbols, pred_slots, pred_valid, end_rank, qshift, lengths):
+    def fn(symbols, pred_slots, pred_valid, write_slots, end_rank, qshift,
+           lengths):
         B, L = qshift.shape
         Np = symbols.shape[0]
         M0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
@@ -315,7 +361,7 @@ def _full_exec(window: int, o: int, e: int, x: int, free_start: bool):
         step = _make_step(window, o, e, x, free_start, "tables",
                           end_rank, qshift, lengths)
         ranks = jnp.arange(Np, dtype=jnp.int32)
-        xs = (ranks, symbols, pred_slots, pred_valid)
+        xs = (ranks, symbols, pred_slots, pred_valid, write_slots)
         _, (M, I, D) = jax.lax.scan(step, (M0, D0), xs)
         end_row = jnp.take(M, end_rank, axis=0)  # (B, L)
         idx = lengths.astype(jnp.int32)[:, None]
@@ -330,8 +376,8 @@ def dp_fill_full(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
     """Full fill: (scores (B,), M, I, D each (Np, B, L)) for host backtrace."""
     fn = _full_exec(dg.window, costs.gap_open, costs.gap_extend,
                     costs.mismatch, free_start)
-    return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.end_rank,
-              qshift, lengths)
+    return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
+              dg.end_rank, qshift, lengths)
 
 
 # ---------------------------------------------------------------------------

@@ -34,27 +34,72 @@ from .dp_rows import INF as _INF_ARR
 
 INF = 1 << 28  # python int: pallas kernels cannot capture traced constants
 
+# int16 variant: every stored ring value is clamped to <= INF16 by the
+# kernel's min(..., INF) structure, and intermediates reach at most
+# INF16 + e*(L-1) + open + mismatch, which must stay < 32767.  Callers use
+# the int16 path only when the worst finite DP cell (<= 2*open +
+# extend*(N+L) + mismatch) stays strictly below INF16 (see score_dtype).
+INF16 = 1 << 14
+
 B_BLK = 64  # default batch block; callers may pick larger when VMEM allows
 
 VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def pick_b_blk(W: int, row_lanes: int, L: int) -> int:
+def score_dtype(n_nodes: int, L: int, o: int, e: int, x: int):
+    """int16 when the worst finite DP value provably fits, else int32.
+
+    DISABLED pending Mosaic support: the current v5e toolchain cannot
+    compile the int16 kernel (no 16-bit lane rotate; i1 relayout between
+    the (8,128) and (16,128) layouts fails; ``arith.minsi`` is not
+    legalized on the packed (8,128,2) layout produced by bitcast+roll).
+    The kernel bodies are dtype-generic so flipping this back on is a
+    one-line change once the toolchain catches up.
+    """
+    if False:
+        worst = 2 * o + e * (n_nodes + L) + x
+        if worst < INF16 - 64 and e * (L - 1) + o + x + INF16 < 32767:
+            return jnp.int16
+    return jnp.int32
+
+
+def pick_b_blk(W: int, row_lanes: int, L: int, itemsize: int = 4) -> int:
     """Largest batch block whose rings (+ qshift block) fit the VMEM budget."""
-    for cand in (256, 128, 64):
-        need = 2 * W * cand * row_lanes * 4 + cand * L * 4 * 2
+    for cand in (512, 256, 128, 64):
+        need = 2 * W * cand * row_lanes * itemsize + cand * L * 4 * 2
         if need <= VMEM_BUDGET:
             return cand
     return 64
 
 
-def _prefix_min_rows(t: jnp.ndarray, L: int) -> jnp.ndarray:
-    """Inclusive prefix-min along the last (lane) axis via shift+min."""
-    col = jax.lax.broadcasted_iota(jnp.int32, t.shape, dimension=1)
+def _roll_lanes(t: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Roll along the lane (last) axis; works for int16 and int32.
+
+    Mosaic (v5e) has no 16-bit lane rotate, but int16 packs pairs along
+    *sublanes*, so bitcasting to int32 halves the sublane count and leaves
+    the lane axis untouched — an int32 lane roll is then bit-identical to
+    the int16 one (validated on hardware).
+    """
+    if t.dtype == jnp.int16:
+        y = pltpu.bitcast(t, jnp.int32)
+        y = pltpu.roll(y, k, 1)
+        return pltpu.bitcast(y, jnp.int16)
+    return pltpu.roll(t, k, 1)
+
+
+def _prefix_min_rows(t: jnp.ndarray, L: int, inf, col32) -> jnp.ndarray:
+    """Inclusive prefix-min along the last (lane) axis via shift+min.
+
+    ``col32`` is an int32 lane iota.  Mosaic (v5e) constraints for the
+    int16 path, established empirically: comparisons must be int32
+    (int16 compares fail i1 relayout), int32-compare masks may select
+    int16 *arrays* (not scalar/scalar pairs), and scalar conditions must
+    not be logical_and-ed with vector masks.
+    """
     k = 1
     while k < L:
-        shifted = pltpu.roll(t, k, 1)
-        shifted = jnp.where(col >= k, shifted, INF)
+        shifted = _roll_lanes(t, k)
+        shifted = jnp.where(col32 >= k, shifted, inf)
         t = jnp.minimum(t, shifted)
         k <<= 1
     return t
@@ -65,72 +110,75 @@ def _fill_kernel(
     symbols_ref,      # (Np,) int32
     pred_slots_ref,   # (Np*P,) int32 — flattened: 2D SMEM pads to 128 lanes
     pred_valid_ref,   # (Np*P,) int32 (0/1)
-    meta_ref,         # (4,) int32: [Np, end_rank, o_plus_e? no: o, e] see below
+    wslot_ref,        # (Np,) int32 — liveness-colored ring slot per rank
+    meta_ref,         # (4,) int32: [n_real_ranks, end_rank, 0, 0]
     # inputs
     qshift_ref,       # (B_BLK, L) int32 VMEM
     # outputs
     end_row_ref,      # (B_BLK, L) int32 VMEM
     # scratch
     m_ring, d_ring,   # (W, B_BLK, L) int32 VMEM
-    *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int,
+    *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
 ):
     n_nodes = meta_ref[0]
     end_rank = meta_ref[1]
+    inf = INF16 if dtype == jnp.int16 else INF
 
     for w in range(W):
-        m_ring[w] = jnp.full((B_BLK, L), INF, dtype=jnp.int32)
-        d_ring[w] = jnp.full((B_BLK, L), INF, dtype=jnp.int32)
+        m_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
 
     qshift = qshift_ref[:]
-    col = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
-    ej = e * col
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
+    ej = (e * col32).astype(dtype)
+    # (rank 0, offset 0) origin row: 0 at lane 0, inf elsewhere
+    zero_at_0 = jnp.where(col32 == 0, jnp.int32(0), jnp.int32(inf)).astype(dtype)
 
     def body(r, _):
         sym = symbols_ref[r]
 
-        min_pm = jnp.full((B_BLK, L), INF, dtype=jnp.int32)
-        min_pd = jnp.full((B_BLK, L), INF, dtype=jnp.int32)
+        min_pm = jnp.full((B_BLK, L), inf, dtype=dtype)
+        min_pd = jnp.full((B_BLK, L), inf, dtype=dtype)
         for p in range(P):
             slot = pred_slots_ref[r * P + p]
             valid = pred_valid_ref[r * P + p]
             rm = m_ring[slot]
             rd = d_ring[slot]
             keep = valid == 1
-            min_pm = jnp.minimum(min_pm, jnp.where(keep, rm, INF))
-            min_pd = jnp.minimum(min_pd, jnp.where(keep, rd, INF))
+            min_pm = jnp.minimum(min_pm, jnp.where(keep, rm, inf))
+            min_pd = jnp.minimum(min_pd, jnp.where(keep, rd, inf))
 
-        D = jnp.minimum(min_pm + (o + e), min_pd + e)
+        D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
 
         # diagonal: shift pred-M right by one offset lane
-        diag_src = pltpu.roll(min_pm, 1, 1)
-        diag_src = jnp.where(col >= 1, diag_src, INF)
-        match_cost = jnp.where(qshift == sym, jnp.int32(0), jnp.int32(x))
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(col32 >= 1, diag_src, dtype(inf))
+        match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
         diag = diag_src + match_cost
 
         A = jnp.minimum(diag, D)
         # global-alignment origin: (rank 0, offset 0)
-        A = jnp.where(jnp.logical_and(r == 0, col == 0), jnp.int32(0), A)
+        A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
 
         # affine insertion chain: I[j] = o + e*j + min_{k<j}(A[k] - e*k)
         t = A - ej
-        pref = _prefix_min_rows(t, L)
-        pref_m1 = pltpu.roll(pref, 1, 1)
-        pref_m1 = jnp.where(col >= 1, pref_m1, INF)
-        I = jnp.minimum(pref_m1 + (o + e * 0) + ej, INF)
-        # clamp to avoid overflow artifacts from INF + linear terms
-        I = jnp.minimum(I, INF)
+        pref = _prefix_min_rows(t, L, dtype(inf), col32)
+        pref_m1 = _roll_lanes(pref, 1)
+        pref_m1 = jnp.where(col32 >= 1, pref_m1, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o) + ej, dtype(inf))
 
         M = jnp.minimum(A, I)
         # virtual end node: zero-cost same-offset hop
         is_end = r == end_rank
         M = jnp.where(is_end, min_pm, M)
-        D_out = jnp.where(is_end, INF, jnp.minimum(D, INF))
+        D_out = jnp.where(is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
 
         @pl.when(is_end)
         def _():
             end_row_ref[:] = min_pm
 
-        slot = jax.lax.rem(r, W)
+        slot = wslot_ref[r]
         m_ring[slot] = M
         d_ring[slot] = D_out
         return 0
@@ -140,12 +188,13 @@ def _fill_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _pallas_exec(nblocks: int, W: int, P: int, L: int, o: int, e: int, x: int,
-                 B_BLK: int = 64):
+                 B_BLK: int = 64, use_int16: bool = False):
+    dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_fill_kernel, W=W, P=P, L=L, o=o, e=e, x=x,
-                               B_BLK=B_BLK)
+                               B_BLK=B_BLK, dtype=dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
@@ -154,22 +203,25 @@ def _pallas_exec(nblocks: int, W: int, P: int, L: int, o: int, e: int, x: int,
             (B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((W, B_BLK, L), jnp.int32),
-            pltpu.VMEM((W, B_BLK, L), jnp.int32),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
         ],
     )
 
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
         grid_spec=grid_spec,
     )
 
     @jax.jit
-    def fn(symbols, pred_slots, pred_valid, meta, qshift, lengths):
-        end_row = call(symbols, pred_slots, pred_valid, meta, qshift)
+    def fn(symbols, pred_slots, pred_valid, wslots, meta, qshift, lengths):
+        end_row = call(symbols, pred_slots, pred_valid, wslots, meta, qshift)
         idx = lengths.astype(jnp.int32)[:, None]
-        return jnp.take_along_axis(end_row, idx, axis=1)[:, 0]
+        out = jnp.take_along_axis(end_row, idx, axis=1)[:, 0].astype(jnp.int32)
+        if use_int16:
+            out = jnp.where(out >= INF16, jnp.int32(INF), out)
+        return out
 
     return fn
 
@@ -181,7 +233,8 @@ def _banded_kernel(
     pred_valid_ref,   # (Np*P,)
     pred_wstart_ref,  # (Np*P,) window start of each predecessor's rank
     wstart_ref,       # (Np,) this rank's window start (multiples of 128)
-    meta_ref,         # (4,): [Np, end_rank, _, _]
+    wslot_ref,        # (Np,) liveness-colored ring slot per rank
+    meta_ref,         # (4,): [n_real_ranks, end_rank, _, _]
     # inputs
     qshift_ref,       # (B_BLK, L) VMEM
     # outputs
@@ -191,25 +244,26 @@ def _banded_kernel(
     # ref loads (Pallas cannot dynamic-slice register arrays)
     m_ring, d_ring,   # (W, B_BLK, 2*MARGIN + Wb) VMEM
     *, W: int, P: int, Wb: int, MARGIN: int, o: int, e: int, x: int,
-    B_BLK: int,
+    B_BLK: int, dtype,
 ):
     n_nodes = meta_ref[0]
     end_rank = meta_ref[1]
     TOT = 2 * MARGIN + Wb
+    inf = INF16 if dtype == jnp.int16 else INF
 
     for w in range(W):
-        m_ring[w] = jnp.full((B_BLK, TOT), INF, dtype=jnp.int32)
-        d_ring[w] = jnp.full((B_BLK, TOT), INF, dtype=jnp.int32)
+        m_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+        d_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
 
     def body(r, _):
         sym = symbols_ref[r]
         w_r = wstart_ref[r]
-        j_global = col + w_r
+        j32 = col32 + w_r
 
-        min_pm = jnp.full((B_BLK, Wb), INF, dtype=jnp.int32)
-        min_pd = jnp.full((B_BLK, Wb), INF, dtype=jnp.int32)
+        min_pm = jnp.full((B_BLK, Wb), inf, dtype=dtype)
+        min_pd = jnp.full((B_BLK, Wb), inf, dtype=dtype)
         for p in range(P):
             slot = pred_slots_ref[r * P + p]
             valid = pred_valid_ref[r * P + p]
@@ -220,26 +274,32 @@ def _banded_kernel(
             am = m_ring[slot, :, pl.ds(start, Wb)]
             ad = d_ring[slot, :, pl.ds(start, Wb)]
             keep = valid == 1
-            min_pm = jnp.minimum(min_pm, jnp.where(keep, am, INF))
-            min_pd = jnp.minimum(min_pd, jnp.where(keep, ad, INF))
+            min_pm = jnp.minimum(min_pm, jnp.where(keep, am, inf))
+            min_pd = jnp.minimum(min_pd, jnp.where(keep, ad, inf))
 
-        D = jnp.minimum(min_pm + (o + e), min_pd + e)
+        D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
 
-        diag_src = pltpu.roll(min_pm, 1, 1)
-        diag_src = jnp.where(col >= 1, diag_src, INF)
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(col32 >= 1, diag_src, dtype(inf))
         qstart = pl.multiple_of(w_r, 128)
         qwin = qshift_ref[:, pl.ds(qstart, Wb)]
-        match_cost = jnp.where(qwin == sym, jnp.int32(0), jnp.int32(x))
+        match_cost = jnp.where(qwin == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
         diag = diag_src + match_cost
 
         A = jnp.minimum(diag, D)
-        A = jnp.where(jnp.logical_and(r == 0, j_global == 0), jnp.int32(0), A)
+        zero_at_origin = jnp.where(j32 == 0, jnp.int32(0),
+                                   jnp.int32(inf)).astype(dtype)
+        A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
 
-        t = A - e * j_global
-        pref = _prefix_min_rows(t, Wb)
-        pref_m1 = pltpu.roll(pref, 1, 1)
-        pref_m1 = jnp.where(col >= 1, pref_m1, INF)
-        I = jnp.minimum(pref_m1 + o + e * j_global, INF)
+        # int16 note: e * j can exceed int16 for long reads; the int16
+        # path is only selected when e*(L-1) fits (see score_dtype).
+        ejg = (e * j32).astype(dtype)
+        t = A - ejg
+        pref = _prefix_min_rows(t, Wb, dtype(inf), col32)
+        pref_m1 = _roll_lanes(pref, 1)
+        pref_m1 = jnp.where(col32 >= 1, pref_m1, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
 
         M = jnp.minimum(A, I)
         is_end = r == end_rank
@@ -249,10 +309,10 @@ def _banded_kernel(
         def _():
             end_row_ref[:] = min_pm
 
-        slot = jax.lax.rem(r, W)
+        slot = wslot_ref[r]
         m_ring[slot, :, MARGIN:MARGIN + Wb] = M
         d_ring[slot, :, MARGIN:MARGIN + Wb] = jnp.where(
-            is_end, INF, jnp.minimum(D, INF))
+            is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
         return 0
 
     jax.lax.fori_loop(0, n_nodes, body, 0)
@@ -260,12 +320,14 @@ def _banded_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _banded_exec(nblocks: int, W: int, P: int, Wb: int, MARGIN: int, L: int,
-                 o: int, e: int, x: int, B_BLK: int = 64):
+                 o: int, e: int, x: int, B_BLK: int = 64,
+                 use_int16: bool = False):
+    dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_banded_kernel, W=W, P=P, Wb=Wb, MARGIN=MARGIN,
-                               o=o, e=e, x=x, B_BLK=B_BLK)
+                               o=o, e=e, x=x, B_BLK=B_BLK, dtype=dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
@@ -274,26 +336,28 @@ def _banded_exec(nblocks: int, W: int, P: int, Wb: int, MARGIN: int, L: int,
             (B_BLK, Wb), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), jnp.int32),
-            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), jnp.int32),
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
         ],
     )
 
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
         grid_spec=grid_spec,
     )
 
     @jax.jit
-    def fn(symbols, pred_slots, pred_valid, pred_wstarts, wstarts, meta,
-           qshift, lengths, w_end):
+    def fn(symbols, pred_slots, pred_valid, pred_wstarts, wstarts, wslots,
+           meta, qshift, lengths, w_end):
         end_row = call(symbols, pred_slots, pred_valid, pred_wstarts,
-                       wstarts, meta, qshift)
+                       wstarts, wslots, meta, qshift)
         idx_loc = lengths.astype(jnp.int32) - w_end
         in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
         idx_c = jnp.clip(idx_loc, 0, Wb - 1)[:, None]
-        at = jnp.take_along_axis(end_row, idx_c, axis=1)[:, 0]
+        at = jnp.take_along_axis(end_row, idx_c, axis=1)[:, 0].astype(jnp.int32)
+        if use_int16:
+            at = jnp.where(at >= INF16, jnp.int32(INF), at)
         return jnp.where(in_range, at, jnp.int32(INF))
 
     return fn
@@ -321,7 +385,7 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np, width: int):
     deltas = []
     n = min(wstarts_np.shape[0], dg.pred_ranks_np.shape[0])
     pr = dg.pred_ranks_np[:n]
-    valid = np.asarray(dg.pred_valid)[:n]
+    valid = dg.pred_valid_np[:n]
     for i in range(pr.shape[1]):
         d = np.abs(ws[:n] - ws[pr[:, i]])
         deltas.append(np.where(valid[:, i], d, 0).max() if n else 0)
@@ -329,18 +393,18 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np, width: int):
     margin = ((margin + 127) // 128) * 128
     margin = max(margin, 128)
 
-    blk = pick_b_blk(dg.window, 2 * margin + width, L)
+    dtype = score_dtype(Np, L, costs.gap_open, costs.gap_extend, costs.mismatch)
+    use_int16 = dtype == jnp.int16
+    blk = pick_b_blk(dg.window, 2 * margin + width, L, 2 if use_int16 else 4)
     while B % blk:
         blk //= 2
-    meta = jnp.asarray([Np, int(dg.end_rank), 0, 0], dtype=jnp.int32)
     fn = _banded_exec(B // blk, dg.window, P, width, margin, L,
                       costs.gap_open, costs.gap_extend, costs.mismatch,
-                      B_BLK=blk)
-    w_end = jnp.asarray(int(ws[int(dg.end_rank)]), dtype=jnp.int32)
-    return fn(dg.symbols.astype(jnp.int32), dg.pred_slots.reshape(-1),
-              dg.pred_valid.astype(jnp.int32).reshape(-1),
-              jnp.asarray(pw.reshape(-1)), jnp.asarray(ws), meta,
-              qshift, lengths, w_end)
+                      B_BLK=blk, use_int16=use_int16)
+    w_end = jnp.asarray(int(ws[dg.end_rank_i]), dtype=jnp.int32)
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              jnp.asarray(pw.reshape(-1)), jnp.asarray(ws), dg.write_slots,
+              dg.meta, qshift, lengths, w_end)
 
 
 def pallas_fill_scores(dg, qshift, lengths, costs):
@@ -349,17 +413,19 @@ def pallas_fill_scores(dg, qshift, lengths, costs):
     Requires B to be a multiple of B_BLK (callers pad batches).
     """
     B, L = qshift.shape
-    blk = pick_b_blk(dg.window, L, L)
+    dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
+                        costs.gap_extend, costs.mismatch)
+    use_int16 = dtype == jnp.int16
+    blk = pick_b_blk(dg.window, L, L, 2 if use_int16 else 4)
     blk = min(blk, B) if B % 64 == 0 else blk
     while B % blk:
         blk //= 2
     assert blk >= 64 and B % blk == 0, f"batch {B} must be a multiple of 64"
     P = int(dg.pred_slots.shape[1])
-    meta = jnp.asarray(
-        [dg.n_nodes_padded, int(dg.end_rank), 0, 0], dtype=jnp.int32
-    )
     fn = _pallas_exec(B // blk, dg.window, P, L,
                       costs.gap_open, costs.gap_extend, costs.mismatch,
-                      B_BLK=blk)
-    return fn(dg.symbols.astype(jnp.int32), dg.pred_slots.reshape(-1),
-              dg.pred_valid.astype(jnp.int32).reshape(-1), meta, qshift, lengths)
+                      B_BLK=blk, use_int16=use_int16)
+    # all graph-side args are prebuilt device arrays (DeviceGraph.build):
+    # zero per-call host<->device transfers on the dispatch path.
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              dg.write_slots, dg.meta, qshift, lengths)

@@ -45,7 +45,8 @@ def make_mesh(devices=None, dp: Optional[int] = None, sp: int = 1) -> Mesh:
     return Mesh(dev_array, ("dp", "sp"))
 
 
-def _sp_scan_rows(symbols, pred_slots, pred_valid, end_rank, qshift, lengths,
+def _sp_scan_rows(symbols, pred_slots, pred_valid, write_slots, end_rank,
+                  qshift, lengths,
                   *, window: int, o: int, e: int, x: int, free_start: bool,
                   free_end: bool):
     """Per-shard body: local offsets slab, full rank scan.
@@ -70,7 +71,7 @@ def _sp_scan_rows(symbols, pred_slots, pred_valid, end_rank, qshift, lengths,
 
     def step(carry, xs):
         M_ring, D_ring = carry
-        rank, sym, slots, valid = xs
+        rank, sym, slots, valid, wslot = xs
 
         pred_M = jnp.take(M_ring, slots, axis=1)  # (B, P, Lloc)
         pred_D = jnp.take(D_ring, slots, axis=1)
@@ -123,16 +124,15 @@ def _sp_scan_rows(symbols, pred_slots, pred_valid, end_rank, qshift, lengths,
         I = jnp.where(is_end, INF, I)
         D = jnp.where(is_end, INF, jnp.minimum(D, INF))
 
-        slot = jnp.mod(rank, window)
-        M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, slot, axis=1)
-        D_ring = jax.lax.dynamic_update_index_in_dim(D_ring, D, slot, axis=1)
+        M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, wslot, axis=1)
+        D_ring = jax.lax.dynamic_update_index_in_dim(D_ring, D, wslot, axis=1)
 
         at_len_local = jnp.take_along_axis(M, idx_clamped, axis=1)[:, 0]
         at_len = jnp.where(in_range[:, 0], at_len_local, INF)
         return (M_ring, D_ring), at_len
 
     ranks = jnp.arange(symbols.shape[0], dtype=jnp.int32)
-    xs = (ranks, symbols, pred_slots, pred_valid)
+    xs = (ranks, symbols, pred_slots, pred_valid, write_slots)
     _, at_len = jax.lax.scan(step, (M0, D0), xs)  # (Np, Bloc)
 
     # each read's score lives on exactly one sp shard; min-reduce over sp
@@ -166,14 +166,14 @@ def make_sharded_score_fn(dg: DeviceGraph, costs: GapAffine, mesh: Mesh,
     mapped = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("dp", "sp"), P("dp")),
+        in_specs=(P(), P(), P(), P(), P(), P("dp", "sp"), P("dp")),
         out_specs=P("dp"),
     )
 
     @jax.jit
     def fn(qshift, lengths):
-        return mapped(dg.symbols, dg.pred_slots, dg.pred_valid, dg.end_rank,
-                      qshift, lengths)
+        return mapped(dg.symbols, dg.pred_slots, dg.pred_valid,
+                      dg.write_slots, dg.end_rank, qshift, lengths)
 
     return fn
 

@@ -1,0 +1,86 @@
+"""Multi-chip (virtual CPU mesh) paths vs the single-device fill.
+
+Mirrors the reference's lasagna data-parallel fan-out
+(``src/bin/lasagna.rs:214-273``) recast as a jax.sharding Mesh; conftest
+forces an 8-device CPU platform so every dp/sp layout here exercises the
+real shard_map collectives (ppermute halo, all_gather prefix-min, pmin).
+"""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from poasta_tpu.aligner import GapAffine, Global, PoastaAligner
+from poasta_tpu.aligner.wavefront import DeviceGraph, dp_fill_scores, pack_queries
+from poasta_tpu.graphs import POAGraph
+from poasta_tpu.parallel import BatchMapper, make_mesh, make_sharded_score_fn
+
+COSTS = GapAffine(4, 2, 6)
+
+
+def _case(seed=11, nseq=3, length=40, nq=8):
+    rng = random.Random(seed)
+    base = "".join(rng.choice("ACGT") for _ in range(length))
+
+    def mutate(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < 0.06:
+                continue
+            out.append(rng.choice("ACGT") if r < 0.12 else ch)
+            if rng.random() < 0.04:
+                out.append(rng.choice("ACGT"))
+        return "".join(out) or "A"
+
+    g = POAGraph()
+    aligner = PoastaAligner(COSTS, Global(), heuristic="mingap")
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * length)
+    for i in range(1, nseq):
+        s = mutate(base).encode()
+        res = aligner.align(g, s)
+        g.add_alignment_with_weights(f"s{i}", s, res.alignment, [1] * len(s))
+    return g, [mutate(base).encode() for _ in range(nq)]
+
+
+@pytest.mark.parametrize("dp,sp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_scores_match_single_device(dp, sp):
+    if jax.device_count() < dp * sp:
+        pytest.skip("needs 8 virtual devices")
+    g, queries = _case()
+    dg = DeviceGraph.build(g.flatten())
+    # B divisible by dp; L (pow2*128-ish) divisible by sp
+    qshift, lengths = pack_queries(queries, pad_to=255)
+    mesh = make_mesh(devices=jax.devices()[: dp * sp], dp=dp, sp=sp)
+    fn = make_sharded_score_fn(dg, COSTS, mesh)
+    sharded = np.asarray(fn(qshift, lengths))
+    single = np.asarray(dp_fill_scores(dg, qshift, lengths, COSTS))
+    assert (sharded == single).all(), (sharded, single)
+
+
+def test_sharded_scores_match_oracle():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    g, queries = _case(seed=23, nq=8)
+    dg = DeviceGraph.build(g.flatten())
+    qshift, lengths = pack_queries(queries, pad_to=255)
+    mesh = make_mesh(devices=jax.devices()[:8], dp=4, sp=2)
+    fn = make_sharded_score_fn(dg, COSTS, mesh)
+    sharded = list(np.asarray(fn(qshift, lengths)))
+    aligner = PoastaAligner(COSTS, Global(), heuristic="mingap")
+    oracle = [aligner.align(g, q).score for q in queries]
+    assert sharded == oracle
+
+
+def test_batch_mapper_mesh_and_host_agree():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    g, queries = _case(seed=37, nq=8)
+    mesh = make_mesh(devices=jax.devices()[:8], dp=8, sp=1)
+    mapped = BatchMapper(g, COSTS, mesh=mesh)
+    plain = BatchMapper(g, COSTS, mesh=None)
+    a = mapped.score_batch(queries)
+    b = plain.score_batch(queries)
+    assert (a == b).all()
