@@ -310,6 +310,9 @@ def _scores_exec_2p(window: int, o1: int, e1: int, e2: int, x: int,
     return fn
 
 
+_PALLAS_FAILED: set = set()
+
+
 def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                    costs, free_start: bool = False,
                    free_end: bool = False, engine: str = "auto") -> jnp.ndarray:
@@ -330,7 +333,12 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
         from ..ops.pallas_fill import B_BLK, pallas_fill_scores
 
         B = qshift.shape[0]
-        if jax.default_backend() != "cpu" or engine == "pallas":
+        # compile failures are permanent for a given shape/config: remember
+        # them so "auto" doesn't re-pay a failed compile on every call
+        key = (id(dg), B, qshift.shape[1], costs.gap_open, costs.gap_extend,
+               costs.mismatch)
+        if (jax.default_backend() != "cpu" or engine == "pallas") \
+                and key not in _PALLAS_FAILED:
             try:
                 pad = (-B) % B_BLK
                 if pad:
@@ -343,6 +351,7 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
             except Exception:
                 if engine == "pallas":
                     raise
+                _PALLAS_FAILED.add(key)
     fn = _scores_exec(dg.window, costs.gap_open, costs.gap_extend,
                       costs.mismatch, free_start, free_end)
     return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,

@@ -43,7 +43,10 @@ INF16 = 1 << 14
 
 B_BLK = 64  # default batch block; callers may pick larger when VMEM allows
 
-VMEM_BUDGET = 12 * 1024 * 1024
+# Scoped VMEM is 16 MiB; the kernel's live temporaries (prefix-min
+# rounds, gather operands) need ~4 MiB on top of rings + I/O blocks, so
+# the ring budget stops at 10 MiB (measured: 12 MiB OOMs at B_BLK=256).
+VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def score_dtype(n_nodes: int, L: int, o: int, e: int, x: int):
