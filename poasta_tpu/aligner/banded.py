@@ -186,30 +186,57 @@ class BandedScorer:
             for i, p in enumerate(preds):
                 pred_ranks[r, i] = int(p)
         self._pred_ranks = jnp.asarray(pred_ranks)
+        # banded-window device arrays, keyed by (n_min, n_max, ub):
+        # re-uploading them per call would put a host->device round trip
+        # on the dispatch path (dominant on tethered chips)
+        self._prep_cache: dict = {}
+        # last ub that verified, per (n_min, n_max): starting each call at
+        # the default guess would re-pay every failed attempt of the
+        # verify-and-retry loop on every call
+        self._ub_hint: dict = {}
 
     def scores(self, qshift, lengths, ub: Optional[int] = None,
                max_retries: int = 3) -> np.ndarray:
         costs = self.costs
-        lengths_np = np.asarray(lengths)
-        n_min, n_max = int(lengths_np.min()), int(lengths_np.max())
+        # lengths is usually a device array; np.asarray would put a
+        # device->host round trip on every call, so cache min/max by
+        # array identity
+        stats = self._prep_cache.get(("lenstats", id(lengths)))
+        if stats is None:
+            lengths_np = np.asarray(lengths)
+            stats = (int(lengths_np.min()), int(lengths_np.max()))
+            self._prep_cache[("lenstats", id(lengths))] = stats
+        n_min, n_max = stats
         if ub is None:
-            ub = (costs.gap_open + costs.gap_extend) * 4 + costs.mismatch * max(
-                n_max // 16, 4
-            ) + costs.gap_extend * (n_max - n_min)
+            ub = self._ub_hint.get((n_min, n_max)) or (
+                (costs.gap_open + costs.gap_extend) * 4
+                + costs.mismatch * max(n_max // 16, 4)
+                + costs.gap_extend * (n_max - n_min)
+            )
 
         use_pallas = (
             jax.default_backend() != "cpu"
             and int(qshift.shape[0]) % 64 == 0
         )
 
+        if self._prep_cache.get(("fullfill", n_min, n_max)):
+            # banding already proved unprofitable for this length profile
+            return np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))
+
         for _ in range(max_retries):
-            wstart, width, lo, hi = band_windows(
-                self.flat, n_min, n_max, costs, ub
-            )
-            if use_pallas:
-                # 128-align windows so in-kernel dynamic slices stay legal
-                wstart = (wstart // 128) * 128
-                width += 128
+            key = (n_min, n_max, ub, use_pallas, int(qshift.shape[1]))
+            cached = self._prep_cache.get(key)
+            if cached is None:
+                wstart, width, lo, hi = band_windows(
+                    self.flat, n_min, n_max, costs, ub
+                )
+                if use_pallas:
+                    # 128-align windows so in-kernel dynamic slices stay legal
+                    wstart = (wstart // 128) * 128
+                    width += 128
+                cached = (wstart, width)
+                self._prep_cache[key] = cached
+            wstart, width = cached
             L = int(qshift.shape[1])
             if width >= L:
                 break  # band as wide as the full fill: no point
@@ -223,17 +250,27 @@ class BandedScorer:
                     axis=1,
                 )
             if use_pallas:
-                from ..ops.pallas_fill import pallas_banded_scores
+                from ..ops.pallas_fill import pallas_banded_scores, prepare_banded
 
+                pkey = key + ("prep",)
+                prep = self._prep_cache.get(pkey)
+                if prep is None:
+                    prep = prepare_banded(self.dg, costs, wstart, width,
+                                          int(q_in.shape[1]))
+                    self._prep_cache[pkey] = prep
                 scores = np.asarray(
                     pallas_banded_scores(self.dg, q_in, lengths, costs,
-                                         wstart, width)
+                                         prep=prep)
                 )
             else:
-                pad = np.zeros(
-                    self.dg.n_nodes_padded - wstart.shape[0], dtype=np.int32
-                )
-                wstarts = jnp.asarray(np.concatenate([wstart, pad]))
+                wkey = key + ("wstarts",)
+                wstarts = self._prep_cache.get(wkey)
+                if wstarts is None:
+                    pad = np.zeros(
+                        self.dg.n_nodes_padded - wstart.shape[0], dtype=np.int32
+                    )
+                    wstarts = jnp.asarray(np.concatenate([wstart, pad]))
+                    self._prep_cache[wkey] = wstarts
                 fn = _banded_exec(self.dg.window, width,
                                   int(self._pred_ranks.shape[1]),
                                   costs.gap_open, costs.gap_extend,
@@ -244,8 +281,14 @@ class BandedScorer:
                        self.dg.end_rank, q_in, lengths)
                 )
             if (scores <= ub).all():
+                self._ub_hint[(n_min, n_max)] = ub
                 return scores
-            worst = int(scores[scores > ub].min()) if (scores > ub).any() else ub
-            ub = max(ub * 2, min(worst, ub * 8))
+            # Banded scores are upper bounds on the true scores (the band
+            # only removes paths), so ub = max banded score is guaranteed
+            # to verify on the next attempt: the refill's scores can only
+            # drop, and they already fit under it.
+            finite = scores[scores < INF]
+            ub = int(finite.max()) if finite.size else ub * 4
 
+        self._prep_cache[("fullfill", n_min, n_max)] = True
         return np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))

@@ -366,20 +366,14 @@ def _banded_exec(nblocks: int, W: int, P: int, Wb: int, MARGIN: int, L: int,
     return fn
 
 
-def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np, width: int):
-    """Banded global-alignment scores via the Pallas kernel.
-
-    ``wstarts_np``: (n_nodes,) per-rank window starts, multiples of 128;
-    ``width``: window width, a multiple of 128.  Caller guarantees band
-    coverage (see :class:`poasta_tpu.aligner.banded.BandedScorer`).
+def prepare_banded(dg, costs, wstarts_np, width: int, L: int):
+    """Precompute the banded kernel's device arrays + margin for a window
+    layout.  Callers cache the result: uploading the window tables per
+    call would cost a host->device round trip on the dispatch path.
     """
     import numpy as np
 
-    B, L = qshift.shape
-    assert B % B_BLK == 0
-    P = int(dg.pred_slots.shape[1])
     Np = dg.n_nodes_padded
-
     ws = np.zeros(Np, dtype=np.int32)
     ws[: wstarts_np.shape[0]] = wstarts_np
     pw = np.take(ws, dg.pred_ranks_np, axis=0).astype(np.int32)
@@ -396,6 +390,34 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np, width: int):
     margin = ((margin + 127) // 128) * 128
     margin = max(margin, 128)
 
+    return {
+        "margin": margin,
+        "width": width,
+        "L": L,
+        "pred_wstarts": jnp.asarray(pw.reshape(-1)),
+        "wstarts": jnp.asarray(ws),
+        "w_end": jnp.asarray(int(ws[dg.end_rank_i]), dtype=jnp.int32),
+    }
+
+
+def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np=None,
+                         width: int = 0, prep=None):
+    """Banded global-alignment scores via the Pallas kernel.
+
+    Either pass ``prep`` from :func:`prepare_banded` (cached, zero upload)
+    or ``wstarts_np`` (+``width``) to build it ad hoc.  ``wstarts_np``:
+    (n_nodes,) per-rank window starts, multiples of 128; ``width``: window
+    width, a multiple of 128.  Caller guarantees band coverage (see
+    :class:`poasta_tpu.aligner.banded.BandedScorer`).
+    """
+    B, L = qshift.shape
+    assert B % B_BLK == 0
+    P = int(dg.pred_slots.shape[1])
+    Np = dg.n_nodes_padded
+    if prep is None:
+        prep = prepare_banded(dg, costs, wstarts_np, width, L)
+    margin, width = prep["margin"], prep["width"]
+
     dtype = score_dtype(Np, L, costs.gap_open, costs.gap_extend, costs.mismatch)
     use_int16 = dtype == jnp.int16
     blk = pick_b_blk(dg.window, 2 * margin + width, L, 2 if use_int16 else 4)
@@ -404,10 +426,9 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np, width: int):
     fn = _banded_exec(B // blk, dg.window, P, width, margin, L,
                       costs.gap_open, costs.gap_extend, costs.mismatch,
                       B_BLK=blk, use_int16=use_int16)
-    w_end = jnp.asarray(int(ws[dg.end_rank_i]), dtype=jnp.int32)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
-              jnp.asarray(pw.reshape(-1)), jnp.asarray(ws), dg.write_slots,
-              dg.meta, qshift, lengths, w_end)
+              prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
+              dg.meta, qshift, lengths, prep["w_end"])
 
 
 def pallas_fill_scores(dg, qshift, lengths, costs):
