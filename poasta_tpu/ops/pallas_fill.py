@@ -90,19 +90,36 @@ def _roll_lanes(t: jnp.ndarray, k: int) -> jnp.ndarray:
     return pltpu.roll(t, k, 1)
 
 
-def _prefix_min_rows(t: jnp.ndarray, L: int, inf, col32) -> jnp.ndarray:
+def _ge_masks(col32, L: int):
+    """The lane masks used by the prefix-min rounds (and the 1-shift).
+
+    They are rank-invariant, so kernels compute them once before the rank
+    loop instead of re-deriving ~log2(L) iota compares per rank.
+    """
+    masks = {}
+    k = 1
+    while k < L:
+        masks[k] = col32 >= k
+        k <<= 1
+    return masks
+
+
+def _prefix_min_rows(t: jnp.ndarray, L: int, inf, col32,
+                     masks=None) -> jnp.ndarray:
     """Inclusive prefix-min along the last (lane) axis via shift+min.
 
-    ``col32`` is an int32 lane iota.  Mosaic (v5e) constraints for the
-    int16 path, established empirically: comparisons must be int32
-    (int16 compares fail i1 relayout), int32-compare masks may select
-    int16 *arrays* (not scalar/scalar pairs), and scalar conditions must
-    not be logical_and-ed with vector masks.
+    ``col32`` is an int32 lane iota; ``masks`` an optional precomputed
+    :func:`_ge_masks` dict.  Mosaic (v5e) constraints for the int16 path,
+    established empirically: comparisons must be int32 (int16 compares
+    fail i1 relayout), int32-compare masks may select int16 *arrays* (not
+    scalar/scalar pairs), and scalar conditions must not be
+    logical_and-ed with vector masks.
     """
     k = 1
     while k < L:
         shifted = _roll_lanes(t, k)
-        shifted = jnp.where(col32 >= k, shifted, inf)
+        mask = masks[k] if masks is not None else col32 >= k
+        shifted = jnp.where(mask, shifted, inf)
         t = jnp.minimum(t, shifted)
         k <<= 1
     return t
@@ -136,13 +153,18 @@ def _fill_kernel(
     ej = (e * col32).astype(dtype)
     # (rank 0, offset 0) origin row: 0 at lane 0, inf elsewhere
     zero_at_0 = jnp.where(col32 == 0, jnp.int32(0), jnp.int32(inf)).astype(dtype)
+    masks = _ge_masks(col32, L)
 
     def body(r, _):
         sym = symbols_ref[r]
 
-        min_pm = jnp.full((B_BLK, L), inf, dtype=dtype)
-        min_pd = jnp.full((B_BLK, L), inf, dtype=dtype)
-        for p in range(P):
+        # p=0 is unconditional: every real rank > 0 has at least one
+        # predecessor (stored first), and rank 0's slot-0 row is still
+        # all-INF when it executes — the correct neutral either way.
+        slot0 = pred_slots_ref[r * P]
+        min_pm = m_ring[slot0]
+        min_pd = d_ring[slot0]
+        for p in range(1, P):
             slot = pred_slots_ref[r * P + p]
             valid = pred_valid_ref[r * P + p]
             rm = m_ring[slot]
@@ -155,7 +177,7 @@ def _fill_kernel(
 
         # diagonal: shift pred-M right by one offset lane
         diag_src = _roll_lanes(min_pm, 1)
-        diag_src = jnp.where(col32 >= 1, diag_src, dtype(inf))
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
         match_cost = jnp.where(qshift == sym, jnp.int32(0),
                                jnp.int32(x)).astype(dtype)
         diag = diag_src + match_cost
@@ -166,9 +188,9 @@ def _fill_kernel(
 
         # affine insertion chain: I[j] = o + e*j + min_{k<j}(A[k] - e*k)
         t = A - ej
-        pref = _prefix_min_rows(t, L, dtype(inf), col32)
+        pref = _prefix_min_rows(t, L, dtype(inf), col32, masks)
         pref_m1 = _roll_lanes(pref, 1)
-        pref_m1 = jnp.where(col32 >= 1, pref_m1, dtype(inf))
+        pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
         I = jnp.minimum(pref_m1 + dtype(o) + ej, dtype(inf))
 
         M = jnp.minimum(A, I)
@@ -259,15 +281,22 @@ def _banded_kernel(
         d_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
 
     col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
+    masks = _ge_masks(col32, Wb)
 
     def body(r, _):
         sym = symbols_ref[r]
         w_r = wstart_ref[r]
         j32 = col32 + w_r
 
-        min_pm = jnp.full((B_BLK, Wb), inf, dtype=dtype)
-        min_pd = jnp.full((B_BLK, Wb), inf, dtype=dtype)
-        for p in range(P):
+        # p=0 is unconditional: every real rank > 0 has at least one
+        # predecessor (stored first), and rank 0's slot-0 row is still
+        # all-INF when it executes — the correct neutral either way.
+        slot0 = pred_slots_ref[r * P]
+        delta0 = jnp.clip(w_r - pred_wstart_ref[r * P], -MARGIN, MARGIN)
+        start0 = pl.multiple_of(MARGIN + delta0, 128)
+        min_pm = m_ring[slot0, :, pl.ds(start0, Wb)]
+        min_pd = d_ring[slot0, :, pl.ds(start0, Wb)]
+        for p in range(1, P):
             slot = pred_slots_ref[r * P + p]
             valid = pred_valid_ref[r * P + p]
             w_p = pred_wstart_ref[r * P + p]
@@ -283,7 +312,7 @@ def _banded_kernel(
         D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
 
         diag_src = _roll_lanes(min_pm, 1)
-        diag_src = jnp.where(col32 >= 1, diag_src, dtype(inf))
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
         qstart = pl.multiple_of(w_r, 128)
         qwin = qshift_ref[:, pl.ds(qstart, Wb)]
         match_cost = jnp.where(qwin == sym, jnp.int32(0),
@@ -299,9 +328,9 @@ def _banded_kernel(
         # path is only selected when e*(L-1) fits (see score_dtype).
         ejg = (e * j32).astype(dtype)
         t = A - ejg
-        pref = _prefix_min_rows(t, Wb, dtype(inf), col32)
+        pref = _prefix_min_rows(t, Wb, dtype(inf), col32, masks)
         pref_m1 = _roll_lanes(pref, 1)
-        pref_m1 = jnp.where(col32 >= 1, pref_m1, dtype(inf))
+        pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
         I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
 
         M = jnp.minimum(A, I)
