@@ -324,6 +324,30 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
     models run the 5-layer XLA scan.
     """
     if getattr(costs, "is_two_piece", False):
+        if engine in ("auto", "pallas") and not free_start and not free_end:
+            from ..ops.pallas_fill import B_BLK, pallas_fill_scores_2p
+
+            B = qshift.shape[0]
+            key = ("2p", id(dg), B, qshift.shape[1], costs.gap_open,
+                   costs.gap_extend, costs.gap_extend2, costs.mismatch)
+            if (jax.default_backend() != "cpu" or engine == "pallas") \
+                    and key not in _PALLAS_FAILED:
+                try:
+                    pad = (-B) % B_BLK
+                    if pad:
+                        qp = jnp.concatenate(
+                            [qshift,
+                             jnp.zeros((pad, qshift.shape[1]), qshift.dtype)]
+                        )
+                        lp = jnp.concatenate(
+                            [lengths, jnp.zeros((pad,), lengths.dtype)]
+                        )
+                        return pallas_fill_scores_2p(dg, qp, lp, costs)[:B]
+                    return pallas_fill_scores_2p(dg, qshift, lengths, costs)
+                except Exception:
+                    if engine == "pallas":
+                        raise
+                    _PALLAS_FAILED.add(key)
         fn = _scores_exec_2p(dg.window, costs.gap_open, costs.gap_extend,
                              costs.gap_extend2, costs.mismatch,
                              free_start, free_end)

@@ -66,10 +66,11 @@ def score_dtype(n_nodes: int, L: int, o: int, e: int, x: int):
     return jnp.int32
 
 
-def pick_b_blk(W: int, row_lanes: int, L: int, itemsize: int = 4) -> int:
+def pick_b_blk(W: int, row_lanes: int, L: int, itemsize: int = 4,
+               n_rings: int = 2) -> int:
     """Largest batch block whose rings (+ qshift block) fit the VMEM budget."""
     for cand in (512, 256, 128, 64):
-        need = 2 * W * cand * row_lanes * itemsize + cand * L * 4 * 2
+        need = n_rings * W * cand * row_lanes * itemsize + cand * L * 4 * 2
         if need <= VMEM_BUDGET:
             return cand
     return 64
@@ -249,6 +250,196 @@ def _pallas_exec(nblocks: int, W: int, P: int, L: int, o: int, e: int, x: int,
         return out
 
     return fn
+
+
+def _coupled_insertion_rows(A, L: int, inf, masks, o1: int, e1: int, e2: int,
+                            dtype):
+    """(I1, I2) rows for the two-piece model, in-kernel.
+
+    The coupled recurrence (``ops/dp_rows_2p.py`` docstring)
+
+        I1[j] = min(A[j-1]+o1+e1, I1[j-1]+e1, I2[j-1]+o1+e1)
+        I2[j] = min(I1[j-1], I2[j-1]) + e2
+
+    is a linear min-plus system over 2-vectors; evaluate its prefix
+    composition with a Hillis–Steele doubling scan over affine min-plus
+    maps (T: 2x2, b: 2), lane-shifted with pltpu.roll.  Out-of-range
+    shifts compose with the identity map (T=[[0,inf],[inf,0]], b=inf).
+    Every entry is re-clamped to inf each round so int32 never overflows
+    (inf = 2^28; one compose can reach 2^29).
+    """
+    zero = dtype(0)
+    infv = dtype(inf)
+    m1 = masks[1]
+    # lane j >= 1 carries the step map; lane 0 the all-inf map
+    t11 = jnp.where(m1, dtype(e1), infv)
+    t12 = jnp.where(m1, dtype(o1 + e1), infv)
+    t21 = jnp.where(m1, dtype(e2), infv)
+    t22 = jnp.where(m1, dtype(e2), infv)
+    b1 = jnp.minimum(_roll_lanes(A, 1) + dtype(o1 + e1), infv)
+    b1 = jnp.where(m1, b1, infv)
+    b2 = jnp.full_like(A, infv)
+
+    k = 1
+    while k < L:
+        mk = masks[k]
+        s11 = jnp.where(mk, _roll_lanes(t11, k), zero)
+        s12 = jnp.where(mk, _roll_lanes(t12, k), infv)
+        s21 = jnp.where(mk, _roll_lanes(t21, k), infv)
+        s22 = jnp.where(mk, _roll_lanes(t22, k), zero)
+        c1 = jnp.where(mk, _roll_lanes(b1, k), infv)
+        c2 = jnp.where(mk, _roll_lanes(b2, k), infv)
+        # F_j <- F_j ∘ F_{j-k}: T' = T (x) S (min-plus), b' = min(T (x) c, b)
+        n11 = jnp.minimum(jnp.minimum(t11 + s11, t12 + s21), infv)
+        n12 = jnp.minimum(jnp.minimum(t11 + s12, t12 + s22), infv)
+        n21 = jnp.minimum(jnp.minimum(t21 + s11, t22 + s21), infv)
+        n22 = jnp.minimum(jnp.minimum(t21 + s12, t22 + s22), infv)
+        b1 = jnp.minimum(jnp.minimum(t11 + c1, t12 + c2), b1)
+        b2 = jnp.minimum(jnp.minimum(t21 + c1, t22 + c2), b2)
+        b1 = jnp.minimum(b1, infv)
+        b2 = jnp.minimum(b2, infv)
+        t11, t12, t21, t22 = n11, n12, n21, n22
+        k <<= 1
+    return b1, b2
+
+
+def _fill_kernel_2p(
+    # scalar prefetch
+    symbols_ref,      # (Np,) int32
+    pred_slots_ref,   # (Np*P,) int32
+    pred_valid_ref,   # (Np*P,) int32 (0/1)
+    wslot_ref,        # (Np,) int32
+    meta_ref,         # (4,) int32: [n_real_ranks, end_rank, 0, 0]
+    # inputs
+    qshift_ref,       # (B_BLK, L) int32 VMEM
+    # outputs
+    end_row_ref,      # (B_BLK, L) VMEM
+    # scratch: three rings (M, D1, D2); I layers are recomputed per row
+    m_ring, d1_ring, d2_ring,
+    *, W: int, P: int, L: int, o1: int, e1: int, e2: int, x: int,
+    B_BLK: int, dtype,
+):
+    """Two-piece (convex) affine fill; math mirrors ops/dp_rows_2p.py
+    (reference transition structure: ``gap_affine_2piece.rs:292-430``).
+    """
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    inf = INF16 if dtype == jnp.int16 else INF
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d1_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d2_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+
+    qshift = qshift_ref[:]
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
+    zero_at_0 = jnp.where(col32 == 0, jnp.int32(0), jnp.int32(inf)).astype(dtype)
+    masks = _ge_masks(col32, L)
+
+    def body(r, _):
+        sym = symbols_ref[r]
+
+        slot0 = pred_slots_ref[r * P]
+        min_pm = m_ring[slot0]
+        min_pd1 = d1_ring[slot0]
+        min_pd2 = d2_ring[slot0]
+        for p in range(1, P):
+            slot = pred_slots_ref[r * P + p]
+            valid = pred_valid_ref[r * P + p]
+            keep = valid == 1
+            min_pm = jnp.minimum(min_pm, jnp.where(keep, m_ring[slot], inf))
+            min_pd1 = jnp.minimum(min_pd1, jnp.where(keep, d1_ring[slot], inf))
+            min_pd2 = jnp.minimum(min_pd2, jnp.where(keep, d2_ring[slot], inf))
+
+        D1 = jnp.minimum(jnp.minimum(min_pm + dtype(o1 + e1),
+                                     min_pd1 + dtype(e1)), dtype(inf))
+        D2 = jnp.minimum(jnp.minimum(min_pd1, min_pd2) + dtype(e2), dtype(inf))
+
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+        match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
+        diag = diag_src + match_cost
+
+        A = jnp.minimum(diag, jnp.minimum(D1, D2))
+        A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
+
+        I1, I2 = _coupled_insertion_rows(A, L, inf, masks, o1, e1, e2, dtype)
+        M = jnp.minimum(A, jnp.minimum(I1, I2))
+
+        is_end = r == end_rank
+        M = jnp.where(is_end, min_pm, M)
+        D1_out = jnp.where(is_end, dtype(inf), D1)
+        D2_out = jnp.where(is_end, dtype(inf), D2)
+
+        @pl.when(is_end)
+        def _():
+            end_row_ref[:] = min_pm
+
+        slot = wslot_ref[r]
+        m_ring[slot] = M
+        d1_ring[slot] = D1_out
+        d2_ring[slot] = D2_out
+        return 0
+
+    jax.lax.fori_loop(0, n_nodes, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_exec_2p(nblocks: int, W: int, P: int, L: int, o1: int, e1: int,
+                    e2: int, x: int, B_BLK: int = 64):
+    dtype = jnp.int32
+    kernel = functools.partial(_fill_kernel_2p, W=W, P=P, L=L, o1=o1, e1=e1,
+                               e2=e2, x=x, B_BLK=B_BLK, dtype=dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, wslots, meta, qshift, lengths):
+        end_row = call(symbols, pred_slots, pred_valid, wslots, meta, qshift)
+        idx = lengths.astype(jnp.int32)[:, None]
+        return jnp.take_along_axis(end_row, idx, axis=1)[:, 0].astype(jnp.int32)
+
+    return fn
+
+
+def pallas_fill_scores_2p(dg, qshift, lengths, costs):
+    """(B,) global-alignment scores, two-piece model, via the Pallas kernel.
+
+    Requires B to be a multiple of B_BLK (callers pad batches).
+    """
+    B, L = qshift.shape
+    blk = pick_b_blk(dg.window, L, L, 4, n_rings=3)
+    blk = min(blk, B) if B % 64 == 0 else blk
+    while B % blk:
+        blk //= 2
+    assert blk >= 64 and B % blk == 0, f"batch {B} must be a multiple of 64"
+    P = int(dg.pred_slots.shape[1])
+    fn = _pallas_exec_2p(B // blk, dg.window, P, L,
+                         costs.gap_open, costs.gap_extend, costs.gap_extend2,
+                         costs.mismatch, B_BLK=blk)
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              dg.write_slots, dg.meta, qshift, lengths)
 
 
 def _banded_kernel(
