@@ -1,0 +1,65 @@
+"""Offline viz tools: DP heatmaps + region extraction from debug dumps."""
+
+import io
+import subprocess
+import sys
+
+import pytest
+
+from poasta_tpu.aligner import GapAffine, Global, PoastaAligner
+from poasta_tpu.graphs import POAGraph
+from poasta_tpu.io import read_fasta, graph_to_dot
+from poasta_tpu.utils.debug import DebugOutputWriter
+
+
+@pytest.fixture
+def debug_dump(tmp_path, reference_tests_dir):
+    g = POAGraph()
+    sink = DebugOutputWriter(str(tmp_path / "dbg"))
+    a = PoastaAligner(GapAffine(4, 2, 6), Global(), heuristic="mingap",
+                      debug_sink=sink)
+    for name, seq in read_fasta(f"{reference_tests_dir}/small_test.fa"):
+        w = [1] * len(seq)
+        if g.is_empty():
+            g.add_alignment_with_weights(name, seq, None, w)
+        else:
+            sink.new_sequence(name, seq, g)
+            r = a.align(g, seq)
+            g.add_alignment_with_weights(name, seq, r.alignment, w)
+    sink.close()
+    dot = tmp_path / "annot.dot"
+    with open(dot, "w") as fh:
+        graph_to_dot(g, fh)
+    return tmp_path
+
+
+def test_plot_dp_writes_heatmaps(debug_dump):
+    from poasta_tpu.tools.plot_dp import main
+
+    out = debug_dump / "viz"
+    main([str(debug_dump / "dbg" / "graph_for_seq3.dot"),
+          str(debug_dump / "dbg" / "astar_iterations" / "seq3.iter0.tsv"),
+          "-o", str(out)])
+    pngs = sorted(p.name for p in out.glob("*.png"))
+    assert pngs == ["seq3.iter0.deletion.png", "seq3.iter0.insertion.png",
+                    "seq3.iter0.match.png"]
+    assert all((out / p).stat().st_size > 1000 for p in pngs)
+
+
+def test_graphviz_region_extracts_subgraph(debug_dump, capsys):
+    from poasta_tpu.tools.graphviz_region import main
+
+    main([str(debug_dump / "annot.dot"), "seq1:3-9", "-H", "seq2:red"])
+    out = capsys.readouterr().out
+    assert out.startswith("digraph {")
+    assert "rank=same" in out
+    assert 'color="red"' in out
+    # region nodes carry symbol labels
+    assert '[label="' in out
+
+
+def test_graphviz_region_unknown_sequence(debug_dump):
+    from poasta_tpu.tools.graphviz_region import main
+
+    with pytest.raises(SystemExit):
+        main([str(debug_dump / "annot.dot"), "nope:1-5"])
