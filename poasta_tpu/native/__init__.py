@@ -73,6 +73,18 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.poasta_align_banded.restype = ctypes.c_int64
+        lib.poasta_align_banded.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -167,6 +179,56 @@ class NativeAligner:
             for i in range(count)
         ]
         return int(out_score[0]), alignment, tuple(int(s) for s in out_stats)
+
+    def align_banded(self, seq: bytes, costs, ub=None, max_retries: int = 4):
+        """Banded dense fill + backtrace: returns (score, alignment).
+
+        Exact with verify-and-retry: a banded score <= ub is provably
+        optimal (no excluded cell can lie on a <=ub path); otherwise the
+        band is re-filled with the failed attempt's score as the new ub,
+        which always verifies (banded scores only over-estimate).  Pass
+        ``ub`` >= the known optimal score (e.g. from the device scorer)
+        to make the first attempt both tight and final.
+        """
+        from ..aligner.alignment import AlignedPair
+
+        assert not costs.is_two_piece, "banded native path is one-piece only"
+        n = len(seq)
+        cap = 4 * (n + self._n) + 16
+        out_rpos = np.zeros(cap, dtype=np.int32)
+        out_qpos = np.zeros(cap, dtype=np.int32)
+        out_score = np.zeros(1, dtype=np.int64)
+        seq_arr = (np.frombuffer(bytes(seq), dtype=np.uint8)
+                   if n else np.zeros(1, dtype=np.uint8))
+
+        if ub is None:
+            ub = (costs.gap_open + costs.gap_extend) * 4 \
+                + costs.mismatch * max(n // 16, 4)
+        for _ in range(max_retries):
+            count = self._lib.poasta_align_banded(
+                self._handle,
+                seq_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                n,
+                costs.mismatch, costs.gap_open, costs.gap_extend,
+                int(ub),
+                _i32ptr(out_rpos), _i32ptr(out_qpos), cap,
+                out_score.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if count == -4:
+                banded = int(out_score[0])
+                ub = banded if banded < (1 << 28) else int(ub) * 4
+                continue
+            if count < 0:
+                raise RuntimeError(f"native banded alignment failed ({count})")
+            alignment = [
+                AlignedPair(
+                    int(out_rpos[i]) if out_rpos[i] >= 0 else None,
+                    int(out_qpos[i]) if out_qpos[i] >= 0 else None,
+                )
+                for i in range(count)
+            ]
+            return int(out_score[0]), alignment
+        raise RuntimeError("native banded alignment did not converge")
 
 
 def native_available() -> bool:

@@ -454,7 +454,51 @@ struct Engine {
   Graph g;
   BubbleIndex bi;
   std::vector<int32_t> node_storage;  // backing for adjacency (unused)
+
+  // banded-fill metadata, built lazily on first poasta_align_banded call
+  bool banded_ready = false;
+  std::vector<int32_t> topo;       // rank -> node id (start first, end last)
+  std::vector<int64_t> ds_min, ds_max;  // min/max edge dist from start, by node
 };
+
+static void ensure_banded_meta(Engine& eng) {
+  if (eng.banded_ready) return;
+  const Graph& g = eng.g;
+  // Kahn toposort
+  std::vector<int32_t> indeg(g.n, 0);
+  for (int32_t v = 0; v < g.n; ++v)
+    for (int32_t s : g.succs[v]) indeg[s]++;
+  std::deque<int32_t> q;
+  for (int32_t v = 0; v < g.n; ++v)
+    if (indeg[v] == 0) q.push_back(v);
+  eng.topo.clear();
+  eng.topo.reserve(g.n);
+  while (!q.empty()) {
+    int32_t v = q.front();
+    q.pop_front();
+    eng.topo.push_back(v);
+    for (int32_t s : g.succs[v])
+      if (--indeg[s] == 0) q.push_back(s);
+  }
+  // min/max edge distance from the start, forward sweep in topo order
+  // (mirrors poasta_tpu/graphs/flat.py:139-151)
+  constexpr int64_t BIG = INT32_MAX / 4;
+  eng.ds_min.assign(g.n, BIG);
+  eng.ds_max.assign(g.n, 0);
+  eng.ds_min[g.start_node] = 0;
+  for (int32_t v : eng.topo) {
+    if (v == g.start_node) continue;
+    int64_t mn = BIG, mx = 0;
+    for (int32_t p : g.preds[v]) {
+      mn = std::min(mn, eng.ds_min[p] + 1);
+      mx = std::max(mx, eng.ds_max[p] + 1);
+    }
+    if (g.preds[v].empty()) mn = mx = 0;
+    eng.ds_min[v] = mn;
+    eng.ds_max[v] = mx;
+  }
+  eng.banded_ready = true;
+}
 
 struct AlignParams {
   Costs costs;
@@ -851,6 +895,212 @@ int64_t poasta_align(void* ptr, const uint8_t* seq, int64_t seq_len,
   for (auto& [r, q] : pairs) {
     out_rpos[count] = r;
     out_qpos[count] = q;
+    ++count;
+  }
+  return count;
+}
+
+// Banded dense fill + score-difference backtrace (gap-affine, global).
+//
+// Windows per node mirror poasta_tpu/aligner/banded.py band_windows; the
+// fill mirrors ops/dp_rows.py row semantics; the backtrace mirrors
+// wavefront.py backtrace_dense (same priority rules, so the emitted
+// co-optimal alignment matches the wavefront engine's).  Exact when the
+// returned score <= ub: every cell of any <=ub path lies inside the band
+// (banded.py docstring) — callers retry with a larger ub otherwise.
+//
+// Returns pair count; -2 if cap exceeded; -4 if the score exceeds ub
+// (out_score still holds the banded score, an upper bound on the truth).
+int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
+                            int32_t mismatch, int32_t gap_open,
+                            int32_t gap_extend, int64_t ub,
+                            int32_t* out_rpos, int32_t* out_qpos, int64_t cap,
+                            int64_t* out_score) {
+  auto& eng = *static_cast<Engine*>(ptr);
+  const Graph& g = eng.g;
+  ensure_banded_meta(eng);
+  const int32_t o = gap_open, e = gap_extend, x = mismatch;
+  constexpr int32_t INF = 1 << 28;
+
+  // per-node windows [lo, hi] (query offsets), width prefix offsets
+  const int64_t K = (ub >= o + e) ? (ub - o) / e : 0;
+  std::vector<int64_t> lo(g.n), hi(g.n), base(g.n + 1, 0);
+  for (int32_t r = 0; r < g.n; ++r) {
+    int32_t nd = eng.topo[r];
+    int64_t de_min = eng.bi.min_dist_to_end[nd];
+    int64_t de_max = eng.bi.max_dist_to_end[nd];
+    int64_t l = std::max<int64_t>(
+        0, std::max(eng.ds_min[nd] - K, (n - de_max + 1) - K));
+    int64_t h = std::min<int64_t>(
+        n, std::min(eng.ds_max[nd] + K, (n - de_min + 1) + K));
+    h = std::max(h, l);
+    lo[nd] = l;
+    hi[nd] = h;
+  }
+  for (int32_t nd = 0; nd < g.n; ++nd) base[nd + 1] = hi[nd] - lo[nd] + 1;
+  for (int32_t nd = 0; nd < g.n; ++nd) base[nd + 1] += base[nd];
+  const int64_t total = base[g.n];
+  std::vector<int32_t> Mb(total, INF), Ib(total, INF), Db(total, INF);
+
+  auto idx = [&](int32_t nd, int64_t j) -> int64_t {
+    return base[nd] + (j - lo[nd]);
+  };
+  auto getM = [&](int32_t nd, int64_t j) -> int32_t {
+    return (j >= lo[nd] && j <= hi[nd]) ? Mb[idx(nd, j)] : INF;
+  };
+  auto getI = [&](int32_t nd, int64_t j) -> int32_t {
+    return (j >= lo[nd] && j <= hi[nd]) ? Ib[idx(nd, j)] : INF;
+  };
+  auto getD = [&](int32_t nd, int64_t j) -> int32_t {
+    return (j >= lo[nd] && j <= hi[nd]) ? Db[idx(nd, j)] : INF;
+  };
+
+  // fill in topological order (row semantics of ops/dp_rows.py row_update)
+  for (int32_t r = 0; r < g.n; ++r) {
+    int32_t nd = eng.topo[r];
+    bool is_start = nd == g.start_node;
+    bool is_end = nd == g.end_node;
+    int32_t prevA = INF, prevI = INF;
+    for (int64_t j = lo[nd]; j <= hi[nd]; ++j) {
+      int32_t min_pm = INF, min_pd = INF, diag_src = INF;
+      for (int32_t p : g.preds[nd]) {
+        min_pm = std::min(min_pm, getM(p, j));
+        min_pd = std::min(min_pd, getD(p, j));
+        if (j >= 1) diag_src = std::min(diag_src, getM(p, j - 1));
+      }
+      int32_t Dv = std::min(std::min((int64_t)min_pm + o + e,
+                                     (int64_t)min_pd + e),
+                            (int64_t)INF);
+      int32_t match = (j >= 1 && g.symbol_equal(nd, seq[j - 1])) ? 0 : x;
+      int32_t diag = (j >= 1 && diag_src < INF) ? diag_src + match : INF;
+      int32_t A = std::min(diag, Dv);
+      if (is_start && j == 0) A = 0;
+
+      int32_t Iv = std::min(std::min((int64_t)prevA + o + e,
+                                     (int64_t)prevI + e),
+                            (int64_t)INF);
+      int32_t Mv = std::min(A, Iv);
+      if (is_end) {
+        Mv = min_pm;  // zero-cost same-offset hop into the virtual end
+        Iv = INF;
+        Dv = INF;
+      }
+      int64_t ix = idx(nd, j);
+      Mb[ix] = Mv;
+      Ib[ix] = Iv;
+      Db[ix] = Dv;
+      prevA = A;
+      prevI = Iv;
+    }
+  }
+
+  int64_t score = getM(g.end_node, n);
+  out_score[0] = score;
+  if (score > ub) return -4;
+  if (n == 0) return 0;
+
+  // backtrace — mirrors wavefront.py backtrace_dense
+  auto preds_oldest = [&](int32_t nd) {
+    return std::vector<int32_t>(g.preds[nd].rbegin(), g.preds[nd].rend());
+  };
+
+  int64_t j = n;
+  int32_t cur = (int32_t)score;
+  int32_t node = -1;
+  for (int32_t p : preds_oldest(g.end_node))
+    if (getM(p, j) == cur) {
+      node = p;
+      break;
+    }
+  if (node < 0) return -3;
+  int state = M;
+
+  std::vector<std::pair<int32_t, int32_t>> pairs;
+  while (true) {
+    cur = state == M ? getM(node, j) : (state == D ? getD(node, j)
+                                                   : getI(node, j));
+    int32_t bt_node = -1;
+    int64_t bt_j = 0;
+    int bt_state = M;
+    if (state == M) {
+      if (j > 0) {
+        int32_t want = g.symbol_equal(node, seq[j - 1]) ? cur : cur - x;
+        for (int32_t p : preds_oldest(node))
+          if (getM(p, j - 1) == want) {
+            bt_node = p;
+            bt_j = j - 1;
+            bt_state = M;
+            break;
+          }
+      }
+      if (bt_node < 0 && getD(node, j) == cur) {
+        bt_node = node;
+        bt_j = j;
+        bt_state = D;
+      }
+      if (bt_node < 0 && getI(node, j) == cur) {
+        bt_node = node;
+        bt_j = j;
+        bt_state = I;
+      }
+    } else if (state == D) {
+      for (int32_t p : preds_oldest(node))
+        if (getM(p, j) == cur - o - e) {
+          bt_node = p;
+          bt_j = j;
+          bt_state = M;
+          break;
+        }
+      if (bt_node < 0)
+        for (int32_t p : preds_oldest(node))
+          if (getD(p, j) == cur - e) {
+            bt_node = p;
+            bt_j = j;
+            bt_state = D;
+            break;
+          }
+    } else {  // insertion
+      if (j > 0) {
+        if (getM(node, j - 1) == cur - o - e) {
+          bt_node = node;
+          bt_j = j - 1;
+          bt_state = M;
+        } else if (getI(node, j - 1) == cur - e) {
+          bt_node = node;
+          bt_j = j - 1;
+          bt_state = I;
+        }
+      }
+    }
+
+    if (bt_node < 0) break;
+
+    if (state == M && (bt_state == D || bt_state == I)) {
+      node = bt_node;
+      j = bt_j;
+      state = bt_state;
+      continue;
+    }
+
+    if (state == M)
+      pairs.push_back({node, (int32_t)(j - 1)});
+    else if (state == I)
+      pairs.push_back({-1, (int32_t)(j - 1)});
+    else
+      pairs.push_back({node, -1});
+
+    if (bt_node == g.start_node) break;
+    node = bt_node;
+    j = bt_j;
+    state = bt_state;
+  }
+
+  std::reverse(pairs.begin(), pairs.end());
+  if ((int64_t)pairs.size() > cap) return -2;
+  int64_t count = 0;
+  for (auto& [rp, qp] : pairs) {
+    out_rpos[count] = rp;
+    out_qpos[count] = qp;
     ++count;
   }
   return count;

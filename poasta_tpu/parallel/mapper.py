@@ -207,11 +207,32 @@ class BatchMapper:
             return np.asarray(self._score_fn(qshift, lengths))
         return np.asarray(dp_fill_scores(self.dg, qshift, lengths, self.costs))
 
+    # dense tables cost Np*B*L*12 bytes + an 11 MB/s-class D2H transfer on
+    # tethered chips; beyond this budget align_batch switches to device
+    # scores + per-read native banded backtrace
+    DENSE_TABLE_BUDGET = 64 * 1024 * 1024
+
     def align_batch(self, queries):
-        """Scores + alignments (host backtrace over dense tables)."""
+        """Scores + alignments for a read batch.
+
+        Small shapes: one device fill returns dense M/I/D tables and the
+        host backtraces them.  Large shapes (long reads / big graphs):
+        the device computes exact scores in batch (banded, verified) and
+        the native engine reconstructs each alignment inside the
+        score-certified band — same priority rules, so both paths emit
+        identical alignments (tests/test_native.py).  Reads fan out over
+        host threads (the ctypes call releases the GIL), mirroring the
+        reference's ``-j`` worker threads.
+        """
         from ..aligner.wavefront import backtrace_dense, dp_fill_full, pack_queries
 
         qshift, lengths = pack_queries(queries)
+        B, L = int(qshift.shape[0]), int(qshift.shape[1])
+        table_bytes = self.dg.n_nodes_padded * B * L * 12
+        if table_bytes > self.DENSE_TABLE_BUDGET:
+            banded = self._align_batch_banded(queries, qshift, lengths)
+            if banded is not None:
+                return banded
         scores, M, I, D = dp_fill_full(self.dg, qshift, lengths, self.costs)
         M, I, D = np.asarray(M), np.asarray(I), np.asarray(D)
         out = []
@@ -220,3 +241,35 @@ class BatchMapper:
                                   q, self.costs)
             out.append((int(scores[b]), aln))
         return out
+
+    def _align_batch_banded(self, queries, qshift, lengths):
+        if getattr(self.costs, "is_two_piece", False):
+            return None
+        try:
+            from ..native import NativeAligner
+        except Exception:
+            return None
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..aligner.banded import BandedScorer
+
+        if getattr(self, "_banded_scorer", None) is None:
+            try:
+                self._banded_scorer = BandedScorer(self.flat, self.costs)
+                self._banded_scorer.dg = self.dg  # share device arrays
+                self._native = NativeAligner(self.graph)
+            except Exception:
+                return None
+        scores = self._banded_scorer.scores(qshift, lengths)
+        na = self._native
+
+        def one(args):
+            q, s = args
+            score, aln = na.align_banded(q, self.costs, ub=int(s))
+            assert score == int(s), (score, int(s))
+            return score, aln
+
+        workers = min(len(queries), os.cpu_count() or 4)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(one, zip(queries, np.asarray(scores))))

@@ -72,3 +72,52 @@ def test_native_two_piece_matches_python():
         assert [(p.rpos, p.qpos) for p in aln] == [
             (p.rpos, p.qpos) for p in r.alignment
         ]
+
+
+@pytest.mark.parametrize("seed", [2, 11])
+def test_native_banded_exact_and_matches_dense_backtrace(seed):
+    import numpy as np
+
+    from poasta_tpu.aligner.wavefront import (
+        DeviceGraph,
+        backtrace_dense,
+        dp_fill_full,
+        pack_queries,
+    )
+
+    g, queries = _case(seed)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    na = NativeAligner(g)
+    for q in queries:
+        sc_exact, _, _ = na.align(q, COSTS)
+        sc_b, aln_b = na.align_banded(q, COSTS)
+        assert sc_b == sc_exact
+        # ub hint (the production path: device score seeds the band)
+        sc_h, aln_h = na.align_banded(q, COSTS, ub=sc_exact)
+        assert sc_h == sc_exact
+        assert [(p.rpos, p.qpos) for p in aln_h] == [
+            (p.rpos, p.qpos) for p in aln_b
+        ]
+        qs, ln = pack_queries([q])
+        _, M, I, D = dp_fill_full(dg, qs, ln, COSTS)
+        aln_d = backtrace_dense(flat, np.asarray(M)[:, 0, :],
+                                np.asarray(I)[:, 0, :],
+                                np.asarray(D)[:, 0, :], q, COSTS)
+        assert [(p.rpos, p.qpos) for p in aln_b] == [
+            (p.rpos, p.qpos) for p in aln_d
+        ]
+
+
+def test_batch_mapper_banded_path():
+    from poasta_tpu.parallel import BatchMapper
+    from poasta_tpu.aligner.wavefront import alignment_cost
+
+    g, queries = _case(4, nseq=3, length=80, nq=6)
+    bm = BatchMapper(g, COSTS)
+    bm.DENSE_TABLE_BUDGET = 0  # force the banded path regardless of size
+    out = bm.align_batch(queries)
+    na = NativeAligner(g)
+    for q, (score, aln) in zip(queries, out):
+        assert score == na.align(q, COSTS)[0]
+        assert alignment_cost(g, q, aln, COSTS) == score
