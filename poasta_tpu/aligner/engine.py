@@ -599,14 +599,21 @@ def _backtrace(graph, seq, costs, visited, node, offset) -> Alignment:
     if len(seq) == 1 and offset == 1 and graph.is_symbol_equal(node, seq[0]):
         return [AlignedPair(node, 0)]
 
-    start = None
-    states = (M, I, D) if not costs.is_two_piece else (M, I, I2, D, D2)
-    for st in states:
-        start = _backtrace_step(graph, seq, costs, visited, node, offset, st)
-        if start is not None:
-            break
-    if start is None:
-        raise RuntimeError("No backtrace for alignment end state?")
+    if node == graph.end_node:
+        # Global end state is the virtual end node: its zero-cost hop is
+        # not an alignment pair, so take one step before emitting.
+        start = None
+        states = (M, I, D) if not costs.is_two_piece else (M, I, I2, D, D2)
+        for st in states:
+            start = _backtrace_step(graph, seq, costs, visited, node, offset, st)
+            if start is not None:
+                break
+        if start is None:
+            raise RuntimeError("No backtrace for alignment end state?")
+    else:
+        # Ends-free end states sit on a real node whose own (node, offset)
+        # pair is part of the alignment: start emitting from it directly.
+        start = (node, offset, M)
 
     curr_node, curr_offset, curr_state = start
     alignment: Alignment = []

@@ -1,0 +1,99 @@
+"""CLI end-to-end (reference test shape: tests/cli_poasta.rs,
+tests/cli_lasagna.rs, tests/integration_tests.rs) — in-process via main()."""
+
+import io
+import contextlib
+
+import pytest
+
+from poasta_tpu.cli.poasta import main as poasta_main
+from poasta_tpu.cli.lasagna import main as lasagna_main
+
+
+def _run(main, argv):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(argv)
+    return rc, buf.getvalue()
+
+
+def test_align_to_fasta_stdout(reference_tests_dir):
+    rc, out = _run(poasta_main,
+                   ["align", "-O", "fasta",
+                    f"{reference_tests_dir}/small_test.fa"])
+    assert rc in (0, None)
+    truth = open(f"{reference_tests_dir}/small_test.truth.fa").read()
+    assert out == truth
+
+
+def test_align_view_roundtrip(tmp_path, reference_tests_dir):
+    g = tmp_path / "g.poasta"
+    rc, _ = _run(poasta_main,
+                 ["align", "-O", "poasta", "-o", str(g),
+                  f"{reference_tests_dir}/small_test.fa"])
+    assert rc in (0, None)
+    rc, gfa = _run(poasta_main, ["view", "-O", "gfa", str(g)])
+    assert rc in (0, None)
+    assert gfa.startswith("H\t") and "W\t" in gfa
+    rc, fa = _run(poasta_main, ["view", "-O", "fasta", str(g)])
+    assert fa == open(f"{reference_tests_dir}/small_test.truth.fa").read()
+
+
+def test_align_resume_from_graph(tmp_path, reference_tests_dir):
+    # split corpus: build graph from input half, resume with query half
+    g = tmp_path / "g.poasta"
+    _run(poasta_main, ["align", "-O", "poasta", "-o", str(g),
+                       f"{reference_tests_dir}/small_test.input.fa"])
+    rc, out = _run(poasta_main,
+                   ["align", "-I", str(g), "-O", "fasta",
+                    f"{reference_tests_dir}/small_test.query.fa"])
+    assert rc in (0, None)
+    names = [l[1:] for l in out.splitlines() if l.startswith(">")]
+    input_names = [l[1:].split()[0] for l in
+                   open(f"{reference_tests_dir}/small_test.input.fa")
+                   if l.startswith(">")]
+    assert set(input_names) <= set(names)
+    rows = [l for l in out.splitlines() if not l.startswith(">")]
+    assert len({len(r) for r in rows}) == 1  # aligned rows equal length
+
+
+def test_two_piece_penalties_selected(reference_tests_dir):
+    rc, out = _run(poasta_main,
+                   ["align", "-O", "fasta", "-g", "8,24", "-e", "2,1",
+                    f"{reference_tests_dir}/small_test.fa"])
+    assert rc in (0, None)
+    rows = [l for l in out.splitlines() if not l.startswith(">")]
+    assert rows and len({len(r) for r in rows}) == 1
+
+
+def test_ends_free_span(reference_tests_dir):
+    rc, out = _run(poasta_main,
+                   ["align", "-O", "fasta", "-m", "ends-free",
+                    f"{reference_tests_dir}/small_test.fa"])
+    assert rc in (0, None)
+    assert out.count(">") == 3
+
+
+def test_stats(tmp_path, reference_tests_dir, capsys):
+    g = tmp_path / "g.poasta"
+    _run(poasta_main, ["align", "-O", "poasta", "-o", str(g),
+                       f"{reference_tests_dir}/small_test.fa"])
+    rc, _ = _run(poasta_main, ["stats", str(g)])
+    assert rc in (0, None)
+    err = capsys.readouterr().err
+    assert "node" in err.lower() or "Node" in err
+
+
+def test_lasagna_gaf(tmp_path, reference_tests_dir):
+    out_path = tmp_path / "out.gaf"
+    rc = lasagna_main(["align", f"{reference_tests_dir}/test.gfa",
+                       f"{reference_tests_dir}/small_test.query.fa",
+                       "-o", str(out_path)])
+    assert rc in (0, None)
+    lines = out_path.read_text().splitlines()
+    assert lines
+    for line in lines:
+        fields = line.split("\t")
+        assert len(fields) >= 12
+        assert any(f.startswith("AS:i:") for f in fields)
+        assert any(f.startswith("cg:Z:") for f in fields)

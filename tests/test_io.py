@@ -1,0 +1,131 @@
+"""I/O roundtrips and emitters (reference test shape: tests/io_*.rs,
+src/io unit tests)."""
+
+import io
+
+import pytest
+
+from poasta_tpu.aligner import GapAffine, Global, PoastaAligner
+from poasta_tpu.graphs import POAGraph
+from poasta_tpu.io import (
+    GraphSegments,
+    NodeSegmentResolver,
+    alignment_to_gaf,
+    graph_to_gfa,
+    graph_to_gfav1,
+    load_graph,
+    load_graph_from_fasta_msa,
+    load_graph_from_gfa,
+    poa_graph_to_fasta,
+    read_fasta,
+    save_graph,
+)
+
+COSTS = GapAffine(4, 2, 6)
+
+
+def _build_graph(path):
+    g = POAGraph()
+    a = PoastaAligner(COSTS, Global(), heuristic="mingap")
+    for name, seq in read_fasta(path):
+        w = [1] * len(seq)
+        if g.is_empty():
+            g.add_alignment_with_weights(name, seq, None, w)
+        else:
+            r = a.align(g, seq)
+            g.add_alignment_with_weights(name, seq, r.alignment, w)
+    return g
+
+
+def test_save_load_roundtrip(tmp_path, reference_tests_dir):
+    g = _build_graph(f"{reference_tests_dir}/small_test.fa")
+    p = tmp_path / "g.poasta"
+    with open(p, "wb") as fh:
+        save_graph(g, fh)
+    with open(p, "rb") as fh:
+        g2 = load_graph(fh)
+    assert g2.node_count_with_start_and_end() == g.node_count_with_start_and_end()
+    assert g2.edge_count() == g.edge_count()
+    # emitters produce identical output from the roundtripped graph
+    b1, b2 = io.StringIO(), io.StringIO()
+    poa_graph_to_fasta(g, b1)
+    poa_graph_to_fasta(g2, b2)
+    assert b1.getvalue() == b2.getvalue()
+
+
+def test_msa_import_matches_fused_graph(reference_tests_dir):
+    # import the half-MSA then emit it back: column structure preserved
+    g = load_graph_from_fasta_msa(f"{reference_tests_dir}/test2_half.msa.fa")
+    buf = io.StringIO()
+    poa_graph_to_fasta(g, buf)
+    out = buf.getvalue()
+    names = [ln[1:].strip() for ln in out.splitlines() if ln.startswith(">")]
+    rows = [ln for ln in out.splitlines() if not ln.startswith(">")]
+    src = list(read_fasta(f"{reference_tests_dir}/test2_half.msa.fa"))
+    assert names == [n for n, _ in src]
+    # ungapped sequences survive the import/emit roundtrip
+    for (_, seq), row in zip(src, rows):
+        assert row.replace("-", "") == seq.decode().replace("-", "")
+
+
+def test_gfa_roundtrip(tmp_path, reference_tests_dir):
+    g = _build_graph(f"{reference_tests_dir}/small_test.fa")
+    buf = io.StringIO()
+    graph_to_gfa(g, buf)
+    gfa = buf.getvalue()
+    assert gfa.startswith("H\t")
+    assert "W\t" in gfa  # v1.1 walk lines, one per sequence
+    p = tmp_path / "g.gfa"
+    p.write_text(gfa)
+    g2, segments = load_graph_from_gfa(str(p))
+    # every walk path reconstructs its original ungapped sequence
+    fa = io.StringIO()
+    poa_graph_to_fasta(g, fa)
+    originals = {}
+    name = None
+    for ln in fa.getvalue().splitlines():
+        if ln.startswith(">"):
+            name = ln[1:].strip()
+        else:
+            originals[name] = ln.replace("-", "")
+    walk_names = {w.split("\t")[3] for w in gfa.splitlines()
+                  if w.startswith("W\t")}
+    assert walk_names == set(originals)
+
+
+def test_gfav1_has_paths(reference_tests_dir):
+    g = _build_graph(f"{reference_tests_dir}/small_test.fa")
+    buf = io.StringIO()
+    graph_to_gfav1(g, buf)
+    gfa = buf.getvalue()
+    assert "P\t" in gfa  # v1 path lines
+    assert "W\t" not in gfa
+
+
+def test_gaf_record_fields(reference_tests_dir):
+    graph, segments = load_graph_from_gfa(f"{reference_tests_dir}/test.gfa")
+    resolver = NodeSegmentResolver(graph, segments)
+    a = PoastaAligner(COSTS, Global(), heuristic="mingap")
+    q = b"ACGT"
+    res = a.align(graph, q)
+    rec = alignment_to_gaf(graph, segments, "read1", q, res.alignment, resolver)
+    assert rec is not None
+    line = str(rec)
+    fields = line.split("\t")
+    assert fields[0] == "read1"
+    assert int(fields[1]) == len(q)
+    assert fields[4] == "+"
+    assert fields[5].startswith(">")
+    assert any(f.startswith("cg:Z:") for f in fields[11:])
+
+
+def test_empty_sequence_msa_row(reference_tests_dir):
+    # the reference's io_fasta.rs covers an all-gap row for empty sequences
+    g = POAGraph()
+    g.add_alignment_with_weights("a", b"ACGT", None, [1] * 4)
+    g.add_alignment_with_weights("empty", b"", None, [])
+    buf = io.StringIO()
+    poa_graph_to_fasta(g, buf)
+    out = buf.getvalue().splitlines()
+    row = out[out.index(">empty") + 1]
+    assert set(row) <= {"-"}
