@@ -73,8 +73,13 @@ def band_windows(flat: FlatGraph, n_min: int, n_max: int, costs: GapAffine,
 
 
 @functools.lru_cache(maxsize=None)
-def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int):
-    """Banded scores kernel: rings hold (B, W, Wb) windows."""
+def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int,
+                 vary_axes: tuple = ()):
+    """Banded scores kernel: rings hold (B, W, Wb) windows.
+
+    ``vary_axes``: mesh axes this runs under via shard_map — the scan
+    carry must be pcast to varying over them.
+    """
 
     @jax.jit
     def fn(symbols, pred_slots_ranks, pred_valid, wstarts, write_slots,
@@ -86,6 +91,9 @@ def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int):
 
         M0 = jnp.full((B, window, Wb), INF, dtype=jnp.int32)
         D0 = jnp.full((B, window, Wb), INF, dtype=jnp.int32)
+        if vary_axes:
+            M0 = jax.lax.pcast(M0, vary_axes, to="varying")
+            D0 = jax.lax.pcast(D0, vary_axes, to="varying")
 
         jloc = jnp.arange(Wb, dtype=jnp.int32)
 
@@ -173,9 +181,14 @@ class BandedScorer:
     """
 
     def __init__(self, flat: FlatGraph, costs: GapAffine,
-                 node_bucket: int = 64):
+                 node_bucket: int = 64, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a ``dp`` axis — the
+        read batch shards over it (graph/window arrays replicate; the
+        banded fill has no cross-read dependence, so dp needs no
+        collectives and can span hosts over DCN)."""
         self.flat = flat
         self.costs = costs
+        self.mesh = mesh
         self.dg = DeviceGraph.build(flat, node_bucket=node_bucket)
         # predecessor RANK table (banded kernel re-derives ring slots)
         n = flat.n_nodes
@@ -214,8 +227,15 @@ class BandedScorer:
                 + costs.gap_extend * (n_max - n_min)
             )
 
+        # with a mesh, the read batch shards over dp via shard_map around
+        # the XLA banded fill (single-kernel-per-shard; no collectives)
+        use_mesh = (
+            self.mesh is not None
+            and int(qshift.shape[0]) % self.mesh.shape.get("dp", 1) == 0
+        )
         use_pallas = (
-            jax.default_backend() != "cpu"
+            not use_mesh
+            and jax.default_backend() != "cpu"
             and int(qshift.shape[0]) % 64 == 0
         )
 
@@ -224,7 +244,8 @@ class BandedScorer:
             return np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))
 
         for _ in range(max_retries):
-            key = (n_min, n_max, ub, use_pallas, int(qshift.shape[1]))
+            key = (n_min, n_max, ub, use_pallas, use_mesh,
+                   int(qshift.shape[1]))
             cached = self._prep_cache.get(key)
             if cached is None:
                 wstart, width, lo, hi = band_windows(
@@ -274,7 +295,10 @@ class BandedScorer:
                 fn = _banded_exec(self.dg.window, width,
                                   int(self._pred_ranks.shape[1]),
                                   costs.gap_open, costs.gap_extend,
-                                  costs.mismatch)
+                                  costs.mismatch,
+                                  vary_axes=("dp",) if use_mesh else ())
+                if use_mesh:
+                    fn = self._sharded(fn, key)
                 scores = np.asarray(
                     fn(self.dg.symbols, self._pred_ranks,
                        self.dg.pred_valid, wstarts, self.dg.write_slots,
@@ -292,3 +316,28 @@ class BandedScorer:
 
         self._prep_cache[("fullfill", n_min, n_max)] = True
         return np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))
+
+    def _sharded(self, fn, key):
+        """shard_map the banded fill over the mesh's dp axis.
+
+        Graph and window tables replicate; each shard fills its own reads
+        independently (lasagna's data parallelism, ``lasagna.rs:214-273``,
+        as a mesh axis).  dp can span hosts over DCN — no collectives run
+        inside the fill.
+        """
+        skey = key + ("sharded",)
+        sfn = self._prep_cache.get(skey)
+        if sfn is not None:
+            return sfn
+        from jax.sharding import PartitionSpec as PS
+
+        mapped = jax.shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(PS(), PS(), PS(), PS(), PS(), PS(),
+                      PS("dp", None), PS("dp")),
+            out_specs=PS("dp"),
+        )
+        sfn = jax.jit(mapped)
+        self._prep_cache[skey] = sfn
+        return sfn

@@ -84,3 +84,58 @@ def test_batch_mapper_mesh_and_host_agree():
     a = mapped.score_batch(queries)
     b = plain.score_batch(queries)
     assert (a == b).all()
+
+
+@pytest.fixture(scope="module")
+def long_read_case():
+    # reads long enough that the band (>=128 offsets) is narrower than L,
+    # otherwise the scorer falls back to the full fill and the sharded
+    # branch never runs; graph built with the native engine for speed
+    import random
+
+    from poasta_tpu.native import NativeAligner
+
+    rng = random.Random(41)
+    length = 1200
+    base = "".join(rng.choice("ACGT") for _ in range(length))
+
+    def mutate(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < 0.03:
+                continue
+            out.append(rng.choice("ACGT") if r < 0.06 else ch)
+            if rng.random() < 0.02:
+                out.append(rng.choice("ACGT"))
+        return "".join(out) or "A"
+
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * length)
+    for i in range(1, 3):
+        s = mutate(base).encode()
+        _, aln, _ = NativeAligner(g).align(s, COSTS)
+        g.add_alignment_with_weights(f"s{i}", s, aln, [1] * len(s))
+    queries = [mutate(base).encode() for _ in range(8)]
+    na = NativeAligner(g)
+    oracle = [na.align(q, COSTS)[0] for q in queries]
+    return g, queries, oracle
+
+
+@pytest.mark.parametrize("dp,sp", [(8, 1), (4, 2)])
+def test_sharded_banded_scorer_matches_oracle(dp, sp, long_read_case):
+    if jax.device_count() < dp * sp:
+        pytest.skip("needs 8 virtual devices")
+    from poasta_tpu.aligner.banded import BandedScorer
+
+    g, queries, oracle = long_read_case
+    flat = g.flatten()
+    mesh = make_mesh(devices=jax.devices()[: dp * sp], dp=dp, sp=sp)
+    qshift, lengths = pack_queries(queries)
+    scorer = BandedScorer(flat, COSTS, mesh=mesh)
+    sharded = scorer.scores(qshift, lengths)
+    assert not any(
+        isinstance(k, tuple) and k and k[0] == "fullfill"
+        for k in scorer._prep_cache
+    ), "band did not engage; the sharded branch was not exercised"
+    assert list(np.asarray(sharded)) == oracle
