@@ -146,6 +146,20 @@ def align_subcommand(args):
         except Exception:
             use_native = False
 
+    # --engine banded: exact scores via the verify-and-retry banded fill
+    # (orders of magnitude faster on long divergent sequences), with
+    # co-optimal tiebreaks that may differ from the exact A* engine's.
+    use_banded = getattr(args, "engine", "exact") == "banded"
+    if use_banded:
+        if args.alignment_span != "global" or aligner.costs.is_two_piece \
+                or debug_sink is not None:
+            raise SystemExit(
+                "--engine banded supports global one-piece alignment "
+                "without debug output"
+            )
+        if not use_native:
+            raise SystemExit("--engine banded requires the native engine")
+
     for name, seq in read_fasta(args.sequences):
         weights = [1] * len(seq)
         if debug_sink is not None:
@@ -153,7 +167,13 @@ def align_subcommand(args):
         if graph.is_empty():
             graph.add_alignment_with_weights(name, seq, None, weights)
         else:
-            if use_native and graph.node_count() > 0:
+            if use_banded and graph.node_count() > 0:
+                from ..native import NativeAligner
+
+                score, alignment = NativeAligner(graph).align_banded(
+                    seq, aligner.costs
+                )
+            elif use_native and graph.node_count() > 0:
                 from ..native import NativeAligner
 
                 score, alignment, _stats = NativeAligner(graph).align(
@@ -225,6 +245,11 @@ def build_parser():
     a.add_argument("-g", dest="cost_gap_open", default="6")
     a.add_argument("-e", dest="cost_gap_extend", default="2")
     a.add_argument("-H", "--heuristic", default="mingap")
+    a.add_argument("--engine", default="exact", choices=["exact", "banded"],
+                   help="exact: reference-parity A* (default); banded: "
+                        "verify-and-retry banded fill — same optimal "
+                        "scores, much faster on long divergent sequences, "
+                        "co-optimal tiebreaks may differ")
 
     v = sub.add_parser("view", help="Convert POA graphs to various output formats")
     v.add_argument("graph")

@@ -97,3 +97,19 @@ def test_lasagna_gaf(tmp_path, reference_tests_dir):
         assert len(fields) >= 12
         assert any(f.startswith("AS:i:") for f in fields)
         assert any(f.startswith("cg:Z:") for f in fields)
+
+
+def test_align_banded_engine(reference_tests_dir):
+    rc, out = _run(poasta_main,
+                   ["align", "--engine", "banded", "-O", "fasta",
+                    f"{reference_tests_dir}/small_test.fa"])
+    assert rc in (0, None)
+    rows = [l for l in out.splitlines() if not l.startswith(">")]
+    assert len(rows) == 3 and len({len(r) for r in rows}) == 1
+    # ungapped rows reproduce the input sequences
+    from poasta_tpu.io import read_fasta
+    src = {n: s.decode() for n, s in
+           read_fasta(f"{reference_tests_dir}/small_test.fa")}
+    names = [l[1:] for l in out.splitlines() if l.startswith(">")]
+    for name, row in zip(names, rows):
+        assert row.replace("-", "") == src[name]
