@@ -151,13 +151,17 @@ def align_subcommand(args):
     # co-optimal tiebreaks that may differ from the exact A* engine's.
     use_banded = getattr(args, "engine", "exact") == "banded"
     if use_banded:
-        if args.alignment_span != "global" or aligner.costs.is_two_piece \
-                or debug_sink is not None:
+        if args.alignment_span != "global" or debug_sink is not None:
             raise SystemExit(
-                "--engine banded supports global one-piece alignment "
-                "without debug output"
+                "--engine banded supports global alignment without "
+                "debug output"
             )
-        if not use_native:
+        try:
+            from ..native import native_available
+
+            if not native_available():
+                raise SystemExit("--engine banded requires the native engine")
+        except ImportError:
             raise SystemExit("--engine banded requires the native engine")
 
     for name, seq in read_fasta(args.sequences):

@@ -79,6 +79,7 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
@@ -192,7 +193,6 @@ class NativeAligner:
         """
         from ..aligner.alignment import AlignedPair
 
-        assert not costs.is_two_piece, "banded native path is one-piece only"
         n = len(seq)
         cap = 4 * (n + self._n) + 16
         out_rpos = np.zeros(cap, dtype=np.int32)
@@ -210,6 +210,8 @@ class NativeAligner:
                 seq_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 n,
                 costs.mismatch, costs.gap_open, costs.gap_extend,
+                costs.gap_extend2 if costs.is_two_piece else 0,
+                1 if costs.is_two_piece else 0,
                 int(ub),
                 _i32ptr(out_rpos), _i32ptr(out_qpos), cap,
                 out_score.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -900,30 +900,39 @@ int64_t poasta_align(void* ptr, const uint8_t* seq, int64_t seq_len,
   return count;
 }
 
-// Banded dense fill + score-difference backtrace (gap-affine, global).
+// Banded dense fill + score-difference backtrace (gap-affine, global;
+// one- or two-piece).
 //
 // Windows per node mirror poasta_tpu/aligner/banded.py band_windows; the
-// fill mirrors ops/dp_rows.py row semantics; the backtrace mirrors
-// wavefront.py backtrace_dense (same priority rules, so the emitted
-// co-optimal alignment matches the wavefront engine's).  Exact when the
-// returned score <= ub: every cell of any <=ub path lies inside the band
-// (banded.py docstring) — callers retry with a larger ub otherwise.
+// fill mirrors ops/dp_rows.py / dp_rows_2p.py row semantics; the backtrace
+// mirrors wavefront.py backtrace_dense (same priority rules, so the
+// emitted co-optimal alignment matches the wavefront engine's).  Exact
+// when the returned score <= ub: every cell of any <=ub path lies inside
+// the band (banded.py docstring) — callers retry with a larger ub
+// otherwise.
 //
 // Returns pair count; -2 if cap exceeded; -4 if the score exceeds ub
 // (out_score still holds the banded score, an upper bound on the truth).
 int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
                             int32_t mismatch, int32_t gap_open,
-                            int32_t gap_extend, int64_t ub,
+                            int32_t gap_extend, int32_t gap_extend2,
+                            int32_t two_piece, int64_t ub,
                             int32_t* out_rpos, int32_t* out_qpos, int64_t cap,
                             int64_t* out_score) {
   auto& eng = *static_cast<Engine*>(ptr);
   const Graph& g = eng.g;
   ensure_banded_meta(eng);
   const int32_t o = gap_open, e = gap_extend, x = mismatch;
+  const int32_t e2 = gap_extend2;
+  const bool tp = two_piece != 0;
   constexpr int32_t INF = 1 << 28;
 
-  // per-node windows [lo, hi] (query offsets), width prefix offsets
-  const int64_t K = (ub >= o + e) ? (ub - o) / e : 0;
+  // per-node windows [lo, hi] (query offsets), width prefix offsets.
+  // K = max gap length whose cheapest cost fits under ub; for two-piece
+  // the cheapest long gap is open + switch-to-piece-2, so dividing by e2
+  // over-covers (safe: a wider band only costs work, never exactness).
+  const int64_t cheap_e = tp ? e2 : e;
+  const int64_t K = (ub >= o + cheap_e) ? (ub - o) / cheap_e : 0;
   std::vector<int64_t> lo(g.n), hi(g.n), base(g.n + 1, 0);
   for (int32_t r = 0; r < g.n; ++r) {
     int32_t nd = eng.topo[r];
@@ -941,56 +950,88 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
   for (int32_t nd = 0; nd < g.n; ++nd) base[nd + 1] += base[nd];
   const int64_t total = base[g.n];
   std::vector<int32_t> Mb(total, INF), Ib(total, INF), Db(total, INF);
+  std::vector<int32_t> I2b, D2b;
+  if (tp) {
+    I2b.assign(total, INF);
+    D2b.assign(total, INF);
+  }
 
   auto idx = [&](int32_t nd, int64_t j) -> int64_t {
     return base[nd] + (j - lo[nd]);
   };
+  auto in_band = [&](int32_t nd, int64_t j) -> bool {
+    return j >= lo[nd] && j <= hi[nd];
+  };
   auto getM = [&](int32_t nd, int64_t j) -> int32_t {
-    return (j >= lo[nd] && j <= hi[nd]) ? Mb[idx(nd, j)] : INF;
+    return in_band(nd, j) ? Mb[idx(nd, j)] : INF;
   };
   auto getI = [&](int32_t nd, int64_t j) -> int32_t {
-    return (j >= lo[nd] && j <= hi[nd]) ? Ib[idx(nd, j)] : INF;
+    return in_band(nd, j) ? Ib[idx(nd, j)] : INF;
   };
   auto getD = [&](int32_t nd, int64_t j) -> int32_t {
-    return (j >= lo[nd] && j <= hi[nd]) ? Db[idx(nd, j)] : INF;
+    return in_band(nd, j) ? Db[idx(nd, j)] : INF;
+  };
+  auto getI2 = [&](int32_t nd, int64_t j) -> int32_t {
+    return (tp && in_band(nd, j)) ? I2b[idx(nd, j)] : INF;
+  };
+  auto getD2 = [&](int32_t nd, int64_t j) -> int32_t {
+    return (tp && in_band(nd, j)) ? D2b[idx(nd, j)] : INF;
   };
 
-  // fill in topological order (row semantics of ops/dp_rows.py row_update)
+  // fill in topological order (row semantics of ops/dp_rows*.py)
   for (int32_t r = 0; r < g.n; ++r) {
     int32_t nd = eng.topo[r];
     bool is_start = nd == g.start_node;
     bool is_end = nd == g.end_node;
-    int32_t prevA = INF, prevI = INF;
+    int32_t prevA = INF, prevI = INF, prevI2 = INF;
     for (int64_t j = lo[nd]; j <= hi[nd]; ++j) {
-      int32_t min_pm = INF, min_pd = INF, diag_src = INF;
+      int32_t min_pm = INF, min_pd = INF, min_pd2 = INF, diag_src = INF;
       for (int32_t p : g.preds[nd]) {
         min_pm = std::min(min_pm, getM(p, j));
         min_pd = std::min(min_pd, getD(p, j));
+        if (tp) min_pd2 = std::min(min_pd2, getD2(p, j));
         if (j >= 1) diag_src = std::min(diag_src, getM(p, j - 1));
       }
       int32_t Dv = std::min(std::min((int64_t)min_pm + o + e,
                                      (int64_t)min_pd + e),
                             (int64_t)INF);
+      int32_t D2v = INF;
+      if (tp)
+        D2v = std::min((int64_t)std::min(min_pd, min_pd2) + e2, (int64_t)INF);
       int32_t match = (j >= 1 && g.symbol_equal(nd, seq[j - 1])) ? 0 : x;
       int32_t diag = (j >= 1 && diag_src < INF) ? diag_src + match : INF;
-      int32_t A = std::min(diag, Dv);
+      int32_t A = std::min(diag, std::min(Dv, D2v));
       if (is_start && j == 0) A = 0;
 
+      // I1[j] = min(A[j-1]+o+e, I1[j-1]+e, I2[j-1]+o+e)
+      // I2[j] = min(I1[j-1], I2[j-1]) + e2
       int32_t Iv = std::min(std::min((int64_t)prevA + o + e,
                                      (int64_t)prevI + e),
                             (int64_t)INF);
-      int32_t Mv = std::min(A, Iv);
+      int32_t I2v = INF;
+      if (tp) {
+        Iv = (int32_t)std::min((int64_t)Iv, (int64_t)prevI2 + o + e);
+        I2v = std::min((int64_t)std::min(prevI, prevI2) + e2, (int64_t)INF);
+      }
+      int32_t Mv = std::min(A, std::min(Iv, I2v));
       if (is_end) {
         Mv = min_pm;  // zero-cost same-offset hop into the virtual end
         Iv = INF;
         Dv = INF;
+        I2v = INF;
+        D2v = INF;
       }
       int64_t ix = idx(nd, j);
       Mb[ix] = Mv;
       Ib[ix] = Iv;
       Db[ix] = Dv;
+      if (tp) {
+        I2b[ix] = I2v;
+        D2b[ix] = D2v;
+      }
       prevA = A;
       prevI = Iv;
+      prevI2 = I2v;
     }
   }
 
@@ -999,7 +1040,8 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
   if (score > ub) return -4;
   if (n == 0) return 0;
 
-  // backtrace — mirrors wavefront.py backtrace_dense
+  // backtrace — mirrors wavefront.py backtrace_dense (extended with the
+  // two-piece states' transition structure from engine.py backtrace_step)
   auto preds_oldest = [&](int32_t nd) {
     return std::vector<int32_t>(g.preds[nd].rbegin(), g.preds[nd].rend());
   };
@@ -1017,8 +1059,13 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
 
   std::vector<std::pair<int32_t, int32_t>> pairs;
   while (true) {
-    cur = state == M ? getM(node, j) : (state == D ? getD(node, j)
-                                                   : getI(node, j));
+    switch (state) {
+      case M: cur = getM(node, j); break;
+      case D: cur = getD(node, j); break;
+      case I: cur = getI(node, j); break;
+      case D2: cur = getD2(node, j); break;
+      default: cur = getI2(node, j); break;
+    }
     int32_t bt_node = -1;
     int64_t bt_j = 0;
     int bt_state = M;
@@ -1034,48 +1081,64 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
           }
       }
       if (bt_node < 0 && getD(node, j) == cur) {
-        bt_node = node;
-        bt_j = j;
-        bt_state = D;
+        bt_node = node; bt_j = j; bt_state = D;
+      }
+      if (tp && bt_node < 0 && getD2(node, j) == cur) {
+        bt_node = node; bt_j = j; bt_state = D2;
       }
       if (bt_node < 0 && getI(node, j) == cur) {
-        bt_node = node;
-        bt_j = j;
-        bt_state = I;
+        bt_node = node; bt_j = j; bt_state = I;
+      }
+      if (tp && bt_node < 0 && getI2(node, j) == cur) {
+        bt_node = node; bt_j = j; bt_state = I2;
       }
     } else if (state == D) {
       for (int32_t p : preds_oldest(node))
         if (getM(p, j) == cur - o - e) {
-          bt_node = p;
-          bt_j = j;
-          bt_state = M;
+          bt_node = p; bt_j = j; bt_state = M;
           break;
         }
       if (bt_node < 0)
         for (int32_t p : preds_oldest(node))
           if (getD(p, j) == cur - e) {
-            bt_node = p;
-            bt_j = j;
-            bt_state = D;
+            bt_node = p; bt_j = j; bt_state = D;
             break;
           }
-    } else {  // insertion
+    } else if (state == D2) {
+      for (int32_t p : preds_oldest(node))
+        if (getD(p, j) == cur - e2) {
+          bt_node = p; bt_j = j; bt_state = D;
+          break;
+        }
+      if (bt_node < 0)
+        for (int32_t p : preds_oldest(node))
+          if (getD2(p, j) == cur - e2) {
+            bt_node = p; bt_j = j; bt_state = D2;
+            break;
+          }
+    } else if (state == I) {
       if (j > 0) {
         if (getM(node, j - 1) == cur - o - e) {
-          bt_node = node;
-          bt_j = j - 1;
-          bt_state = M;
+          bt_node = node; bt_j = j - 1; bt_state = M;
         } else if (getI(node, j - 1) == cur - e) {
-          bt_node = node;
-          bt_j = j - 1;
-          bt_state = I;
+          bt_node = node; bt_j = j - 1; bt_state = I;
+        } else if (tp && getI2(node, j - 1) == cur - o - e) {
+          bt_node = node; bt_j = j - 1; bt_state = I2;
+        }
+      }
+    } else {  // I2
+      if (j > 0) {
+        if (getI(node, j - 1) == cur - e2) {
+          bt_node = node; bt_j = j - 1; bt_state = I;
+        } else if (getI2(node, j - 1) == cur - e2) {
+          bt_node = node; bt_j = j - 1; bt_state = I2;
         }
       }
     }
 
     if (bt_node < 0) break;
 
-    if (state == M && (bt_state == D || bt_state == I)) {
+    if (state == M && bt_state != M) {
       node = bt_node;
       j = bt_j;
       state = bt_state;
@@ -1084,7 +1147,7 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
 
     if (state == M)
       pairs.push_back({node, (int32_t)(j - 1)});
-    else if (state == I)
+    else if (state == I || state == I2)
       pairs.push_back({-1, (int32_t)(j - 1)});
     else
       pairs.push_back({node, -1});

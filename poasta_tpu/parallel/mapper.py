@@ -243,8 +243,6 @@ class BatchMapper:
         return out
 
     def _align_batch_banded(self, queries, qshift, lengths):
-        if getattr(self.costs, "is_two_piece", False):
-            return None
         try:
             from ..native import NativeAligner
         except Exception:
@@ -254,22 +252,34 @@ class BatchMapper:
 
         from ..aligner.banded import BandedScorer
 
-        if getattr(self, "_banded_scorer", None) is None:
+        two_piece = getattr(self.costs, "is_two_piece", False)
+        if getattr(self, "_native", None) is None:
             try:
-                self._banded_scorer = BandedScorer(self.flat, self.costs)
-                self._banded_scorer.dg = self.dg  # share device arrays
                 self._native = NativeAligner(self.graph)
+                if not two_piece:
+                    # device scorer seeds each read's band with its exact
+                    # score; the two-piece device band isn't built yet, so
+                    # 2p reads use the native verify-and-retry on its own
+                    self._banded_scorer = BandedScorer(self.flat, self.costs)
+                    self._banded_scorer.dg = self.dg  # share device arrays
             except Exception:
                 return None
-        scores = self._banded_scorer.scores(qshift, lengths)
         na = self._native
 
-        def one(args):
-            q, s = args
-            score, aln = na.align_banded(q, self.costs, ub=int(s))
-            assert score == int(s), (score, int(s))
-            return score, aln
+        if two_piece:
+            def one(q):
+                return na.align_banded(q, self.costs)
+            args = queries
+        else:
+            scores = self._banded_scorer.scores(qshift, lengths)
+
+            def one(a):
+                q, s = a
+                score, aln = na.align_banded(q, self.costs, ub=int(s))
+                assert score == int(s), (score, int(s))
+                return score, aln
+            args = list(zip(queries, np.asarray(scores)))
 
         workers = min(len(queries), os.cpu_count() or 4)
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            return list(pool.map(one, zip(queries, np.asarray(scores))))
+            return list(pool.map(one, args))

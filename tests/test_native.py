@@ -121,3 +121,31 @@ def test_batch_mapper_banded_path():
     for q, (score, aln) in zip(queries, out):
         assert score == na.align(q, COSTS)[0]
         assert alignment_cost(g, q, aln, COSTS) == score
+
+
+def test_native_banded_two_piece_optimal():
+    # the banded dense fill returns the TRUE two-piece optimum (like the
+    # TPU engine), which the exact engines' inadmissible 2p mingap may
+    # miss — so the oracle here is dijkstra (admissible)
+    costs2 = GapAffine2Piece(4, 2, 8, 1, 24)
+    g, queries = _case(6, length=60)
+    queries.append(b"".join([queries[0][:20], b"G" * 25, queries[0][20:]]))
+    py = PoastaAligner(costs2, Global(), heuristic="dijkstra")
+    na = NativeAligner(g)
+    for q in queries:
+        s_b, aln = na.align_banded(q, costs2)
+        assert s_b == py.align(g, q).score
+        assert aln  # non-empty alignment
+
+
+def test_batch_mapper_banded_two_piece():
+    from poasta_tpu.parallel import BatchMapper
+
+    costs2 = GapAffine2Piece(4, 2, 8, 1, 24)
+    g, queries = _case(8, length=60)
+    bm = BatchMapper(g, costs2)
+    bm.DENSE_TABLE_BUDGET = 0  # force the banded path
+    out = bm.align_batch(queries)
+    py = PoastaAligner(costs2, Global(), heuristic="dijkstra")
+    for q, (score, aln) in zip(queries, out):
+        assert score == py.align(g, q).score
