@@ -267,9 +267,24 @@ class BatchMapper:
         na = self._native
 
         if two_piece:
-            def one(q):
-                return na.align_banded(q, self.costs)
-            args = queries
+            # seed with device scores from the full two-piece fill (no
+            # banded 2p device kernel yet); exactness is unconditional,
+            # the seed only skips the retry ramp
+            try:
+                from ..aligner.wavefront import dp_fill_scores
+
+                seeds = np.asarray(
+                    dp_fill_scores(self.dg, qshift, lengths, self.costs)
+                )
+            except Exception:
+                seeds = [None] * len(queries)
+
+            def one(a):
+                q, s = a
+                return na.align_banded(
+                    q, self.costs, ub=None if s is None else int(s)
+                )
+            args = list(zip(queries, seeds))
         else:
             scores = self._banded_scorer.scores(qshift, lengths)
 
