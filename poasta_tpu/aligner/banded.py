@@ -46,6 +46,11 @@ def band_windows(flat: FlatGraph, n_min: int, n_max: int, costs: GapAffine,
     Returns (wstart (N,), width, lo, hi).
     """
     o, e = costs.gap_open, costs.gap_extend
+    if getattr(costs, "is_two_piece", False):
+        # cheapest long gap opens piece 1 then extends on piece 2; using
+        # e2 throughout over-covers the window (safe: more work, never
+        # less exactness)
+        e = costs.gap_extend2
     K = max((ub - o) // e, 0) if ub >= o + e else 0
 
     ds_min = flat.min_dist_from_start.astype(np.int64)
@@ -174,6 +179,102 @@ def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int,
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _banded_exec_2p(window: int, Wb: int, P: int, o1: int, e1: int, e2: int,
+                    x: int, vary_axes: tuple = ()):
+    """Two-piece banded scores kernel: rings hold (B, W, Wb) windows for
+    M, D1, D2; the coupled (I1, I2) window chains run via the min-plus
+    associative scan (maps are j-independent, so they work on any
+    contiguous window — chains truncate at the window's left edge, which
+    matches band exactness: every cell of a <=ub path is in-band)."""
+    from ..ops.dp_rows_2p import insertion_rows_2p
+
+    @jax.jit
+    def fn(symbols, pred_slots_ranks, pred_valid, wstarts, write_slots,
+           end_rank, qshift, lengths):
+        B, L = qshift.shape
+        Np = symbols.shape[0]
+        lengths_i = lengths.astype(jnp.int32)
+
+        ring0 = jnp.full((B, window, Wb), INF, dtype=jnp.int32)
+        if vary_axes:
+            ring0 = jax.lax.pcast(ring0, vary_axes, to="varying")
+        carry0 = (ring0, ring0, ring0)
+
+        jloc = jnp.arange(Wb, dtype=jnp.int32)
+
+        def window_rows(ring, pred_ranks, valid, w_r, p):
+            pr = pred_ranks[p]
+            slot = jnp.take(write_slots, pr)
+            w_p = jnp.take(wstarts, pr)
+            delta = w_r - w_p
+            row = jax.lax.dynamic_index_in_dim(ring, slot, 1, keepdims=False)
+            pad = jnp.concatenate(
+                [jnp.full((B, Wb), INF, jnp.int32), row,
+                 jnp.full((B, Wb), INF, jnp.int32)], axis=1)
+            start = jnp.clip(delta + Wb, 0, 2 * Wb)
+            return jax.lax.dynamic_slice_in_dim(pad, start, Wb, axis=1)
+
+        def step(carry, xs):
+            M_ring, D1_ring, D2_ring = carry
+            rank, sym, pred_ranks, valid, w_r, wslot = xs
+            j_global = w_r + jloc
+
+            min_pm = jnp.full((B, Wb), INF, dtype=jnp.int32)
+            min_pd1 = jnp.full((B, Wb), INF, dtype=jnp.int32)
+            min_pd2 = jnp.full((B, Wb), INF, dtype=jnp.int32)
+            for p in range(P):
+                keep = valid[p]
+                am = window_rows(M_ring, pred_ranks, valid, w_r, p)
+                ad1 = window_rows(D1_ring, pred_ranks, valid, w_r, p)
+                ad2 = window_rows(D2_ring, pred_ranks, valid, w_r, p)
+                min_pm = jnp.minimum(min_pm, jnp.where(keep, am, INF))
+                min_pd1 = jnp.minimum(min_pd1, jnp.where(keep, ad1, INF))
+                min_pd2 = jnp.minimum(min_pd2, jnp.where(keep, ad2, INF))
+
+            D1 = jnp.minimum(jnp.minimum(min_pm + o1 + e1, min_pd1 + e1), INF)
+            D2 = jnp.minimum(jnp.minimum(min_pd1, min_pd2) + e2, INF)
+
+            diag_src = jnp.concatenate(
+                [jnp.full((B, 1), INF, jnp.int32), min_pm[:, :-1]], axis=1)
+            qwin = jax.lax.dynamic_slice_in_dim(qshift, w_r, Wb, axis=1)
+            match_cost = jnp.where(qwin == sym, jnp.int32(0), jnp.int32(x))
+            diag = jnp.minimum(diag_src + match_cost, INF)
+
+            A = jnp.minimum(diag, jnp.minimum(D1, D2))
+            is_start = rank == 0
+            origin = jnp.logical_and(is_start, j_global[None, :] == 0)
+            A = jnp.minimum(A, jnp.where(origin, jnp.int32(0), INF))
+
+            I1, I2 = insertion_rows_2p(A, o1, e1, 0, e2)
+            M = jnp.minimum(A, jnp.minimum(I1, I2))
+
+            is_end = rank == end_rank
+            M = jnp.where(is_end, min_pm, M)
+            D1 = jnp.where(is_end, INF, D1)
+            D2 = jnp.where(is_end, INF, D2)
+
+            M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, wslot, 1)
+            D1_ring = jax.lax.dynamic_update_index_in_dim(D1_ring, D1, wslot, 1)
+            D2_ring = jax.lax.dynamic_update_index_in_dim(D2_ring, D2, wslot, 1)
+
+            idx_loc = lengths_i - w_r
+            in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
+            idx_c = jnp.clip(idx_loc, 0, Wb - 1)[:, None]
+            at_len = jnp.take_along_axis(M, idx_c, axis=1)[:, 0]
+            at_len = jnp.where(in_range, at_len, INF)
+            at_len = jnp.where(is_end, at_len, INF)
+            return (M_ring, D1_ring, D2_ring), at_len
+
+        ranks = jnp.arange(Np, dtype=jnp.int32)
+        xs = (ranks, symbols, pred_slots_ranks, pred_valid, wstarts,
+              write_slots)
+        _, at_len = jax.lax.scan(step, carry0, xs)
+        return jnp.min(at_len, axis=0)
+
+    return fn
+
+
 class BandedScorer:
     """Exact banded scorer with verify-and-retry.
 
@@ -233,6 +334,7 @@ class BandedScorer:
             self.mesh is not None
             and int(qshift.shape[0]) % self.mesh.shape.get("dp", 1) == 0
         )
+        two_piece = getattr(costs, "is_two_piece", False)
         use_pallas = (
             not use_mesh
             and jax.default_backend() != "cpu"
@@ -271,7 +373,11 @@ class BandedScorer:
                     axis=1,
                 )
             if use_pallas:
-                from ..ops.pallas_fill import pallas_banded_scores, prepare_banded
+                from ..ops.pallas_fill import (
+                    pallas_banded_scores,
+                    pallas_banded_scores_2p,
+                    prepare_banded,
+                )
 
                 pkey = key + ("prep",)
                 prep = self._prep_cache.get(pkey)
@@ -279,10 +385,16 @@ class BandedScorer:
                     prep = prepare_banded(self.dg, costs, wstart, width,
                                           int(q_in.shape[1]))
                     self._prep_cache[pkey] = prep
-                scores = np.asarray(
-                    pallas_banded_scores(self.dg, q_in, lengths, costs,
-                                         prep=prep)
-                )
+                if two_piece:
+                    scores = np.asarray(
+                        pallas_banded_scores_2p(self.dg, q_in, lengths,
+                                                costs, prep=prep)
+                    )
+                else:
+                    scores = np.asarray(
+                        pallas_banded_scores(self.dg, q_in, lengths, costs,
+                                             prep=prep)
+                    )
             else:
                 wkey = key + ("wstarts",)
                 wstarts = self._prep_cache.get(wkey)
@@ -292,11 +404,18 @@ class BandedScorer:
                     )
                     wstarts = jnp.asarray(np.concatenate([wstart, pad]))
                     self._prep_cache[wkey] = wstarts
-                fn = _banded_exec(self.dg.window, width,
-                                  int(self._pred_ranks.shape[1]),
-                                  costs.gap_open, costs.gap_extend,
-                                  costs.mismatch,
-                                  vary_axes=("dp",) if use_mesh else ())
+                if two_piece:
+                    fn = _banded_exec_2p(self.dg.window, width,
+                                         int(self._pred_ranks.shape[1]),
+                                         costs.gap_open, costs.gap_extend,
+                                         costs.gap_extend2, costs.mismatch,
+                                         vary_axes=("dp",) if use_mesh else ())
+                else:
+                    fn = _banded_exec(self.dg.window, width,
+                                      int(self._pred_ranks.shape[1]),
+                                      costs.gap_open, costs.gap_extend,
+                                      costs.mismatch,
+                                      vary_axes=("dp",) if use_mesh else ())
                 if use_mesh:
                     fn = self._sharded(fn, key)
                 scores = np.asarray(
@@ -315,7 +434,20 @@ class BandedScorer:
             ub = int(finite.max()) if finite.size else ub * 4
 
         self._prep_cache[("fullfill", n_min, n_max)] = True
-        return np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))
+        scores = np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))
+        # The default ub guess can be so loose that the band is wider than
+        # the full fill before the retry loop ever runs.  Now that the true
+        # max score is known, re-enable banding for future calls if a band
+        # built from it would actually be narrower.
+        finite = scores[scores < INF]
+        if finite.size:
+            tight = int(finite.max())
+            _, width, _, _ = band_windows(self.flat, n_min, n_max, costs,
+                                          tight)
+            if width + 128 < int(qshift.shape[1]):
+                self._ub_hint[(n_min, n_max)] = tight
+                del self._prep_cache[("fullfill", n_min, n_max)]
+        return scores
 
     def _sharded(self, fn, key):
         """shard_map the banded fill over the mesh's dp axis.

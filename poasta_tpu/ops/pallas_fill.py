@@ -651,6 +651,161 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np=None,
               dg.meta, qshift, lengths, prep["w_end"])
 
 
+def _banded_kernel_2p(
+    # scalar prefetch
+    symbols_ref, pred_slots_ref, pred_valid_ref, pred_wstart_ref,
+    wstart_ref, wslot_ref, meta_ref,
+    # inputs
+    qshift_ref,       # (B_BLK, L) VMEM
+    # outputs
+    end_row_ref,      # (B_BLK, Wb) VMEM
+    # scratch: three margin-padded rings (M, D1, D2)
+    m_ring, d1_ring, d2_ring,
+    *, W: int, P: int, Wb: int, MARGIN: int, o1: int, e1: int, e2: int,
+    x: int, B_BLK: int, dtype,
+):
+    """Two-piece banded fill.  The coupled (I1, I2) doubling scan's maps
+    carry no absolute-offset term, so it runs on the local window
+    directly; chains truncate at the window's left edge (exact in-band).
+    """
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    TOT = 2 * MARGIN + Wb
+    inf = INF16 if dtype == jnp.int16 else INF
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+        d1_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+        d2_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
+    masks = _ge_masks(col32, Wb)
+
+    def body(r, _):
+        sym = symbols_ref[r]
+        w_r = wstart_ref[r]
+        j32 = col32 + w_r
+
+        slot0 = pred_slots_ref[r * P]
+        delta0 = jnp.clip(w_r - pred_wstart_ref[r * P], -MARGIN, MARGIN)
+        start0 = pl.multiple_of(MARGIN + delta0, 128)
+        min_pm = m_ring[slot0, :, pl.ds(start0, Wb)]
+        min_pd1 = d1_ring[slot0, :, pl.ds(start0, Wb)]
+        min_pd2 = d2_ring[slot0, :, pl.ds(start0, Wb)]
+        for p in range(1, P):
+            slot = pred_slots_ref[r * P + p]
+            valid = pred_valid_ref[r * P + p]
+            w_p = pred_wstart_ref[r * P + p]
+            delta = jnp.clip(w_r - w_p, -MARGIN, MARGIN)
+            start = pl.multiple_of(MARGIN + delta, 128)
+            keep = valid == 1
+            min_pm = jnp.minimum(
+                min_pm, jnp.where(keep, m_ring[slot, :, pl.ds(start, Wb)], inf))
+            min_pd1 = jnp.minimum(
+                min_pd1, jnp.where(keep, d1_ring[slot, :, pl.ds(start, Wb)], inf))
+            min_pd2 = jnp.minimum(
+                min_pd2, jnp.where(keep, d2_ring[slot, :, pl.ds(start, Wb)], inf))
+
+        D1 = jnp.minimum(jnp.minimum(min_pm + dtype(o1 + e1),
+                                     min_pd1 + dtype(e1)), dtype(inf))
+        D2 = jnp.minimum(jnp.minimum(min_pd1, min_pd2) + dtype(e2), dtype(inf))
+
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+        qstart = pl.multiple_of(w_r, 128)
+        qwin = qshift_ref[:, pl.ds(qstart, Wb)]
+        match_cost = jnp.where(qwin == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
+        diag = diag_src + match_cost
+
+        A = jnp.minimum(diag, jnp.minimum(D1, D2))
+        zero_at_origin = jnp.where(j32 == 0, jnp.int32(0),
+                                   jnp.int32(inf)).astype(dtype)
+        A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
+
+        I1, I2 = _coupled_insertion_rows(A, Wb, inf, masks, o1, e1, e2, dtype)
+        M = jnp.minimum(A, jnp.minimum(I1, I2))
+
+        is_end = r == end_rank
+        M = jnp.where(is_end, min_pm, M)
+
+        @pl.when(is_end)
+        def _():
+            end_row_ref[:] = min_pm
+
+        slot = wslot_ref[r]
+        m_ring[slot, :, MARGIN:MARGIN + Wb] = M
+        d1_ring[slot, :, MARGIN:MARGIN + Wb] = jnp.where(
+            is_end, dtype(inf), D1)
+        d2_ring[slot, :, MARGIN:MARGIN + Wb] = jnp.where(
+            is_end, dtype(inf), D2)
+        return 0
+
+    jax.lax.fori_loop(0, n_nodes, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_exec_2p(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
+                    L: int, o1: int, e1: int, e2: int, x: int,
+                    B_BLK: int = 64):
+    dtype = jnp.int32
+    kernel = functools.partial(_banded_kernel_2p, W=W, P=P, Wb=Wb,
+                               MARGIN=MARGIN, o1=o1, e1=e1, e2=e2, x=x,
+                               B_BLK=B_BLK, dtype=dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (B_BLK, Wb), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, pred_wstarts, wstarts, wslots,
+           meta, qshift, lengths, w_end):
+        end_row = call(symbols, pred_slots, pred_valid, pred_wstarts,
+                       wstarts, wslots, meta, qshift)
+        idx_loc = lengths.astype(jnp.int32) - w_end
+        in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
+        idx_c = jnp.clip(idx_loc, 0, Wb - 1)[:, None]
+        at = jnp.take_along_axis(end_row, idx_c, axis=1)[:, 0].astype(jnp.int32)
+        return jnp.where(in_range, at, jnp.int32(INF))
+
+    return fn
+
+
+def pallas_banded_scores_2p(dg, qshift, lengths, costs, prep):
+    """Two-piece banded global-alignment scores via the Pallas kernel."""
+    B, L = qshift.shape
+    assert B % B_BLK == 0
+    P = int(dg.pred_slots.shape[1])
+    margin, width = prep["margin"], prep["width"]
+    blk = pick_b_blk(dg.window, 2 * margin + width, L, 4, n_rings=3)
+    while B % blk:
+        blk //= 2
+    fn = _banded_exec_2p(B // blk, dg.window, P, width, margin, L,
+                         costs.gap_open, costs.gap_extend, costs.gap_extend2,
+                         costs.mismatch, B_BLK=blk)
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
+              dg.meta, qshift, lengths, prep["w_end"])
+
+
 def pallas_fill_scores(dg, qshift, lengths, costs):
     """(B,) global-alignment scores via the Pallas kernel.
 

@@ -68,3 +68,50 @@ def test_band_windows_cover_feasible_cells():
     # the global end state (end rank, offset n) is always inside
     end = flat.n_nodes - 1
     assert ws[end] <= n <= ws[end] + width - 1
+
+
+def test_banded_two_piece_matches_full():
+    import random
+
+    import numpy as np
+
+    from poasta_tpu.aligner import GapAffine2Piece
+    from poasta_tpu.aligner.banded import BandedScorer
+    from poasta_tpu.aligner.wavefront import dp_fill_scores, pack_queries
+    from poasta_tpu.graphs import POAGraph
+    from poasta_tpu.native import NativeAligner
+
+    rng = random.Random(23)
+    base = "".join(rng.choice("ACGT") for _ in range(600))
+
+    def mutate(s, p=0.008):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < p:
+                continue
+            out.append(rng.choice("ACGT") if r < 2 * p else ch)
+            if rng.random() < p:
+                out.append(rng.choice("ACGT"))
+        return "".join(out) or "A"
+
+    costs2 = GapAffine2Piece(4, 2, 8, 1, 24)
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * 600)
+    for i in range(1, 3):
+        s = mutate(base).encode()
+        _, aln, _ = NativeAligner(g).align(s, COSTS)
+        g.add_alignment_with_weights(f"s{i}", s, aln, [1] * len(s))
+    queries = [mutate(base).encode() for _ in range(8)]
+    flat = g.flatten()
+    qshift, lengths = pack_queries(queries)
+    bs = BandedScorer(flat, costs2)
+    s1 = bs.scores(qshift, lengths)   # may fall back + learn tight ub
+    s2 = bs.scores(qshift, lengths)   # banded with learned ub
+    full = np.asarray(dp_fill_scores(bs.dg, qshift, lengths, costs2))
+    assert (np.asarray(s1) == full).all()
+    assert (np.asarray(s2) == full).all()
+    assert not any(
+        isinstance(k, tuple) and k and k[0] == "fullfill"
+        for k in bs._prep_cache
+    ), "two-piece band did not engage after learning the tight ub"
