@@ -65,3 +65,28 @@ class DebugOutputWriter:
 
     def close(self) -> None:
         pass
+
+
+def dump_wavefront_tsv(flat, M, I, D, path) -> None:
+    """Write the TPU wavefront fill's dense score tables as debug TSV.
+
+    Same schema as the exact engine's dumps (``node_id/offset/matrix/
+    score``; reference ``gap_affine.rs:659-698``), so ``tools/plot_dp``
+    and the reference's contrib plot script both render them.  ``M/I/D``
+    are (n_ranks, L) tables for ONE read (e.g. a slice of
+    ``dp_fill_full``'s output); INF-sentinel cells are skipped.
+    """
+    INF_CUT = 1 << 27
+    # tables may carry bucket-padded ranks beyond the real node count
+    n = min(M.shape[0], flat.n_nodes)
+    L = M.shape[1]
+    with open(path, "w") as fh:
+        fh.write("node_id\toffset\tmatrix\tscore\n")
+        for r in range(n):
+            node = int(flat.node_of_rank[r])
+            for j in range(L):
+                for name, table in (("match", M), ("insertion", I),
+                                    ("deletion", D)):
+                    v = int(table[r, j])
+                    if v < INF_CUT:
+                        fh.write(f"{node}\t{j}\t{name}\t{v}\n")

@@ -63,3 +63,45 @@ def test_graphviz_region_unknown_sequence(debug_dump):
 
     with pytest.raises(SystemExit):
         main([str(debug_dump / "annot.dot"), "nope:1-5"])
+
+
+def test_wavefront_dump_renders(tmp_path, reference_tests_dir):
+    import numpy as np
+
+    from poasta_tpu.aligner import GapAffine, Global, PoastaAligner
+    from poasta_tpu.aligner.wavefront import (
+        DeviceGraph,
+        dp_fill_full,
+        pack_queries,
+    )
+    from poasta_tpu.utils.debug import dump_wavefront_tsv
+    from poasta_tpu.tools.plot_dp import main as plot_main
+
+    g = POAGraph()
+    a = PoastaAligner(GapAffine(4, 2, 6), Global(), heuristic="mingap")
+    for name, seq in read_fasta(f"{reference_tests_dir}/small_test.fa"):
+        w = [1] * len(seq)
+        if g.is_empty():
+            g.add_alignment_with_weights(name, seq, None, w)
+        else:
+            r = a.align(g, seq)
+            g.add_alignment_with_weights(name, seq, r.alignment, w)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    q = b"AATGGTTGTCACGTCAGT"
+    qshift, lengths = pack_queries([q])
+    _, M, I, D = dp_fill_full(dg, qshift, lengths, GapAffine(4, 2, 6))
+    tsv = tmp_path / "wave.iter0.tsv"
+    dump_wavefront_tsv(flat, np.asarray(M)[:, 0, :], np.asarray(I)[:, 0, :],
+                       np.asarray(D)[:, 0, :], tsv)
+    # renders with the same plot tooling as the exact engine's dumps
+    import io as _io
+    from poasta_tpu.io import format_as_dot
+
+    dot = tmp_path / "g.dot"
+    buf = _io.StringIO()
+    format_as_dot(g, buf)
+    dot.write_text(buf.getvalue())
+    out = tmp_path / "viz"
+    plot_main([str(dot), str(tsv), "-o", str(out)])
+    assert len(list(out.glob("*.png"))) == 3
