@@ -51,22 +51,33 @@ def align_subcommand(args):
             emit_record(name, seq, res.score, res.alignment)
     else:
         mapper = BatchMapper(graph, costs, batch_size=args.batch_size)
-        batch = []
+        # Super-batches are sorted by read length before splitting into
+        # device batches: the banded fill shares one window layout per
+        # batch, so mixing lengths pays gap_extend * (max_len - min_len)
+        # of extra band width.  Output is restored to input order.
+        super_size = args.batch_size * 16
+        chunk = []
         for rec in reader:
-            batch.append(rec)
-            if len(batch) >= args.batch_size:
-                _flush(mapper, batch, emit_record)
-                batch = []
-        if batch:
-            _flush(mapper, batch, emit_record)
+            chunk.append(rec)
+            if len(chunk) >= super_size:
+                _flush_sorted(mapper, chunk, args.batch_size, emit_record)
+                chunk = []
+        if chunk:
+            _flush_sorted(mapper, chunk, args.batch_size, emit_record)
 
     if args.output:
         out.close()
 
 
-def _flush(mapper, batch, emit_record):
-    results = mapper.align_batch([seq for _, seq in batch])
-    for (name, seq), (score, alignment) in zip(batch, results):
+def _flush_sorted(mapper, chunk, batch_size, emit_record):
+    order = sorted(range(len(chunk)), key=lambda i: len(chunk[i][1]))
+    results = [None] * len(chunk)
+    for at in range(0, len(order), batch_size):
+        idxs = order[at:at + batch_size]
+        out = mapper.align_batch([chunk[i][1] for i in idxs])
+        for i, r in zip(idxs, out):
+            results[i] = r
+    for (name, seq), (score, alignment) in zip(chunk, results):
         emit_record(name, seq, score, alignment)
 
 
