@@ -58,6 +58,12 @@ def align_subcommand(args):
         super_size = args.batch_size * 16
         chunk = []
         for rec in reader:
+            if not rec[1]:
+                # per-record failures are logged and skipped, matching the
+                # reference's reader behavior (lasagna.rs:153-156)
+                print(f"WARNING: skipping empty read {rec[0]!r}",
+                      file=sys.stderr)
+                continue
             chunk.append(rec)
             if len(chunk) >= super_size:
                 _flush_sorted(mapper, chunk, args.batch_size, emit_record)
