@@ -339,6 +339,7 @@ class BandedScorer:
             not use_mesh
             and jax.default_backend() != "cpu"
             and int(qshift.shape[0]) % 64 == 0
+            and not self._prep_cache.get(("nopallas", n_min, n_max))
         )
 
         if self._prep_cache.get(("fullfill", n_min, n_max)):
@@ -385,16 +386,25 @@ class BandedScorer:
                     prep = prepare_banded(self.dg, costs, wstart, width,
                                           int(q_in.shape[1]))
                     self._prep_cache[pkey] = prep
-                if two_piece:
-                    scores = np.asarray(
-                        pallas_banded_scores_2p(self.dg, q_in, lengths,
-                                                costs, prep=prep)
-                    )
-                else:
-                    scores = np.asarray(
-                        pallas_banded_scores(self.dg, q_in, lengths, costs,
-                                             prep=prep)
-                    )
+                try:
+                    if two_piece:
+                        scores = np.asarray(
+                            pallas_banded_scores_2p(self.dg, q_in, lengths,
+                                                    costs, prep=prep)
+                        )
+                    else:
+                        scores = np.asarray(
+                            pallas_banded_scores(self.dg, q_in, lengths,
+                                                 costs, prep=prep)
+                        )
+                except Exception:
+                    # kernel didn't compile for this shape (e.g. the rings
+                    # exceed scoped VMEM at very wide bands) — remember and
+                    # use the XLA banded path for this length profile
+                    self._prep_cache[("nopallas", n_min, n_max)] = True
+                    use_pallas = False
+                    self._prep_cache.pop(key, None)
+                    continue
             else:
                 wkey = key + ("wstarts",)
                 wstarts = self._prep_cache.get(wkey)
