@@ -164,6 +164,7 @@ def align_subcommand(args):
         except ImportError:
             raise SystemExit("--engine banded requires the native engine")
 
+    last_banded_score = None
     for name, seq in read_fasta(args.sequences):
         weights = [1] * len(seq)
         if debug_sink is not None:
@@ -174,9 +175,17 @@ def align_subcommand(args):
             if use_banded and graph.node_count() > 0:
                 from ..native import NativeAligner
 
+                # sequences of one MSA have similar divergence: seeding the
+                # band with the previous score (+slack) usually makes the
+                # first fill verify, halving per-sequence work; a low seed
+                # just triggers the normal verify-and-retry
+                ub = None
+                if last_banded_score is not None:
+                    ub = int(last_banded_score * 3 / 2) + 64
                 score, alignment = NativeAligner(graph).align_banded(
-                    seq, aligner.costs
+                    seq, aligner.costs, ub=ub
                 )
+                last_banded_score = score
             elif use_native and graph.node_count() > 0:
                 from ..native import NativeAligner
 
