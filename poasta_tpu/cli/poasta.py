@@ -126,6 +126,7 @@ def align_subcommand(args):
     from ..graphs import POAGraph
     from ..io import read_fasta
     from ..utils.debug import DebugOutputWriter
+    from ..utils.errors import PoastaError
 
     debug_sink = DebugOutputWriter(args.debug_output) if args.debug_output else None
     aligner = _make_aligner(args, debug_sink=debug_sink)
@@ -201,7 +202,19 @@ def align_subcommand(args):
                 f"Alignment length: {len(alignment)}",
                 file=sys.stderr,
             )
-            graph.add_alignment_with_weights(name, seq, alignment, weights)
+            try:
+                graph.add_alignment_with_weights(name, seq, alignment, weights)
+            except PoastaError:
+                # co-optimal alignments of a completely unrelated sequence
+                # can collapse to pure indel runs, which fusion cannot
+                # anchor (the reference errors out here); keep the run
+                # alive by fusing it as a fresh unaligned chain
+                print(
+                    f"WARNING: '{name}' shares no aligned column with the "
+                    "graph; fusing it unaligned",
+                    file=sys.stderr,
+                )
+                graph.add_alignment_with_weights(name, seq, None, weights)
 
     _emit(graph, args.output_type or "poasta", args.output)
     if debug_sink is not None:

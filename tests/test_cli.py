@@ -113,3 +113,17 @@ def test_align_banded_engine(reference_tests_dir):
     names = [l[1:] for l in out.splitlines() if l.startswith(">")]
     for name, row in zip(names, rows):
         assert row.replace("-", "") == src[name]
+
+
+def test_align_unrelated_sequence_fused_unaligned(tmp_path, capsys):
+    # a completely unrelated sequence whose co-optimal alignment collapses
+    # to pure indels must not kill the run (the reference errors here)
+    fa = tmp_path / "in.fa"
+    fa.write_text(">a\nAAAAAAAA\n>b\nAAAAAAAA\n>weird\nGGGGGGGGGGGGGGGGGGGGGGGG\n")
+    rc, out = _run(poasta_main,
+                   ["align", "-O", "fasta", "-n", "9", "-g", "1", "-e", "1",
+                    str(fa)])
+    assert rc in (0, None)
+    assert out.count(">") == 3
+    rows = [l for l in out.splitlines() if not l.startswith(">")]
+    assert len({len(r) for r in rows}) == 1
