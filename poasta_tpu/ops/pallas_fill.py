@@ -49,20 +49,57 @@ B_BLK = 64  # default batch block; callers may pick larger when VMEM allows
 VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def score_dtype(n_nodes: int, L: int, o: int, e: int, x: int):
-    """int16 when the worst finite DP value provably fits, else int32.
+_INT16_PROBE: list = []  # [] = not probed; [True/False] = probe result
 
-    DISABLED pending Mosaic support: the current v5e toolchain cannot
-    compile the int16 kernel (no 16-bit lane rotate; i1 relayout between
-    the (8,128) and (16,128) layouts fails; ``arith.minsi`` is not
-    legalized on the packed (8,128,2) layout produced by bitcast+roll).
-    The kernel bodies are dtype-generic so flipping this back on is a
-    one-line change once the toolchain catches up.
+
+def _int16_supported() -> bool:
+    """One-shot probe: can the current Mosaic toolchain compile AND
+    correctly run the int16 fill kernel?
+
+    The 2026-08 v5e toolchain cannot (no 16-bit lane rotate; i1 relayout
+    between the (8,128)/(16,128) layouts fails; ``arith.minsi`` is not
+    legalized on the packed layout from bitcast+roll).  The kernel bodies
+    are dtype-generic, so this probe auto-enables int16 — halving ring
+    VMEM and bandwidth — the moment a toolchain update lands.
     """
-    if False:
-        worst = 2 * o + e * (n_nodes + L) + x
-        if worst < INF16 - 64 and e * (L - 1) + o + x + INF16 < 32767:
-            return jnp.int16
+    if _INT16_PROBE:
+        return _INT16_PROBE[0]
+    ok = False
+    try:
+        if jax.default_backend() != "cpu":
+            sym = np.array([-1, 65, 65, -1], dtype=np.int32)
+            sym = np.resize(sym, 64)
+            symbols = jnp.asarray(sym)
+            pred_slots = jnp.zeros((64 * 1,), jnp.int32)
+            pred_valid = jnp.asarray(
+                np.resize(np.array([0, 1, 1, 1], np.int32), 64))
+            wslots = jnp.asarray(np.arange(64, dtype=np.int32) % 2)
+            meta = jnp.asarray([3, 2, 0, 0], jnp.int32)
+            q = jnp.zeros((64, 128), jnp.int32).at[:, 1].set(65)
+            lengths = jnp.ones((64,), jnp.int32)
+            fn16 = _pallas_exec(1, 2, 1, 128, 6, 2, 4, B_BLK=64,
+                                use_int16=True)
+            out16 = np.asarray(fn16(symbols, pred_slots, pred_valid, wslots,
+                                    meta, q, lengths))
+            fn32 = _pallas_exec(1, 2, 1, 128, 6, 2, 4, B_BLK=64,
+                                use_int16=False)
+            out32 = np.asarray(fn32(symbols, pred_slots, pred_valid, wslots,
+                                    meta, q, lengths))
+            ok = bool((out16 == out32).all())
+    except Exception:
+        ok = False
+    _INT16_PROBE.append(ok)
+    return ok
+
+
+def score_dtype(n_nodes: int, L: int, o: int, e: int, x: int):
+    """int16 when the worst finite DP value provably fits and the
+    toolchain can compile the int16 kernel (see :func:`_int16_supported`),
+    else int32."""
+    worst = 2 * o + e * (n_nodes + L) + x
+    if worst < INF16 - 64 and e * (L - 1) + o + x + INF16 < 32767 \
+            and _int16_supported():
+        return jnp.int16
     return jnp.int32
 
 
