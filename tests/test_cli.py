@@ -127,3 +127,23 @@ def test_align_unrelated_sequence_fused_unaligned(tmp_path, capsys):
     assert out.count(">") == 3
     rows = [l for l in out.splitlines() if not l.startswith(">")]
     assert len({len(r) for r in rows}) == 1
+
+
+def test_lasagna_engines_agree_on_scores(tmp_path, reference_tests_dir):
+    out_w = tmp_path / "w.gaf"
+    out_e = tmp_path / "e.gaf"
+    for engine, out in (("wavefront", out_w), ("exact", out_e)):
+        rc = lasagna_main(["align", f"{reference_tests_dir}/test.gfa",
+                           f"{reference_tests_dir}/small_test.query.fa",
+                           "--engine", engine, "-o", str(out)])
+        assert rc in (0, None)
+
+    def scores(path):
+        res = {}
+        for line in path.read_text().splitlines():
+            fields = line.split("\t")
+            as_tag = [f for f in fields if f.startswith("AS:i:")][0]
+            res[fields[0]] = int(as_tag[5:])
+        return res
+
+    assert scores(out_w) == scores(out_e)
