@@ -309,8 +309,118 @@ class BandedScorer:
         # verify-and-retry loop on every call
         self._ub_hint: dict = {}
 
+    def _fill_once(self, q_in_key, qshift, lengths, ub, n_min, n_max,
+                   use_pallas, use_mesh, two_piece):
+        """One banded fill of the given batch at the given ub.
+
+        Returns the (possibly over-estimated) banded scores as a numpy
+        array, or None when the band would be as wide as the full fill.
+        ``q_in_key`` keys the query padding cache (id of the batch array).
+        """
+        costs = self.costs
+        while True:
+            key = (n_min, n_max, ub, use_pallas, use_mesh,
+                   int(qshift.shape[1]))
+            cached = self._prep_cache.get(key)
+            if cached is None:
+                wstart, width, lo, hi = band_windows(
+                    self.flat, n_min, n_max, costs, ub
+                )
+                if use_pallas:
+                    # 128-align windows so in-kernel dynamic slices stay legal
+                    wstart = (wstart // 128) * 128
+                    width += 128
+                cached = (wstart, width)
+                self._prep_cache[key] = cached
+            wstart, width = cached
+            L = int(qshift.shape[1])
+            if width >= L:
+                return None  # band as wide as the full fill: no point
+            # dynamic_slice clamps starts; guarantee every window fits
+            required_L = _round_up(int(wstart.max()) + width, 128)
+            q_in = qshift
+            if required_L > L:
+                qpad_key = ("qpad", q_in_key, required_L) \
+                    if q_in_key is not None else None
+                q_in = self._prep_cache.get(qpad_key) if qpad_key else None
+                if q_in is None:
+                    q_in = jnp.concatenate(
+                        [qshift,
+                         jnp.zeros((qshift.shape[0], required_L - L),
+                                   qshift.dtype)],
+                        axis=1,
+                    )
+                    if qpad_key:
+                        self._prep_cache[qpad_key] = q_in
+            if use_pallas:
+                from ..ops.pallas_fill import (
+                    pallas_banded_scores,
+                    pallas_banded_scores_2p,
+                    prepare_banded,
+                )
+
+                pkey = key + ("prep",)
+                prep = self._prep_cache.get(pkey)
+                if prep is None:
+                    prep = prepare_banded(self.dg, costs, wstart, width,
+                                          int(q_in.shape[1]))
+                    self._prep_cache[pkey] = prep
+                try:
+                    if two_piece:
+                        return np.asarray(
+                            pallas_banded_scores_2p(self.dg, q_in, lengths,
+                                                    costs, prep=prep)
+                        )
+                    return np.asarray(
+                        pallas_banded_scores(self.dg, q_in, lengths, costs,
+                                             prep=prep)
+                    )
+                except Exception:
+                    # kernel didn't compile for this shape (e.g. the rings
+                    # exceed scoped VMEM at very wide bands) — remember and
+                    # use the XLA banded path for this length profile
+                    self._prep_cache[("nopallas", n_min, n_max)] = True
+                    use_pallas = False
+                    self._prep_cache.pop(key, None)
+                    continue
+            wkey = key + ("wstarts",)
+            wstarts = self._prep_cache.get(wkey)
+            if wstarts is None:
+                pad = np.zeros(
+                    self.dg.n_nodes_padded - wstart.shape[0], dtype=np.int32
+                )
+                wstarts = jnp.asarray(np.concatenate([wstart, pad]))
+                self._prep_cache[wkey] = wstarts
+            if two_piece:
+                fn = _banded_exec_2p(self.dg.window, width,
+                                     int(self._pred_ranks.shape[1]),
+                                     costs.gap_open, costs.gap_extend,
+                                     costs.gap_extend2, costs.mismatch,
+                                     vary_axes=("dp",) if use_mesh else ())
+            else:
+                fn = _banded_exec(self.dg.window, width,
+                                  int(self._pred_ranks.shape[1]),
+                                  costs.gap_open, costs.gap_extend,
+                                  costs.mismatch,
+                                  vary_axes=("dp",) if use_mesh else ())
+            if use_mesh:
+                fn = self._sharded(fn, key)
+            return np.asarray(
+                fn(self.dg.symbols, self._pred_ranks,
+                   self.dg.pred_valid, wstarts, self.dg.write_slots,
+                   self.dg.end_rank, q_in, lengths)
+            )
+
     def scores(self, qshift, lengths, ub: Optional[int] = None,
-               max_retries: int = 3) -> np.ndarray:
+               max_retries: int = 4) -> np.ndarray:
+        """Exact scores with tiered verify-and-retry.
+
+        Reads whose banded score verifies at the current ub are done (the
+        band provably contains their optimal path); only the unresolved
+        reads re-fill at a wider band — so per-read work scales with that
+        read's own score, the batch analogue of the reference A*'s
+        work-proportional-to-score property.
+        """
         costs = self.costs
         # lengths is usually a device array; np.asarray would put a
         # device->host round trip on every call, so cache min/max by
@@ -329,7 +439,9 @@ class BandedScorer:
             )
 
         # with a mesh, the read batch shards over dp via shard_map around
-        # the XLA banded fill (single-kernel-per-shard; no collectives)
+        # the XLA banded fill (single-kernel-per-shard; no collectives);
+        # subset gathers would break dp divisibility, so mesh mode retries
+        # the whole batch instead of tiering
         use_mesh = (
             self.mesh is not None
             and int(qshift.shape[0]) % self.mesh.shape.get("dp", 1) == 0
@@ -346,102 +458,68 @@ class BandedScorer:
             # banding already proved unprofitable for this length profile
             return np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))
 
-        for _ in range(max_retries):
-            key = (n_min, n_max, ub, use_pallas, use_mesh,
-                   int(qshift.shape[1]))
-            cached = self._prep_cache.get(key)
-            if cached is None:
-                wstart, width, lo, hi = band_windows(
-                    self.flat, n_min, n_max, costs, ub
-                )
-                if use_pallas:
-                    # 128-align windows so in-kernel dynamic slices stay legal
-                    wstart = (wstart // 128) * 128
-                    width += 128
-                cached = (wstart, width)
-                self._prep_cache[key] = cached
-            wstart, width = cached
-            L = int(qshift.shape[1])
-            if width >= L:
-                break  # band as wide as the full fill: no point
-            # dynamic_slice clamps starts; guarantee every window fits
-            required_L = _round_up(int(wstart.max()) + width, 128)
-            q_in = qshift
-            if required_L > L:
-                q_in = jnp.concatenate(
-                    [qshift,
-                     jnp.zeros((qshift.shape[0], required_L - L), qshift.dtype)],
-                    axis=1,
-                )
-            if use_pallas:
-                from ..ops.pallas_fill import (
-                    pallas_banded_scores,
-                    pallas_banded_scores_2p,
-                    prepare_banded,
-                )
+        B = int(qshift.shape[0])
+        out = np.empty(B, dtype=np.int32)
+        map_idx = np.arange(B)  # out positions of the current sub-batch
+        q_cur, l_cur = qshift, lengths
+        q_cur_key = id(qshift)
+        tiers = []  # (ub, newly_resolved) per attempt
+        self.last_attempts = 0
 
-                pkey = key + ("prep",)
-                prep = self._prep_cache.get(pkey)
-                if prep is None:
-                    prep = prepare_banded(self.dg, costs, wstart, width,
-                                          int(q_in.shape[1]))
-                    self._prep_cache[pkey] = prep
-                try:
-                    if two_piece:
-                        scores = np.asarray(
-                            pallas_banded_scores_2p(self.dg, q_in, lengths,
-                                                    costs, prep=prep)
-                        )
-                    else:
-                        scores = np.asarray(
-                            pallas_banded_scores(self.dg, q_in, lengths,
-                                                 costs, prep=prep)
-                        )
-                except Exception:
-                    # kernel didn't compile for this shape (e.g. the rings
-                    # exceed scoped VMEM at very wide bands) — remember and
-                    # use the XLA banded path for this length profile
-                    self._prep_cache[("nopallas", n_min, n_max)] = True
-                    use_pallas = False
-                    self._prep_cache.pop(key, None)
-                    continue
-            else:
-                wkey = key + ("wstarts",)
-                wstarts = self._prep_cache.get(wkey)
-                if wstarts is None:
-                    pad = np.zeros(
-                        self.dg.n_nodes_padded - wstart.shape[0], dtype=np.int32
-                    )
-                    wstarts = jnp.asarray(np.concatenate([wstart, pad]))
-                    self._prep_cache[wkey] = wstarts
-                if two_piece:
-                    fn = _banded_exec_2p(self.dg.window, width,
-                                         int(self._pred_ranks.shape[1]),
-                                         costs.gap_open, costs.gap_extend,
-                                         costs.gap_extend2, costs.mismatch,
-                                         vary_axes=("dp",) if use_mesh else ())
-                else:
-                    fn = _banded_exec(self.dg.window, width,
-                                      int(self._pred_ranks.shape[1]),
-                                      costs.gap_open, costs.gap_extend,
-                                      costs.mismatch,
-                                      vary_axes=("dp",) if use_mesh else ())
-                if use_mesh:
-                    fn = self._sharded(fn, key)
-                scores = np.asarray(
-                    fn(self.dg.symbols, self._pred_ranks,
-                       self.dg.pred_valid, wstarts, self.dg.write_slots,
-                       self.dg.end_rank, q_in, lengths)
-                )
-            if (scores <= ub).all():
-                self._ub_hint[(n_min, n_max)] = ub
-                return scores
-            # Banded scores are upper bounds on the true scores (the band
-            # only removes paths), so ub = max banded score is guaranteed
-            # to verify on the next attempt: the refill's scores can only
-            # drop, and they already fit under it.
-            finite = scores[scores < INF]
-            ub = int(finite.max()) if finite.size else ub * 4
+        for attempt in range(max_retries):
+            sub = self._fill_once(q_cur_key, q_cur, l_cur, ub, n_min, n_max,
+                                  use_pallas, use_mesh, two_piece)
+            use_pallas = use_pallas and not self._prep_cache.get(
+                ("nopallas", n_min, n_max))
+            if sub is None:
+                break  # band as wide as the full fill
+            self.last_attempts += 1
+            done = sub <= ub
+            out[map_idx[done]] = sub[done]
+            tiers.append((ub, len(np.unique(map_idx[done]))))
+            if done.all():
+                # Pick the starting tier for future calls by modeled cost:
+                # first-fill work is width(tier) x B, plus the unresolved
+                # tail refilled at the final tier's width (padded to the
+                # kernel's batch granularity).  Clustered score
+                # distributions choose the final tier (one fill);
+                # heavy-tailed ones keep the bulk in narrow bands.
+                def _width_of(u):
+                    return band_windows(self.flat, n_min, n_max, costs, u)[1]
+
+                final_w = _width_of(tiers[-1][0])
+                cum = 0
+                best_ub, best_cost = tiers[-1][0], None
+                for tier_ub, cnt in tiers:
+                    cum += cnt
+                    tail = B - cum
+                    tail_pad = 0 if tail <= 0 else max(64, _round_up(tail, 64))
+                    cost = _width_of(tier_ub) * B + final_w * tail_pad
+                    if best_cost is None or cost < best_cost:
+                        best_ub, best_cost = tier_ub, cost
+                self._ub_hint[(n_min, n_max)] = best_ub
+                return out
+            rem = map_idx[~done]
+            # Banded scores are upper bounds (the band only removes
+            # paths): ub = max remaining banded score is guaranteed to
+            # verify those reads next attempt — but a too-narrow band can
+            # over-estimate wildly, so grow geometrically, capped by it.
+            finite = sub[~done][sub[~done] < INF]
+            grown = max(ub * 2, ub + 256)
+            ub = min(int(finite.max()), grown) if finite.size else grown * 2
+            if use_mesh:
+                # whole-batch retry (no subset gathers under the mesh)
+                continue
+            # gather the unresolved reads into a padded sub-batch
+            pad_to = len(rem)
+            if use_pallas:
+                pad_to = max(64, _round_up(len(rem), 64))
+            idx = np.resize(rem, pad_to)
+            idx_dev = jnp.asarray(idx)
+            q_cur = jnp.take(qshift, idx_dev, axis=0)
+            l_cur = jnp.take(lengths, idx_dev, axis=0)
+            q_cur_key = None  # don't cache padded copies of sub-batches
+            map_idx = idx
 
         self._prep_cache[("fullfill", n_min, n_max)] = True
         scores = np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))

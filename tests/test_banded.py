@@ -115,3 +115,47 @@ def test_banded_two_piece_matches_full():
         isinstance(k, tuple) and k and k[0] == "fullfill"
         for k in bs._prep_cache
     ), "two-piece band did not engage after learning the tight ub"
+
+
+def test_tiered_retry_heterogeneous_batch():
+    """Mixed-divergence batch: low-divergence reads resolve in the first
+    narrow tier; only the divergent tail refills at wider bands."""
+    import random
+
+    from poasta_tpu.native import NativeAligner
+
+    rng = random.Random(77)
+    base = "".join(rng.choice("ACGT") for _ in range(700))
+
+    def mutate(s, d):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < d:
+                continue
+            out.append(rng.choice("ACGT") if r < 2 * d else ch)
+            if rng.random() < d:
+                out.append(rng.choice("ACGT"))
+        return "".join(out) or "A"
+
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * 700)
+    for i in range(1, 3):
+        s = mutate(base, 0.01).encode()
+        _, aln, _ = NativeAligner(g).align(s, COSTS)
+        g.add_alignment_with_weights(f"s{i}", s, aln, [1] * len(s))
+    # 6 easy reads + 2 divergent ones
+    queries = [mutate(base, 0.01).encode() for _ in range(6)]
+    queries += [mutate(base, 0.12).encode() for _ in range(2)]
+    flat = g.flatten()
+    qshift, lengths = pack_queries(queries)
+    bs = BandedScorer(flat, COSTS)
+    # narrow first tier that covers only the easy reads
+    got = bs.scores(qshift, lengths, ub=60)
+    na = NativeAligner(g)
+    oracle = [na.align(q, COSTS)[0] for q in queries]
+    assert list(np.asarray(got)) == oracle
+    assert bs.last_attempts >= 2, "divergent tail should need extra tiers"
+    # second call reuses the learned narrow first tier
+    got2 = bs.scores(qshift, lengths)
+    assert list(np.asarray(got2)) == oracle
