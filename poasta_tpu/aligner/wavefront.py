@@ -353,14 +353,14 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                              free_start, free_end)
         return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
                   dg.end_rank, qshift, lengths)
-    if engine in ("auto", "pallas") and not free_start and not free_end:
+    if engine in ("auto", "pallas"):
         from ..ops.pallas_fill import B_BLK, pallas_fill_scores
 
         B = qshift.shape[0]
         # compile failures are permanent for a given shape/config: remember
         # them so "auto" doesn't re-pay a failed compile on every call
         key = (id(dg), B, qshift.shape[1], costs.gap_open, costs.gap_extend,
-               costs.mismatch)
+               costs.mismatch, free_start, free_end)
         if (jax.default_backend() != "cpu" or engine == "pallas") \
                 and key not in _PALLAS_FAILED:
             try:
@@ -370,8 +370,10 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                         [qshift, jnp.zeros((pad, qshift.shape[1]), qshift.dtype)]
                     )
                     lp = jnp.concatenate([lengths, jnp.zeros((pad,), lengths.dtype)])
-                    return pallas_fill_scores(dg, qp, lp, costs)[:B]
-                return pallas_fill_scores(dg, qshift, lengths, costs)
+                    return pallas_fill_scores(dg, qp, lp, costs, free_start,
+                                              free_end)[:B]
+                return pallas_fill_scores(dg, qshift, lengths, costs,
+                                          free_start, free_end)
             except Exception:
                 if engine == "pallas":
                     raise

@@ -174,10 +174,16 @@ def _fill_kernel(
     qshift_ref,       # (B_BLK, L) int32 VMEM
     # outputs
     end_row_ref,      # (B_BLK, L) int32 VMEM
-    # scratch
-    m_ring, d_ring,   # (W, B_BLK, L) int32 VMEM
-    *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
+    # scratch (best_ref only present when free_end)
+    *refs,
+    W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
+    free_start: bool = False, free_end: bool = False,
 ):
+    if free_end:
+        m_ring, d_ring, best_ref = refs
+    else:
+        m_ring, d_ring = refs
+        best_ref = None
     n_nodes = meta_ref[0]
     end_rank = meta_ref[1]
     inf = INF16 if dtype == jnp.int16 else INF
@@ -185,6 +191,8 @@ def _fill_kernel(
     for w in range(W):
         m_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
         d_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    if free_end:
+        best_ref[:] = jnp.full((B_BLK, L), inf, dtype=dtype)
 
     qshift = qshift_ref[:]
     col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
@@ -221,8 +229,12 @@ def _fill_kernel(
         diag = diag_src + match_cost
 
         A = jnp.minimum(diag, D)
-        # global-alignment origin: (rank 0, offset 0)
-        A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
+        if free_start:
+            # free graph begin: every real rank can start at offset 0
+            A = jnp.where(r == end_rank, A, jnp.minimum(A, zero_at_0))
+        else:
+            # global-alignment origin: (rank 0, offset 0)
+            A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
 
         # affine insertion chain: I[j] = o + e*j + min_{k<j}(A[k] - e*k)
         t = A - ej
@@ -237,9 +249,22 @@ def _fill_kernel(
         M = jnp.where(is_end, min_pm, M)
         D_out = jnp.where(is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
 
-        @pl.when(is_end)
-        def _():
-            end_row_ref[:] = min_pm
+        if free_end:
+            # free graph end: any real rank's Match row can finish the
+            # alignment — keep a running min across real rank rows
+            is_real = jnp.logical_and(r > 0, jnp.logical_not(is_end))
+
+            @pl.when(is_real)
+            def _():
+                best_ref[:] = jnp.minimum(best_ref[:], M)
+
+            @pl.when(is_end)
+            def _():
+                end_row_ref[:] = jnp.minimum(best_ref[:], min_pm)
+        else:
+            @pl.when(is_end)
+            def _():
+                end_row_ref[:] = min_pm
 
         slot = wslot_ref[r]
         m_ring[slot] = M
@@ -251,10 +276,19 @@ def _fill_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _pallas_exec(nblocks: int, W: int, P: int, L: int, o: int, e: int, x: int,
-                 B_BLK: int = 64, use_int16: bool = False):
+                 B_BLK: int = 64, use_int16: bool = False,
+                 free_start: bool = False, free_end: bool = False):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_fill_kernel, W=W, P=P, L=L, o=o, e=e, x=x,
-                               B_BLK=B_BLK, dtype=dtype)
+                               B_BLK=B_BLK, dtype=dtype,
+                               free_start=free_start, free_end=free_end)
+
+    scratch = [
+        pltpu.VMEM((W, B_BLK, L), dtype),
+        pltpu.VMEM((W, B_BLK, L), dtype),
+    ]
+    if free_end:
+        scratch.append(pltpu.VMEM((B_BLK, L), dtype))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -265,10 +299,7 @@ def _pallas_exec(nblocks: int, W: int, P: int, L: int, o: int, e: int, x: int,
         out_specs=pl.BlockSpec(
             (B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((W, B_BLK, L), dtype),
-            pltpu.VMEM((W, B_BLK, L), dtype),
-        ],
+        scratch_shapes=scratch,
     )
 
     call = pl.pallas_call(
@@ -843,8 +874,10 @@ def pallas_banded_scores_2p(dg, qshift, lengths, costs, prep):
               dg.meta, qshift, lengths, prep["w_end"])
 
 
-def pallas_fill_scores(dg, qshift, lengths, costs):
-    """(B,) global-alignment scores via the Pallas kernel.
+def pallas_fill_scores(dg, qshift, lengths, costs, free_start: bool = False,
+                       free_end: bool = False):
+    """(B,) alignment scores via the Pallas kernel (global by default;
+    ``free_start``/``free_end`` give the semi-global variants).
 
     Requires B to be a multiple of B_BLK (callers pad batches).
     """
@@ -852,7 +885,8 @@ def pallas_fill_scores(dg, qshift, lengths, costs):
     dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
                         costs.gap_extend, costs.mismatch)
     use_int16 = dtype == jnp.int16
-    blk = pick_b_blk(dg.window, L, L, 2 if use_int16 else 4)
+    n_rings = 3 if free_end else 2  # best-row scratch counts as ring VMEM
+    blk = pick_b_blk(dg.window, L, L, 2 if use_int16 else 4, n_rings=n_rings)
     blk = min(blk, B) if B % 64 == 0 else blk
     while B % blk:
         blk //= 2
@@ -860,7 +894,8 @@ def pallas_fill_scores(dg, qshift, lengths, costs):
     P = int(dg.pred_slots.shape[1])
     fn = _pallas_exec(B // blk, dg.window, P, L,
                       costs.gap_open, costs.gap_extend, costs.mismatch,
-                      B_BLK=blk, use_int16=use_int16)
+                      B_BLK=blk, use_int16=use_int16,
+                      free_start=free_start, free_end=free_end)
     # all graph-side args are prebuilt device arrays (DeviceGraph.build):
     # zero per-call host<->device transfers on the dispatch path.
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,

@@ -11,7 +11,7 @@ import re
 import sys
 
 
-def _run_test_file(path, names):
+def _run_test_file(path, names, param_calls=()):
     src = open(path).read()
     src = re.sub(r"pytestmark = pytest\.mark\.skipif\([^)]*\)\n", "", src,
                  flags=re.S)
@@ -20,6 +20,10 @@ def _run_test_file(path, names):
     for name in names:
         print(f"  {name} ...", end=" ", flush=True)
         ns[name]()
+        print("OK")
+    for name, args in param_calls:
+        print(f"  {name}{args} ...", end=" ", flush=True)
+        ns[name](*args)
         print("OK")
 
 
@@ -36,7 +40,9 @@ def main():
     _run_test_file("tests/test_pallas_fill.py", [
         "test_pallas_matches_xla_scores",
         "test_pallas_2piece_matches_xla_scores",
-    ])
+    ], param_calls=[("test_pallas_free_ends_matches_xla", (True, True)),
+                    ("test_pallas_free_ends_matches_xla", (True, False)),
+                    ("test_pallas_free_ends_matches_xla", (False, True))])
 
     print("on-chip consistency sweep:")
     sys.path.insert(0, "tests")

@@ -91,3 +91,35 @@ def test_pallas_2piece_matches_xla_scores():
     oracle = [py.align(g, q).score for q in queries[:3]] + \
         [py.align(g, queries[-1]).score]
     assert list(out[:3]) + [int(out[-1])] == oracle
+
+
+@pytest.mark.parametrize("fs,fe", [(True, True), (True, False), (False, True)])
+def test_pallas_free_ends_matches_xla(fs, fe):
+    rng = random.Random(11)
+    base = "".join(rng.choice("ACGT") for _ in range(120))
+
+    def mutate(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < 0.06:
+                continue
+            out.append(rng.choice("ACGT") if r < 0.12 else ch)
+        return "".join(out) or "A"
+
+    g = POAGraph()
+    py = PoastaAligner(COSTS, Global(), heuristic="mingap")
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * 120)
+    for i in range(1, 3):
+        s = mutate(base).encode()
+        r = py.align(g, s)
+        g.add_alignment_with_weights(f"s{i}", s, r.alignment, [1] * len(s))
+    dg = DeviceGraph.build(g.flatten())
+    queries = [base[rng.randrange(0, 40):][:60].encode() for _ in range(64)]
+    qshift, lengths = pack_queries(queries)
+    ref = np.asarray(dp_fill_scores(dg, qshift, lengths, COSTS,
+                                    free_start=fs, free_end=fe, engine="xla"))
+    out = np.asarray(dp_fill_scores(dg, qshift, lengths, COSTS,
+                                    free_start=fs, free_end=fe,
+                                    engine="pallas"))
+    assert (out == ref).all()
