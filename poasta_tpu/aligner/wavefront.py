@@ -324,12 +324,13 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
     models run the 5-layer XLA scan.
     """
     if getattr(costs, "is_two_piece", False):
-        if engine in ("auto", "pallas") and not free_start and not free_end:
+        if engine in ("auto", "pallas"):
             from ..ops.pallas_fill import B_BLK, pallas_fill_scores_2p
 
             B = qshift.shape[0]
             key = ("2p", id(dg), B, qshift.shape[1], costs.gap_open,
-                   costs.gap_extend, costs.gap_extend2, costs.mismatch)
+                   costs.gap_extend, costs.gap_extend2, costs.mismatch,
+                   free_start, free_end)
             if (jax.default_backend() != "cpu" or engine == "pallas") \
                     and key not in _PALLAS_FAILED:
                 try:
@@ -342,8 +343,10 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                         lp = jnp.concatenate(
                             [lengths, jnp.zeros((pad,), lengths.dtype)]
                         )
-                        return pallas_fill_scores_2p(dg, qp, lp, costs)[:B]
-                    return pallas_fill_scores_2p(dg, qshift, lengths, costs)
+                        return pallas_fill_scores_2p(dg, qp, lp, costs,
+                                                     free_start, free_end)[:B]
+                    return pallas_fill_scores_2p(dg, qshift, lengths, costs,
+                                                 free_start, free_end)
                 except Exception:
                     if engine == "pallas":
                         raise

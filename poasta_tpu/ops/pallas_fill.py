@@ -382,14 +382,19 @@ def _fill_kernel_2p(
     qshift_ref,       # (B_BLK, L) int32 VMEM
     # outputs
     end_row_ref,      # (B_BLK, L) VMEM
-    # scratch: three rings (M, D1, D2); I layers are recomputed per row
-    m_ring, d1_ring, d2_ring,
-    *, W: int, P: int, L: int, o1: int, e1: int, e2: int, x: int,
-    B_BLK: int, dtype,
+    # scratch: three rings (M, D1, D2) + best row when free_end
+    *refs,
+    W: int, P: int, L: int, o1: int, e1: int, e2: int, x: int,
+    B_BLK: int, dtype, free_start: bool = False, free_end: bool = False,
 ):
     """Two-piece (convex) affine fill; math mirrors ops/dp_rows_2p.py
     (reference transition structure: ``gap_affine_2piece.rs:292-430``).
     """
+    if free_end:
+        m_ring, d1_ring, d2_ring, best_ref = refs
+    else:
+        m_ring, d1_ring, d2_ring = refs
+        best_ref = None
     n_nodes = meta_ref[0]
     end_rank = meta_ref[1]
     inf = INF16 if dtype == jnp.int16 else INF
@@ -398,6 +403,8 @@ def _fill_kernel_2p(
         m_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
         d1_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
         d2_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    if free_end:
+        best_ref[:] = jnp.full((B_BLK, L), inf, dtype=dtype)
 
     qshift = qshift_ref[:]
     col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
@@ -430,7 +437,10 @@ def _fill_kernel_2p(
         diag = diag_src + match_cost
 
         A = jnp.minimum(diag, jnp.minimum(D1, D2))
-        A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
+        if free_start:
+            A = jnp.where(r == end_rank, A, jnp.minimum(A, zero_at_0))
+        else:
+            A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
 
         I1, I2 = _coupled_insertion_rows(A, L, inf, masks, o1, e1, e2, dtype)
         M = jnp.minimum(A, jnp.minimum(I1, I2))
@@ -440,9 +450,20 @@ def _fill_kernel_2p(
         D1_out = jnp.where(is_end, dtype(inf), D1)
         D2_out = jnp.where(is_end, dtype(inf), D2)
 
-        @pl.when(is_end)
-        def _():
-            end_row_ref[:] = min_pm
+        if free_end:
+            is_real = jnp.logical_and(r > 0, jnp.logical_not(is_end))
+
+            @pl.when(is_real)
+            def _():
+                best_ref[:] = jnp.minimum(best_ref[:], M)
+
+            @pl.when(is_end)
+            def _():
+                end_row_ref[:] = jnp.minimum(best_ref[:], min_pm)
+        else:
+            @pl.when(is_end)
+            def _():
+                end_row_ref[:] = min_pm
 
         slot = wslot_ref[r]
         m_ring[slot] = M
@@ -455,10 +476,20 @@ def _fill_kernel_2p(
 
 @functools.lru_cache(maxsize=None)
 def _pallas_exec_2p(nblocks: int, W: int, P: int, L: int, o1: int, e1: int,
-                    e2: int, x: int, B_BLK: int = 64):
+                    e2: int, x: int, B_BLK: int = 64,
+                    free_start: bool = False, free_end: bool = False):
     dtype = jnp.int32
     kernel = functools.partial(_fill_kernel_2p, W=W, P=P, L=L, o1=o1, e1=e1,
-                               e2=e2, x=x, B_BLK=B_BLK, dtype=dtype)
+                               e2=e2, x=x, B_BLK=B_BLK, dtype=dtype,
+                               free_start=free_start, free_end=free_end)
+
+    scratch = [
+        pltpu.VMEM((W, B_BLK, L), dtype),
+        pltpu.VMEM((W, B_BLK, L), dtype),
+        pltpu.VMEM((W, B_BLK, L), dtype),
+    ]
+    if free_end:
+        scratch.append(pltpu.VMEM((B_BLK, L), dtype))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -469,11 +500,7 @@ def _pallas_exec_2p(nblocks: int, W: int, P: int, L: int, o1: int, e1: int,
         out_specs=pl.BlockSpec(
             (B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((W, B_BLK, L), dtype),
-            pltpu.VMEM((W, B_BLK, L), dtype),
-            pltpu.VMEM((W, B_BLK, L), dtype),
-        ],
+        scratch_shapes=scratch,
     )
 
     call = pl.pallas_call(
@@ -491,13 +518,15 @@ def _pallas_exec_2p(nblocks: int, W: int, P: int, L: int, o1: int, e1: int,
     return fn
 
 
-def pallas_fill_scores_2p(dg, qshift, lengths, costs):
-    """(B,) global-alignment scores, two-piece model, via the Pallas kernel.
+def pallas_fill_scores_2p(dg, qshift, lengths, costs,
+                          free_start: bool = False, free_end: bool = False):
+    """(B,) alignment scores, two-piece model, via the Pallas kernel
+    (global by default; ``free_start``/``free_end`` for semi-global).
 
     Requires B to be a multiple of B_BLK (callers pad batches).
     """
     B, L = qshift.shape
-    blk = pick_b_blk(dg.window, L, L, 4, n_rings=3)
+    blk = pick_b_blk(dg.window, L, L, 4, n_rings=4 if free_end else 3)
     blk = min(blk, B) if B % 64 == 0 else blk
     while B % blk:
         blk //= 2
@@ -505,7 +534,8 @@ def pallas_fill_scores_2p(dg, qshift, lengths, costs):
     P = int(dg.pred_slots.shape[1])
     fn = _pallas_exec_2p(B // blk, dg.window, P, L,
                          costs.gap_open, costs.gap_extend, costs.gap_extend2,
-                         costs.mismatch, B_BLK=blk)
+                         costs.mismatch, B_BLK=blk,
+                         free_start=free_start, free_end=free_end)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               dg.write_slots, dg.meta, qshift, lengths)
 

@@ -123,3 +123,39 @@ def test_pallas_free_ends_matches_xla(fs, fe):
                                     free_start=fs, free_end=fe,
                                     engine="pallas"))
     assert (out == ref).all()
+
+
+@pytest.mark.parametrize("fs,fe", [(True, True), (False, True)])
+def test_pallas_2p_free_ends_matches_xla(fs, fe):
+    from poasta_tpu.aligner import GapAffine2Piece
+
+    costs2 = GapAffine2Piece(mismatch=4, gap_extend=2, gap_open=8,
+                             gap_extend2=1, gap_open2=24)
+    rng = random.Random(13)
+    base = "".join(rng.choice("ACGT") for _ in range(100))
+
+    def mutate(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < 0.06:
+                continue
+            out.append(rng.choice("ACGT") if r < 0.12 else ch)
+        return "".join(out) or "A"
+
+    g = POAGraph()
+    py = PoastaAligner(COSTS, Global(), heuristic="mingap")
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * 100)
+    for i in range(1, 3):
+        s = mutate(base).encode()
+        r = py.align(g, s)
+        g.add_alignment_with_weights(f"s{i}", s, r.alignment, [1] * len(s))
+    dg = DeviceGraph.build(g.flatten())
+    queries = [base[rng.randrange(0, 30):][:50].encode() for _ in range(64)]
+    qshift, lengths = pack_queries(queries)
+    ref = np.asarray(dp_fill_scores(dg, qshift, lengths, costs2,
+                                    free_start=fs, free_end=fe, engine="xla"))
+    out = np.asarray(dp_fill_scores(dg, qshift, lengths, costs2,
+                                    free_start=fs, free_end=fe,
+                                    engine="pallas"))
+    assert (out == ref).all()
