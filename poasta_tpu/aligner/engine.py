@@ -25,11 +25,11 @@ from __future__ import annotations
 from bisect import bisect_left, bisect_right, insort
 from collections import deque
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from ..bubbles.index import BubbleIndex
 from .alignment import AlignedPair, Alignment
-from .costs import AlignState, EndsFree, GapAffine, GapAffine2Piece, Global
+from .costs import AlignState, EndsFree, GapAffine, Global
 from .heuristic import Dijkstra, MinimumGapCostAffine, PathAwareHeuristic
 from .path_index import PathIndex
 

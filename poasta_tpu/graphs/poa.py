@@ -30,7 +30,7 @@ the host; after each fusion step only the flat arrays are re-uploaded.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence as Seq, Tuple
 
 from ..utils.errors import PoastaError

@@ -30,8 +30,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dp_rows import INF as _INF_ARR
-
 INF = 1 << 28  # python int: pallas kernels cannot capture traced constants
 
 # int16 variant: every stored ring value is clamped to <= INF16 by the

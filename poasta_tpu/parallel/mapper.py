@@ -23,12 +23,12 @@ since it never communicates inside the fill.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..aligner.costs import GapAffine
 from ..aligner.wavefront import DeviceGraph
