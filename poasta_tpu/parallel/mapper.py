@@ -198,6 +198,7 @@ class BatchMapper:
         self._score_fn = None
 
     def score_batch(self, queries) -> np.ndarray:
+        from ..aligner.banded import BandedScorer
         from ..aligner.wavefront import dp_fill_scores, pack_queries
 
         qshift, lengths = pack_queries(queries)
@@ -205,6 +206,17 @@ class BatchMapper:
             if self._score_fn is None:
                 self._score_fn = make_sharded_score_fn(self.dg, self.costs, self.mesh)
             return np.asarray(self._score_fn(qshift, lengths))
+        # the banded scorer is the production path (exact via tiered
+        # verify-and-retry; falls back to the full fill internally when
+        # banding doesn't pay)
+        if getattr(self, "_scorer", None) is None:
+            try:
+                self._scorer = BandedScorer(self.flat, self.costs)
+                self._scorer.dg = self.dg  # share device arrays
+            except Exception:
+                self._scorer = None
+        if self._scorer is not None:
+            return np.asarray(self._scorer.scores(qshift, lengths))
         return np.asarray(dp_fill_scores(self.dg, qshift, lengths, self.costs))
 
     # dense tables cost Np*B*L*12 bytes + an 11 MB/s-class D2H transfer on
