@@ -595,9 +595,9 @@ def _backtrace_step(graph, seq, costs, visited, node, offset, state):
 def _backtrace(graph, seq, costs, visited, node, offset) -> Alignment:
     if len(seq) == 0:
         return []
-
-    if len(seq) == 1 and offset == 1 and graph.is_symbol_equal(node, seq[0]):
-        return [AlignedPair(node, 0)]
+    # NB: no 1-char shortcut here — the end node "matches" every symbol
+    # (poa.rs:462-465), so anchoring the pair at it would leak the virtual
+    # end node into the alignment and corrupt graph fusion.
 
     if node == graph.end_node:
         # Global end state is the virtual end node: its zero-cost hop is

@@ -847,12 +847,9 @@ int64_t poasta_align(void* ptr, const uint8_t* seq, int64_t seq_len,
   if (seq_len == 0) return 0;
 
   int64_t count = 0;
-  if (seq_len == 1 && end_off == 1 && g.symbol_equal(end_node, seq[0])) {
-    if (cap < 1) return -2;
-    out_rpos[0] = end_node;
-    out_qpos[0] = 0;
-    return 1;
-  }
+  // NB: no 1-char shortcut — the end node "matches" every symbol, so
+  // anchoring a pair at it would leak the virtual end node into the
+  // alignment and corrupt graph fusion (python engine agrees).
 
   // find the first step from the end state over M, I, I2, D, D2
   BtStep start{0, 0, 0, false};

@@ -105,3 +105,32 @@ def test_heuristics_agree_on_optimal_score():
     # informed heuristics visit no more states than Dijkstra
     assert visits["mingap"] <= visits["dijkstra"]
     assert visits["path"] <= visits["dijkstra"]
+
+
+def test_one_char_sequence_never_anchors_at_virtual_end():
+    """Regression: the backtrace's old 1-char shortcut anchored the pair at
+    the virtual end node (which "matches" every symbol), leaking it into
+    graph fusion and corrupting the MSA."""
+    import io
+
+    from poasta_tpu.io import poa_graph_to_fasta
+    from poasta_tpu.native import NativeAligner
+
+    g = _graph(b"CAC")
+    a = PoastaAligner(COSTS, Global(), heuristic="mingap")
+    r = a.align(g, b"C")
+    for p in r.alignment:
+        if p.rpos is not None:
+            assert p.rpos != g.end_node
+            assert p.rpos != g.start_node
+    s, aln, _ = NativeAligner(g).align(b"C", COSTS)
+    assert s == r.score
+    assert [(p.rpos, p.qpos) for p in aln] == [
+        (p.rpos, p.qpos) for p in r.alignment
+    ]
+    g.add_alignment_with_weights("one", b"C", r.alignment, [1])
+    buf = io.StringIO()
+    poa_graph_to_fasta(g, buf)
+    rows = [l for l in buf.getvalue().splitlines() if not l.startswith(">")]
+    assert rows[1].replace("-", "") == "C"
+    assert len({len(row) for row in rows}) == 1
