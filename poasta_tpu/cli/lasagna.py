@@ -122,3 +122,8 @@ def main(argv=None):
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def main_entry() -> None:
+    """console_scripts entry point (sys.exit for shell status)."""
+    sys.exit(main())
