@@ -308,6 +308,15 @@ class BandedScorer:
         # the default guess would re-pay every failed attempt of the
         # verify-and-retry loop on every call
         self._ub_hint: dict = {}
+        # observability counters (the wavefront analogue of the exact
+        # engines' num_queued/visited/pruned; SURVEY §5): cumulative
+        # across calls, reset with reset_stats()
+        self.stats = {"fills": 0, "cells_filled": 0, "tiers": 0,
+                      "fullfill_fallbacks": 0}
+
+    def reset_stats(self) -> None:
+        for k in self.stats:
+            self.stats[k] = 0
 
     def _fill_once(self, q_in_key, qshift, lengths, ub, n_min, n_max,
                    use_pallas, use_mesh, two_piece):
@@ -456,6 +465,10 @@ class BandedScorer:
 
         if self._prep_cache.get(("fullfill", n_min, n_max)):
             # banding already proved unprofitable for this length profile
+            self.stats["fills"] += 1
+            self.stats["cells_filled"] += (
+                self.flat.n_nodes * int(qshift.shape[1]) * int(qshift.shape[0])
+            )
             return np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))
 
         B = int(qshift.shape[0])
@@ -474,6 +487,14 @@ class BandedScorer:
             if sub is None:
                 break  # band as wide as the full fill
             self.last_attempts += 1
+            self.stats["fills"] += 1
+            self.stats["tiers"] += 1
+            key_w = self._prep_cache.get((n_min, n_max, ub, use_pallas,
+                                          use_mesh, int(q_cur.shape[1])))
+            if key_w is not None:
+                self.stats["cells_filled"] += (
+                    self.flat.n_nodes * int(key_w[1]) * int(q_cur.shape[0])
+                )
             done = sub <= ub
             out[map_idx[done]] = sub[done]
             tiers.append((ub, len(np.unique(map_idx[done]))))
@@ -522,6 +543,10 @@ class BandedScorer:
             map_idx = idx
 
         self._prep_cache[("fullfill", n_min, n_max)] = True
+        self.stats["fullfill_fallbacks"] += 1
+        self.stats["cells_filled"] += (
+            self.flat.n_nodes * int(qshift.shape[1]) * B
+        )
         scores = np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))
         # The default ub guess can be so loose that the band is wider than
         # the full fill before the retry loop ever runs.  Now that the true

@@ -66,16 +66,21 @@ def align_subcommand(args):
                 continue
             chunk.append(rec)
             if len(chunk) >= super_size:
-                _flush_sorted(mapper, chunk, args.batch_size, emit_record)
+                _flush_sorted(mapper, chunk, args.batch_size, emit_record,
+                              args.verbose)
                 chunk = []
         if chunk:
-            _flush_sorted(mapper, chunk, args.batch_size, emit_record)
+            _flush_sorted(mapper, chunk, args.batch_size, emit_record,
+                          args.verbose)
 
     if args.output:
         out.close()
 
 
-def _flush_sorted(mapper, chunk, batch_size, emit_record):
+def _flush_sorted(mapper, chunk, batch_size, emit_record, verbose=0):
+    import time
+
+    t0 = time.perf_counter()
     order = sorted(range(len(chunk)), key=lambda i: len(chunk[i][1]))
     results = [None] * len(chunk)
     for at in range(0, len(order), batch_size):
@@ -85,6 +90,16 @@ def _flush_sorted(mapper, chunk, batch_size, emit_record):
             results[i] = r
     for (name, seq), (score, alignment) in zip(chunk, results):
         emit_record(name, seq, score, alignment)
+    if verbose:
+        dt = time.perf_counter() - t0
+        msg = f"INFO: aligned {len(chunk)} reads in {dt:.2f}s"
+        scorer = getattr(mapper, "_banded_scorer", None)
+        if scorer is not None:
+            s = scorer.stats
+            msg += (f" (device fills: {s['fills']}, cells: {s['cells_filled']}"
+                    f", tiers: {s['tiers']})")
+            scorer.reset_stats()
+        print(msg, file=sys.stderr)
 
 
 def build_parser():
