@@ -308,6 +308,9 @@ class BandedScorer:
         # the default guess would re-pay every failed attempt of the
         # verify-and-retry loop on every call
         self._ub_hint: dict = {}
+        # (id -> (array ref, (n_min, n_max))): see scores() for why the
+        # array reference is pinned
+        self._lenstats: dict = {}
         # observability counters (the wavefront analogue of the exact
         # engines' num_queued/visited/pruned; SURVEY §5): cumulative
         # across calls, reset with reset_stats()
@@ -432,14 +435,19 @@ class BandedScorer:
         """
         costs = self.costs
         # lengths is usually a device array; np.asarray would put a
-        # device->host round trip on every call, so cache min/max by
-        # array identity
-        stats = self._prep_cache.get(("lenstats", id(lengths)))
-        if stats is None:
+        # device->host round trip on every call, so cache min/max by array
+        # identity.  The cache entry holds a strong reference to the array
+        # so its id() cannot be recycled while cached (a stale hit would
+        # give wrong length bounds and silently void the band-exactness
+        # argument); a small LRU bounds the pinned memory.
+        entry = self._lenstats.get(id(lengths))
+        if entry is None or entry[0] is not lengths:
             lengths_np = np.asarray(lengths)
-            stats = (int(lengths_np.min()), int(lengths_np.max()))
-            self._prep_cache[("lenstats", id(lengths))] = stats
-        n_min, n_max = stats
+            entry = (lengths, (int(lengths_np.min()), int(lengths_np.max())))
+            self._lenstats[id(lengths)] = entry
+            while len(self._lenstats) > 8:
+                self._lenstats.pop(next(iter(self._lenstats)))
+        n_min, n_max = entry[1]
         if ub is None:
             ub = self._ub_hint.get((n_min, n_max)) or (
                 (costs.gap_open + costs.gap_extend) * 4
