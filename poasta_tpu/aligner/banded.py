@@ -311,6 +311,8 @@ class BandedScorer:
         # (id -> (array ref, (n_min, n_max))): see scores() for why the
         # array reference is pinned
         self._lenstats: dict = {}
+        # ((id, padded_L) -> (array ref, padded array)): same pinning rule
+        self._qpad: dict = {}
         # observability counters (the wavefront analogue of the exact
         # engines' num_queued/visited/pruned; SURVEY §5): cumulative
         # across calls, reset with reset_stats()
@@ -327,7 +329,8 @@ class BandedScorer:
 
         Returns the (possibly over-estimated) banded scores as a numpy
         array, or None when the band would be as wide as the full fill.
-        ``q_in_key`` keys the query padding cache (id of the batch array).
+        ``q_in_key``: the original batch array (pins the padding-cache
+        entry), or None to skip caching (sub-batches).
         """
         costs = self.costs
         while True:
@@ -352,9 +355,13 @@ class BandedScorer:
             required_L = _round_up(int(wstart.max()) + width, 128)
             q_in = qshift
             if required_L > L:
-                qpad_key = ("qpad", q_in_key, required_L) \
+                # cache entries pin the source array (identity-checked) so
+                # a recycled id() can never resurface another batch's pad
+                qpad_key = (id(q_in_key), required_L) \
                     if q_in_key is not None else None
-                q_in = self._prep_cache.get(qpad_key) if qpad_key else None
+                entry = self._qpad.get(qpad_key) if qpad_key else None
+                q_in = entry[1] if entry is not None \
+                    and entry[0] is q_in_key else None
                 if q_in is None:
                     q_in = jnp.concatenate(
                         [qshift,
@@ -363,7 +370,9 @@ class BandedScorer:
                         axis=1,
                     )
                     if qpad_key:
-                        self._prep_cache[qpad_key] = q_in
+                        self._qpad[qpad_key] = (q_in_key, q_in)
+                        while len(self._qpad) > 8:
+                            self._qpad.pop(next(iter(self._qpad)))
             if use_pallas:
                 from ..ops.pallas_fill import (
                     pallas_banded_scores,
@@ -483,7 +492,7 @@ class BandedScorer:
         out = np.empty(B, dtype=np.int32)
         map_idx = np.arange(B)  # out positions of the current sub-batch
         q_cur, l_cur = qshift, lengths
-        q_cur_key = id(qshift)
+        q_cur_key = qshift
         tiers = []  # (ub, newly_resolved) per attempt
         self.last_attempts = 0
 
