@@ -147,3 +147,30 @@ def test_lasagna_engines_agree_on_scores(tmp_path, reference_tests_dir):
         return res
 
     assert scores(out_w) == scores(out_e)
+
+
+@pytest.mark.parametrize("engine", ["exact", "banded"])
+def test_align_presentation_corpus_smoke(engine, reference_tests_dir):
+    rc, out = _run(poasta_main,
+                   ["align", "--engine", engine, "-O", "fasta",
+                    f"{reference_tests_dir}/test_presentation.fasta"])
+    assert rc in (0, None)
+    from poasta_tpu.io import read_fasta
+    src = {n: s.decode() for n, s in
+           read_fasta(f"{reference_tests_dir}/test_presentation.fasta")}
+    names = [l[1:] for l in out.splitlines() if l.startswith(">")]
+    rows = [l for l in out.splitlines() if not l.startswith(">")]
+    assert len(rows) == len(src)
+    assert len({len(r) for r in rows}) == 1
+    for name, row in zip(names, rows):
+        assert row.replace("-", "") == src[name]
+
+
+def test_align_empty_input_file(reference_tests_dir):
+    # test2_num_6.fa ships empty in the reference test data; an empty
+    # input must produce an empty MSA, not a crash
+    rc, out = _run(poasta_main,
+                   ["align", "-O", "fasta",
+                    f"{reference_tests_dir}/test2_num_6.fa"])
+    assert rc in (0, None)
+    assert out.strip() == ""
