@@ -333,6 +333,10 @@ class BandedScorer:
         entry), or None to skip caching (sub-batches).
         """
         costs = self.costs
+        # on an accelerator, the mesh path runs the pallas kernel inside
+        # shard_map (per-shard fill, no collectives); its windows need the
+        # same 128-alignment as the single-device pallas path
+        pallas_mesh = use_mesh and jax.default_backend() != "cpu"
         while True:
             key = (n_min, n_max, ub, use_pallas, use_mesh,
                    int(qshift.shape[1]))
@@ -341,7 +345,7 @@ class BandedScorer:
                 wstart, width, lo, hi = band_windows(
                     self.flat, n_min, n_max, costs, ub
                 )
-                if use_pallas:
+                if use_pallas or pallas_mesh:
                     # 128-align windows so in-kernel dynamic slices stay legal
                     wstart = (wstart // 128) * 128
                     width += 128
@@ -404,6 +408,23 @@ class BandedScorer:
                     use_pallas = False
                     self._prep_cache.pop(key, None)
                     continue
+            if pallas_mesh:
+                from ..ops.pallas_fill import prepare_banded
+
+                pkey = key + ("prep",)
+                prep = self._prep_cache.get(pkey)
+                if prep is None:
+                    prep = prepare_banded(self.dg, costs, wstart, width,
+                                          int(q_in.shape[1]))
+                    self._prep_cache[pkey] = prep
+                try:
+                    out = self._sharded_pallas_fill(q_in, lengths, prep,
+                                                    two_piece, key)
+                    if out is not None:
+                        return out
+                except Exception:
+                    pass  # fall through to the XLA sharded body
+
             wkey = key + ("wstarts",)
             wstarts = self._prep_cache.get(wkey)
             if wstarts is None:
@@ -578,6 +599,68 @@ class BandedScorer:
                 self._ub_hint[(n_min, n_max)] = tight
                 del self._prep_cache[("fullfill", n_min, n_max)]
         return scores
+
+    def _sharded_pallas_fill(self, q_in, lengths, prep, two_piece, key):
+        """Pallas banded fill inside shard_map over the dp axis.
+
+        Graph/window tables replicate; each shard runs the same kernel on
+        its read slab — no collectives, so dp can span hosts over DCN
+        while the per-chip fill stays VMEM-resident.  Returns None when
+        the per-shard batch doesn't divide into kernel blocks.
+        """
+        from jax.sharding import PartitionSpec as PS
+
+        from ..ops import pallas_fill as pf
+
+        dp = self.mesh.shape.get("dp", 1)
+        B, L = int(q_in.shape[0]), int(q_in.shape[1])
+        if B % dp:
+            return None
+        B_shard = B // dp
+        if B_shard % 64:
+            return None
+        skey = key + ("spallas",)
+        sfn = self._prep_cache.get(skey)
+        if sfn is None:
+            margin, width = prep["margin"], prep["width"]
+            P_ = int(self.dg.pred_slots.shape[1])
+            costs = self.costs
+            if two_piece:
+                blk = pf.pick_b_blk(self.dg.window, 2 * margin + width, L,
+                                    4, n_rings=3)
+                while B_shard % blk:
+                    blk //= 2
+                inner = pf._banded_exec_2p(
+                    B_shard // blk, self.dg.window, P_, width, margin, L,
+                    costs.gap_open, costs.gap_extend, costs.gap_extend2,
+                    costs.mismatch, B_BLK=blk)
+            else:
+                dtype = pf.score_dtype(self.dg.n_nodes_padded, L,
+                                       costs.gap_open, costs.gap_extend,
+                                       costs.mismatch)
+                use_int16 = dtype == jnp.int16
+                blk = pf.pick_b_blk(self.dg.window, 2 * margin + width, L,
+                                    2 if use_int16 else 4)
+                while B_shard % blk:
+                    blk //= 2
+                inner = pf._banded_exec(
+                    B_shard // blk, self.dg.window, P_, width, margin, L,
+                    costs.gap_open, costs.gap_extend, costs.mismatch,
+                    B_BLK=blk, use_int16=use_int16)
+            mapped = jax.shard_map(
+                inner,
+                mesh=self.mesh,
+                in_specs=(PS(),) * 7 + (PS("dp", None), PS("dp"), PS()),
+                out_specs=PS("dp"),
+            )
+            sfn = jax.jit(mapped)
+            self._prep_cache[skey] = sfn
+        return np.asarray(
+            sfn(self.dg.symbols, self.dg.pred_slots_flat,
+                self.dg.pred_valid_flat, prep["pred_wstarts"],
+                prep["wstarts"], self.dg.write_slots, self.dg.meta,
+                q_in, lengths, prep["w_end"])
+        )
 
     def _sharded(self, fn, key):
         """shard_map the banded fill over the mesh's dp axis.
