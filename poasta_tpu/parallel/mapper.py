@@ -151,8 +151,17 @@ def make_sharded_score_fn(dg: DeviceGraph, costs: GapAffine, mesh: Mesh,
     """Jitted (qshift (B, L), lengths (B,)) -> (B,) scores over the mesh.
 
     The read batch shards over ``dp``; query offsets shard over ``sp``;
-    graph arrays replicate.
+    graph arrays replicate.  When the mesh is dp-only (sp == 1) on an
+    accelerator backend, each shard runs the VMEM-resident Pallas fill
+    kernel instead of the XLA scan — no collectives are needed, so dp
+    spans hosts at single-chip kernel speed.
     """
+    sp_size = mesh.shape.get("sp", 1)
+    pallas_fn = None
+    if sp_size == 1 and jax.default_backend() != "cpu":
+        pallas_fn = _make_dp_pallas_score_fn(dg, costs, mesh,
+                                             free_start, free_end)
+
     body = functools.partial(
         _sp_scan_rows,
         window=dg.window,
@@ -171,9 +180,77 @@ def make_sharded_score_fn(dg: DeviceGraph, costs: GapAffine, mesh: Mesh,
     )
 
     @jax.jit
-    def fn(qshift, lengths):
+    def xla_fn(qshift, lengths):
         return mapped(dg.symbols, dg.pred_slots, dg.pred_valid,
                       dg.write_slots, dg.end_rank, qshift, lengths)
+
+    if pallas_fn is None:
+        return xla_fn
+
+    dp = mesh.shape.get("dp", 1)
+
+    def fn(qshift, lengths):
+        B = int(qshift.shape[0])
+        if B % dp == 0 and (B // dp) % 64 == 0:
+            try:
+                return pallas_fn(qshift, lengths)
+            except Exception:
+                pass  # e.g. VMEM OOM at this shape — use the XLA body
+        return xla_fn(qshift, lengths)
+
+    return fn
+
+
+def _make_dp_pallas_score_fn(dg, costs, mesh, free_start, free_end):
+    """shard_map around the Pallas full-fill kernel (dp-only meshes).
+
+    The caller (make_sharded_score_fn) checks batch divisibility per call
+    and falls back to the XLA body when this path can't run.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    from ..ops import pallas_fill as pf
+
+    dp = mesh.shape.get("dp", 1)
+    two_piece = getattr(costs, "is_two_piece", False)
+
+    @functools.lru_cache(maxsize=None)
+    def inner_for(B_shard: int, L: int):
+        if two_piece:
+            blk = pf.pick_b_blk(dg.window, L, L, 4, n_rings=3)
+            while B_shard % blk:
+                blk //= 2
+            inner = pf._pallas_exec_2p(
+                B_shard // blk, dg.window, int(dg.pred_slots.shape[1]), L,
+                costs.gap_open, costs.gap_extend, costs.gap_extend2,
+                costs.mismatch, B_BLK=blk,
+                free_start=free_start, free_end=free_end)
+        else:
+            dtype = pf.score_dtype(dg.n_nodes_padded, L, costs.gap_open,
+                                   costs.gap_extend, costs.mismatch)
+            use_int16 = dtype == jnp.int16
+            n_rings = 3 if free_end else 2
+            blk = pf.pick_b_blk(dg.window, L, L, 2 if use_int16 else 4,
+                                n_rings=n_rings)
+            while B_shard % blk:
+                blk //= 2
+            inner = pf._pallas_exec(
+                B_shard // blk, dg.window, int(dg.pred_slots.shape[1]), L,
+                costs.gap_open, costs.gap_extend, costs.mismatch,
+                B_BLK=blk, use_int16=use_int16,
+                free_start=free_start, free_end=free_end)
+        return jax.jit(jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(),) * 5 + (P("dp", None), P("dp")),
+            out_specs=P("dp"),
+        ))
+
+    def fn(qshift, lengths):
+        B, L = int(qshift.shape[0]), int(qshift.shape[1])
+        mapped = inner_for(B // dp, L)
+        return mapped(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+                      dg.write_slots, dg.meta, qshift, lengths)
 
     return fn
 
