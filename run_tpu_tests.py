@@ -57,6 +57,59 @@ def main():
         tc.test_all_engines_agree_two_piece(seed)
         print("OK")
 
+    print("single-device mesh (shard_map around pallas kernels):")
+    import random
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from poasta_tpu.aligner import GapAffine
+    from poasta_tpu.aligner.banded import BandedScorer
+    from poasta_tpu.aligner.wavefront import (
+        DeviceGraph,
+        dp_fill_scores,
+        pack_queries,
+    )
+    from poasta_tpu.graphs import POAGraph
+    from poasta_tpu.native import NativeAligner
+    from poasta_tpu.parallel import make_sharded_score_fn
+
+    costs = GapAffine(4, 2, 6)
+    rng = random.Random(41)
+    base = "".join(rng.choice("ACGT") for _ in range(500))
+
+    def mutate(s, d=0.05):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < d:
+                continue
+            out.append(rng.choice("ACGT") if r < 2 * d else ch)
+            if rng.random() < d:
+                out.append(rng.choice("ACGT"))
+        return "".join(out) or "A"
+
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * 500)
+    for i in range(1, 3):
+        s = mutate(base).encode()
+        _, aln, _ = NativeAligner(g).align(s, costs)
+        g.add_alignment_with_weights(f"s{i}", s, aln, [1] * len(s))
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
+    queries = [mutate(base).encode() for _ in range(64)]
+    qshift, lengths = pack_queries(queries)
+    full = np.asarray(dp_fill_scores(dg, qshift, lengths, costs))
+    print("  dp-mesh pallas full fill ...", end=" ", flush=True)
+    fn = make_sharded_score_fn(dg, costs, mesh)
+    assert (np.asarray(fn(qshift, lengths)) == full).all()
+    print("OK")
+    print("  dp-mesh pallas banded fill ...", end=" ", flush=True)
+    bs = BandedScorer(flat, costs, mesh=mesh)
+    assert (np.asarray(bs.scores(qshift, lengths)) == full).all()
+    print("OK")
+
     print("all TPU validations passed")
     return 0
 
