@@ -318,10 +318,17 @@ class BatchMapper:
         qshift, lengths = pack_queries(queries)
         B, L = int(qshift.shape[0]), int(qshift.shape[1])
         table_bytes = self.dg.n_nodes_padded * B * L * 12
-        if table_bytes > self.DENSE_TABLE_BUDGET:
+        two_piece = getattr(self.costs, "is_two_piece", False)
+        # the dense-table path is one-piece only (dp_fill_full /
+        # backtrace_dense); two-piece always takes the banded native path
+        if two_piece or table_bytes > self.DENSE_TABLE_BUDGET:
             banded = self._align_batch_banded(queries, qshift, lengths)
             if banded is not None:
                 return banded
+            if two_piece:
+                raise RuntimeError(
+                    "two-piece align_batch requires the native engine"
+                )
         scores, M, I, D = dp_fill_full(self.dg, qshift, lengths, self.costs)
         M, I, D = np.asarray(M), np.asarray(I), np.asarray(D)
         out = []

@@ -149,3 +149,17 @@ def test_batch_mapper_banded_two_piece():
     py = PoastaAligner(costs2, Global(), heuristic="dijkstra")
     for q, (score, aln) in zip(queries, out):
         assert score == py.align(g, q).score
+
+
+def test_batch_mapper_two_piece_small_tables_routes_banded():
+    # regression: small 2p batches used to fall into the one-piece dense
+    # path and score with the wrong cost model
+    from poasta_tpu.parallel import BatchMapper
+
+    costs2 = GapAffine2Piece(4, 2, 8, 1, 24)
+    g, queries = _case(9, length=50)
+    bm = BatchMapper(g, costs2)  # default (large) dense budget
+    out = bm.align_batch(queries)
+    py = PoastaAligner(costs2, Global(), heuristic="dijkstra")
+    for q, (score, aln) in zip(queries, out):
+        assert score == py.align(g, q).score
