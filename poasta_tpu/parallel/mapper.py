@@ -162,6 +162,16 @@ def make_sharded_score_fn(dg: DeviceGraph, costs: GapAffine, mesh: Mesh,
         pallas_fn = _make_dp_pallas_score_fn(dg, costs, mesh,
                                              free_start, free_end)
 
+    if getattr(costs, "is_two_piece", False):
+        # the XLA shard body below is one-piece math; two-piece sharded
+        # scoring goes through the dp-pallas path or BandedScorer(mesh=...)
+        if pallas_fn is None:
+            raise NotImplementedError(
+                "two-piece sharded scoring needs a dp-only accelerator "
+                "mesh (or use BandedScorer(mesh=...))"
+            )
+        return pallas_fn
+
     body = functools.partial(
         _sp_scan_rows,
         window=dg.window,
@@ -280,6 +290,14 @@ class BatchMapper:
 
         qshift, lengths = pack_queries(queries)
         if self.mesh is not None:
+            if getattr(self.costs, "is_two_piece", False):
+                # two-piece mesh scoring runs through the sharded banded
+                # scorer (the plain sharded body is one-piece math)
+                if getattr(self, "_mesh_scorer", None) is None:
+                    self._mesh_scorer = BandedScorer(
+                        self.flat, self.costs, mesh=self.mesh)
+                    self._mesh_scorer.dg = self.dg
+                return np.asarray(self._mesh_scorer.scores(qshift, lengths))
             if self._score_fn is None:
                 self._score_fn = make_sharded_score_fn(self.dg, self.costs, self.mesh)
             return np.asarray(self._score_fn(qshift, lengths))

@@ -139,3 +139,19 @@ def test_sharded_banded_scorer_matches_oracle(dp, sp, long_read_case):
         for k in scorer._prep_cache
     ), "band did not engage; the sharded branch was not exercised"
     assert list(np.asarray(sharded)) == oracle
+
+
+def test_batch_mapper_two_piece_mesh_scores():
+    # regression: the plain sharded body is one-piece math; 2p mesh
+    # scoring must route through the sharded banded scorer
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from poasta_tpu.aligner import GapAffine2Piece
+
+    costs2 = GapAffine2Piece(4, 2, 8, 1, 24)
+    g, queries = _case(seed=53, nq=8, length=60)
+    mesh = make_mesh(devices=jax.devices()[:8], dp=8, sp=1)
+    bm = BatchMapper(g, costs2, mesh=mesh)
+    got = bm.score_batch(queries)
+    aligner = PoastaAligner(costs2, Global(), heuristic="dijkstra")
+    assert list(got) == [aligner.align(g, q).score for q in queries]
