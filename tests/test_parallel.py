@@ -155,3 +155,19 @@ def test_batch_mapper_two_piece_mesh_scores():
     got = bm.score_batch(queries)
     aligner = PoastaAligner(costs2, Global(), heuristic="dijkstra")
     assert list(got) == [aligner.align(g, q).score for q in queries]
+
+
+@pytest.mark.parametrize("fs,fe", [(True, True), (False, True), (True, False)])
+def test_sharded_free_ends_match_single_device(fs, fe):
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    g, queries = _case(seed=61)
+    dg = DeviceGraph.build(g.flatten())
+    qshift, lengths = pack_queries(queries, pad_to=255)
+    mesh = make_mesh(devices=jax.devices()[:8], dp=4, sp=2)
+    fn = make_sharded_score_fn(dg, COSTS, mesh, free_start=fs, free_end=fe)
+    sharded = np.asarray(fn(qshift, lengths))
+    single = np.asarray(dp_fill_scores(dg, qshift, lengths, COSTS,
+                                       free_start=fs, free_end=fe,
+                                       engine="xla"))
+    assert (sharded == single).all()
