@@ -27,6 +27,8 @@ def align_subcommand(args):
     from ..parallel import BatchMapper
 
     graph, segments = load_graph_from_gfa(args.graph)
+    if graph.node_count() == 0:
+        raise SystemExit(f"Error: graph {args.graph!r} contains no segments")
     resolver = NodeSegmentResolver(graph, segments)
     costs = GapAffine(args.cost_mismatch, args.cost_gap_extend, args.cost_gap_open)
 
@@ -127,11 +129,22 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.command == "align":
-        align_subcommand(args)
-    else:
-        print("No subcommand given.", file=sys.stderr)
+    try:
+        if args.command == "align":
+            align_subcommand(args)
+        else:
+            print("No subcommand given.", file=sys.stderr)
+            return 1
+    except (OSError, ValueError) as exc:
+        print(f"Error: {exc}", file=sys.stderr)
         return 1
+    except Exception as exc:
+        from ..utils.errors import PoastaError
+
+        if isinstance(exc, PoastaError):
+            print(f"Error: {exc}", file=sys.stderr)
+            return 1
+        raise
     return 0
 
 

@@ -290,15 +290,28 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.command == "align":
-        align_subcommand(args)
-    elif args.command == "view":
-        view_subcommand(args)
-    elif args.command == "stats":
-        stats_subcommand(args)
-    else:
-        print("No subcommand given.", file=sys.stderr)
+    try:
+        if args.command == "align":
+            align_subcommand(args)
+        elif args.command == "view":
+            view_subcommand(args)
+        elif args.command == "stats":
+            stats_subcommand(args)
+        else:
+            print("No subcommand given.", file=sys.stderr)
+            return 1
+    except (OSError, ValueError) as exc:
+        # user-input errors exit cleanly (the reference prints anyhow's
+        # "Error: ..." line, not a backtrace)
+        print(f"Error: {exc}", file=sys.stderr)
         return 1
+    except Exception as exc:
+        from ..utils.errors import PoastaError
+
+        if isinstance(exc, PoastaError):
+            print(f"Error: {exc}", file=sys.stderr)
+            return 1
+        raise
     return 0
 
 

@@ -74,8 +74,11 @@ def load_graph_from_gfa(path) -> Tuple[POAGraph, GraphSegments]:
                 continue
             try:
                 parsed = parse_gfa_line(line)
-            except ValueError:
-                continue
+            except ValueError as exc:
+                # unknown record types are skipped per the GFA spec, but a
+                # malformed S/L line means the file is broken — fail loudly
+                # instead of silently building a partial graph
+                raise GraphError(f"malformed GFA line: {line[:80]!r} ({exc})")
             if isinstance(parsed, Segment):
                 if parsed.sequence is None:
                     continue
