@@ -174,3 +174,36 @@ def test_align_empty_input_file(reference_tests_dir):
                     f"{reference_tests_dir}/test2_num_6.fa"])
     assert rc in (0, None)
     assert out.strip() == ""
+
+
+@pytest.mark.parametrize("argv", [
+    ["align", "/nonexistent/file.fa"],
+    ["align", "-O", "fasta", "-g", "abc", "x.fa"],
+    ["view", "/nonexistent.poasta", "-O", "fasta"],
+])
+def test_cli_errors_cleanly(argv):
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run([_sys.executable, "-m", "poasta_tpu.cli.poasta"] + argv,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode != 0
+    assert "Traceback" not in r.stderr
+
+
+def test_lasagna_rejects_malformed_and_empty_gfa(tmp_path, reference_tests_dir):
+    import subprocess
+    import sys as _sys
+
+    bad = tmp_path / "bad.gfa"
+    bad.write_text("garbage line\nS\tbroken\n")
+    empty = tmp_path / "empty.gfa"
+    empty.write_text("# nothing\n")
+    for p in (bad, empty):
+        r = subprocess.run(
+            [_sys.executable, "-m", "poasta_tpu.cli.lasagna", "align", str(p),
+             f"{reference_tests_dir}/small_test.query.fa"],
+            capture_output=True, text=True, timeout=120)
+        assert r.returncode != 0
+        assert "Traceback" not in r.stderr
+        assert "Error" in r.stderr
