@@ -352,6 +352,7 @@ class BandedScorer:
                 cached = (wstart, width)
                 self._prep_cache[key] = cached
             wstart, width = cached
+            self._last_fill_width = width  # for the cells-filled counter
             L = int(qshift.shape[1])
             if width >= L:
                 return None  # band as wide as the full fill: no point
@@ -527,12 +528,10 @@ class BandedScorer:
             self.last_attempts += 1
             self.stats["fills"] += 1
             self.stats["tiers"] += 1
-            key_w = self._prep_cache.get((n_min, n_max, ub, use_pallas,
-                                          use_mesh, int(q_cur.shape[1])))
-            if key_w is not None:
-                self.stats["cells_filled"] += (
-                    self.flat.n_nodes * int(key_w[1]) * int(q_cur.shape[0])
-                )
+            self.stats["cells_filled"] += (
+                self.flat.n_nodes * self._last_fill_width
+                * int(q_cur.shape[0])
+            )
             done = sub <= ub
             out[map_idx[done]] = sub[done]
             tiers.append((ub, len(np.unique(map_idx[done]))))
@@ -569,10 +568,15 @@ class BandedScorer:
             if use_mesh:
                 # whole-batch retry (no subset gathers under the mesh)
                 continue
-            # gather the unresolved reads into a padded sub-batch
+            # gather the unresolved reads into a padded sub-batch; pad to
+            # power-of-two block counts so retry tails of varying sizes
+            # reuse a bounded set of compiled kernels
             pad_to = len(rem)
             if use_pallas:
-                pad_to = max(64, _round_up(len(rem), 64))
+                blocks = 1
+                while blocks * 64 < len(rem):
+                    blocks <<= 1
+                pad_to = blocks * 64
             idx = np.resize(rem, pad_to)
             idx_dev = jnp.asarray(idx)
             q_cur = jnp.take(qshift, idx_dev, axis=0)
