@@ -319,6 +319,11 @@ class BandedScorer:
         self.stats = {"fills": 0, "cells_filled": 0, "tiers": 0,
                       "fullfill_fallbacks": 0}
 
+    # modeled fixed cost per device fill (dispatch + gathers), in cells:
+    # ~25-30 ms of tethered dispatch at ~35 Gcells/s.  Biases the tier
+    # choice toward fewer fills unless the band savings are substantial.
+    TIER_OVERHEAD_CELLS = 1_000_000_000
+
     def reset_stats(self) -> None:
         for k in self.stats:
             self.stats[k] = 0
@@ -545,16 +550,31 @@ class BandedScorer:
                 def _width_of(u):
                     return band_windows(self.flat, n_min, n_max, costs, u)[1]
 
-                final_w = _width_of(tiers[-1][0])
-                cum = 0
+                def _pad(rows):
+                    if rows <= 0:
+                        return 0
+                    blocks = 1
+                    while blocks * 64 < rows:
+                        blocks <<= 1
+                    return blocks * 64
+
+                # Model the cost of starting future calls at tier i as the
+                # observed remainder of the ladder: the tier-i fill runs
+                # the whole batch, each later observed tier refills its
+                # (padded) unresolved tail.  Per-fill overhead (dispatch +
+                # gathers ~ TIER_OVERHEAD_CELLS) biases toward fewer fills.
+                ov = self.TIER_OVERHEAD_CELLS / max(self.flat.n_nodes, 1)
+                widths = [_width_of(t) for t, _ in tiers]
+                counts = [c for _, c in tiers]
                 best_ub, best_cost = tiers[-1][0], None
-                for tier_ub, cnt in tiers:
-                    cum += cnt
-                    tail = B - cum
-                    tail_pad = 0 if tail <= 0 else max(64, _round_up(tail, 64))
-                    cost = _width_of(tier_ub) * B + final_w * tail_pad
+                for i in range(len(tiers)):
+                    cum = sum(counts[: i + 1])
+                    cost = widths[i] * B + ov
+                    for j in range(i + 1, len(tiers)):
+                        cost += widths[j] * _pad(B - cum) + ov
+                        cum += counts[j]
                     if best_cost is None or cost < best_cost:
-                        best_ub, best_cost = tier_ub, cost
+                        best_ub, best_cost = tiers[i][0], cost
                 self._ub_hint[(n_min, n_max)] = best_ub
                 return out
             rem = map_idx[~done]
@@ -584,8 +604,20 @@ class BandedScorer:
             q_cur_key = None  # don't cache padded copies of sub-batches
             map_idx = idx
 
-        self._prep_cache[("fullfill", n_min, n_max)] = True
         self.stats["fullfill_fallbacks"] += 1
+        if self.last_attempts > 0 and len(map_idx) < B:
+            # the band resolved most of the batch; full-fill only the
+            # unresolved tail (banding stays enabled for this profile),
+            # and future calls start at the tier that did the bulk work
+            self._ub_hint.setdefault((n_min, n_max), tiers[0][0])
+            self.stats["cells_filled"] += (
+                self.flat.n_nodes * int(q_cur.shape[1]) * int(q_cur.shape[0])
+            )
+            sub = np.asarray(dp_fill_scores(self.dg, q_cur, l_cur, costs))
+            out[map_idx] = sub
+            return out
+
+        self._prep_cache[("fullfill", n_min, n_max)] = True
         self.stats["cells_filled"] += (
             self.flat.n_nodes * int(qshift.shape[1]) * B
         )
