@@ -159,3 +159,49 @@ def test_tiered_retry_heterogeneous_batch():
     # second call reuses the learned narrow first tier
     got2 = bs.scores(qshift, lengths)
     assert list(np.asarray(got2)) == oracle
+
+
+def test_outlier_tail_falls_back_without_disabling_banding():
+    """A few extreme outliers must not force the whole batch into the
+    full fill or permanently disable banding for the length profile."""
+    import random
+
+    from poasta_tpu.native import NativeAligner
+
+    rng = random.Random(91)
+    base = "".join(rng.choice("ACGT") for _ in range(700))
+
+    def mutate(s, d):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < d:
+                continue
+            out.append(rng.choice("ACGT") if r < 2 * d else ch)
+            if rng.random() < d:
+                out.append(rng.choice("ACGT"))
+        return "".join(out) or "A"
+
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * 700)
+    for i in range(1, 3):
+        s = mutate(base, 0.01).encode()
+        _, aln, _ = NativeAligner(g).align(s, COSTS)
+        g.add_alignment_with_weights(f"s{i}", s, aln, [1] * len(s))
+    queries = [mutate(base, 0.01).encode() for _ in range(7)]
+    # one extreme outlier whose band is as wide as the read
+    queries.append("".join(rng.choice("ACGT") for _ in range(690)).encode())
+    flat = g.flatten()
+    qshift, lengths = pack_queries(queries)
+    bs = BandedScorer(flat, COSTS)
+    got = np.asarray(bs.scores(qshift, lengths, ub=80))
+    na = NativeAligner(g)
+    oracle = [na.align(q, COSTS)[0] for q in queries]
+    assert list(got) == oracle
+    # banding must remain enabled for this profile
+    assert not any(
+        isinstance(k, tuple) and k and k[0] == "fullfill"
+        for k in bs._prep_cache
+    )
+    got2 = np.asarray(bs.scores(qshift, lengths))
+    assert list(got2) == oracle
