@@ -4,7 +4,10 @@ The pytest suite pins the CPU backend (tests/conftest.py) so the Pallas
 kernel tests skip there; this runner executes them — plus an on-chip
 cross-engine consistency pass — against the actual accelerator.
 
-    python run_tpu_tests.py
+    python run_tpu_tests.py [--soak N]
+
+--soak N additionally runs the randomized cross-engine consistency sweep
+with N extra seeds on the chip.
 """
 
 import re
@@ -109,6 +112,24 @@ def main():
     bs = BandedScorer(flat, costs, mesh=mesh)
     assert (np.asarray(bs.scores(qshift, lengths)) == full).all()
     print("OK")
+
+    if "--soak" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--soak") + 1])
+        print(f"soak: {n} extra consistency seeds on chip:")
+        ok = 0
+        for k in range(n):
+            seed = 900 + k
+            try:
+                if k % 4 == 3:
+                    tc.test_all_engines_agree_two_piece(seed)
+                else:
+                    tc.test_all_engines_agree_one_piece(seed)
+                ok += 1
+            except Exception as exc:
+                print(f"  seed {seed} FAILED: {exc!r}")
+        print(f"  {ok}/{n} clean")
+        if ok != n:
+            return 1
 
     print("all TPU validations passed")
     return 0
