@@ -76,6 +76,10 @@ def build_graph_and_reads(graph_len=5000, n_seqs=4, n_reads=1024,
 def main():
     import numpy as np
 
+    from poasta_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from poasta_tpu.aligner import GapAffine
     from poasta_tpu.aligner.banded import BandedScorer
     from poasta_tpu.aligner.wavefront import pack_queries

@@ -129,6 +129,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     try:
         if args.command == "align":
             align_subcommand(args)
