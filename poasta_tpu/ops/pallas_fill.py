@@ -62,6 +62,23 @@ def _int16_supported() -> bool:
     """
     if _INT16_PROBE:
         return _INT16_PROBE[0]
+    # failed compiles aren't covered by jax's persistent cache, so a fresh
+    # process would re-pay the probe every run — persist the verdict on
+    # disk, keyed by the jax version
+    import os
+
+    probe_file = None
+    try:
+        probe_file = os.path.join(
+            os.path.expanduser("~"), ".cache", "poasta_tpu",
+            f"int16_probe_{jax.__version__}"
+        )
+        if os.path.exists(probe_file):
+            ok = open(probe_file).read().strip() == "1"
+            _INT16_PROBE.append(ok)
+            return ok
+    except Exception:
+        probe_file = None
     ok = False
     try:
         if jax.default_backend() != "cpu":
@@ -87,6 +104,13 @@ def _int16_supported() -> bool:
     except Exception:
         ok = False
     _INT16_PROBE.append(ok)
+    if probe_file is not None:
+        try:
+            os.makedirs(os.path.dirname(probe_file), exist_ok=True)
+            with open(probe_file, "w") as fh:
+                fh.write("1" if ok else "0")
+        except Exception:
+            pass
     return ok
 
 
