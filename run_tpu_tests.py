@@ -31,6 +31,9 @@ def _run_test_file(path, names, param_calls=()):
 
 
 def main():
+    from poasta_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
 
     backend = jax.default_backend()
