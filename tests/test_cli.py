@@ -207,3 +207,17 @@ def test_lasagna_rejects_malformed_and_empty_gfa(tmp_path, reference_tests_dir):
         assert r.returncode != 0
         assert "Traceback" not in r.stderr
         assert "Error" in r.stderr
+
+
+def test_lasagna_fastq_gz_input(tmp_path, reference_tests_dir):
+    import gzip
+
+    fq = tmp_path / "reads.fastq.gz"
+    with gzip.open(fq, "wt") as fh:
+        fh.write("@r1\nACGT\n+\nIIII\n@r2\nGGTT\n+\nIIII\n")
+    out = tmp_path / "out.gaf"
+    rc = lasagna_main(["align", f"{reference_tests_dir}/test.gfa", str(fq),
+                       "-o", str(out)])
+    assert rc in (0, None)
+    lines = out.read_text().splitlines()
+    assert {l.split("\t")[0] for l in lines} == {"r1", "r2"}
