@@ -77,7 +77,7 @@ class DeviceGraph:
     pred_slots: jnp.ndarray  # (Np, P) ring slot per predecessor
     pred_valid: jnp.ndarray  # (Np, P) bool
     end_rank: jnp.ndarray  # () int32 — true end-node rank
-    window: int  # ring size W (static, pow2)
+    window: int  # ring size W = liveness-coloring peak (static)
     n_nodes_padded: int
     n_nodes: int
     pred_ranks_np: "np.ndarray" = None  # (Np, P) predecessor ranks (host)
