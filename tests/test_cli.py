@@ -191,22 +191,21 @@ def test_cli_errors_cleanly(argv):
     assert "Traceback" not in r.stderr
 
 
-def test_lasagna_rejects_malformed_and_empty_gfa(tmp_path, reference_tests_dir):
-    import subprocess
-    import sys as _sys
-
+def test_lasagna_rejects_malformed_and_empty_gfa(tmp_path, reference_tests_dir,
+                                                 capsys):
     bad = tmp_path / "bad.gfa"
     bad.write_text("garbage line\nS\tbroken\n")
     empty = tmp_path / "empty.gfa"
     empty.write_text("# nothing\n")
-    for p in (bad, empty):
-        r = subprocess.run(
-            [_sys.executable, "-m", "poasta_tpu.cli.lasagna", "align", str(p),
-             f"{reference_tests_dir}/small_test.query.fa"],
-            capture_output=True, text=True, timeout=120)
-        assert r.returncode != 0
-        assert "Traceback" not in r.stderr
-        assert "Error" in r.stderr
+    # malformed S line -> GraphError -> clean "Error: ..." + rc 1
+    rc = lasagna_main(["align", str(bad),
+                       f"{reference_tests_dir}/small_test.query.fa"])
+    assert rc == 1
+    assert "Error" in capsys.readouterr().err
+    # empty graph -> SystemExit with a clean message
+    with pytest.raises(SystemExit):
+        lasagna_main(["align", str(empty),
+                      f"{reference_tests_dir}/small_test.query.fa"])
 
 
 def test_lasagna_fastq_gz_input(tmp_path, reference_tests_dir):
