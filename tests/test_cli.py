@@ -220,3 +220,26 @@ def test_lasagna_fastq_gz_input(tmp_path, reference_tests_dir):
     assert rc in (0, None)
     lines = out.read_text().splitlines()
     assert {l.split("\t")[0] for l in lines} == {"r1", "r2"}
+
+
+def test_compile_cache_helper_respects_optout(monkeypatch, tmp_path):
+    import jax
+
+    from poasta_tpu.utils.compile_cache import enable_persistent_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("POASTA_TPU_NO_COMPILE_CACHE", "1")
+        jax.config.update("jax_compilation_cache_dir", None)
+        enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+        monkeypatch.delenv("POASTA_TPU_NO_COMPILE_CACHE")
+        monkeypatch.setenv("HOME", str(tmp_path))
+        enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir is not None
+        # a user-set value is never overridden
+        jax.config.update("jax_compilation_cache_dir", "/tmp/userdir")
+        enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir == "/tmp/userdir"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
