@@ -39,6 +39,19 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+def _pad_to_pow2_blocks(rows: int, block: int = 64) -> int:
+    """Pad a row count up to a power-of-two number of kernel blocks, so
+    retry tails of varying sizes reuse a bounded set of compiled kernels.
+    Used by both the retry gather and the tier cost model — they must
+    agree for the model to predict actual retry cost."""
+    if rows <= 0:
+        return 0
+    blocks = 1
+    while blocks * block < rows:
+        blocks <<= 1
+    return blocks * block
+
+
 def band_windows(flat: FlatGraph, n_min: int, n_max: int, costs: GapAffine,
                  ub: int) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray]:
     """Per-rank window starts + width covering all bound≤ub cells.
@@ -550,13 +563,7 @@ class BandedScorer:
                 def _width_of(u):
                     return band_windows(self.flat, n_min, n_max, costs, u)[1]
 
-                def _pad(rows):
-                    if rows <= 0:
-                        return 0
-                    blocks = 1
-                    while blocks * 64 < rows:
-                        blocks <<= 1
-                    return blocks * 64
+                _pad = _pad_to_pow2_blocks
 
                 # Model the cost of starting future calls at tier i as the
                 # observed remainder of the ladder: the tier-i fill runs
@@ -593,10 +600,7 @@ class BandedScorer:
             # reuse a bounded set of compiled kernels
             pad_to = len(rem)
             if use_pallas:
-                blocks = 1
-                while blocks * 64 < len(rem):
-                    blocks <<= 1
-                pad_to = blocks * 64
+                pad_to = _pad_to_pow2_blocks(len(rem))
             idx = np.resize(rem, pad_to)
             idx_dev = jnp.asarray(idx)
             q_cur = jnp.take(qshift, idx_dev, axis=0)
@@ -605,7 +609,10 @@ class BandedScorer:
             map_idx = idx
 
         self.stats["fullfill_fallbacks"] += 1
-        if self.last_attempts > 0 and len(map_idx) < B:
+        # NB: map_idx may be pow2-padded with duplicates; count the
+        # distinct unresolved reads, not the padded length (a one-read
+        # tail padded to 64 must still take the tail-only path at B=64)
+        if self.last_attempts > 0 and len(np.unique(map_idx)) < B:
             # the band resolved most of the batch; full-fill only the
             # unresolved tail (banding stays enabled for this profile),
             # and future calls start at the tier that did the bulk work

@@ -69,9 +69,19 @@ def _int16_supported() -> bool:
 
     probe_file = None
     try:
+        # key by everything the verdict depends on: the Mosaic toolchain
+        # (libtpu) ships separately from jax, and the correctness check
+        # is per device generation
+        try:
+            import importlib.metadata as _ilm
+
+            toolchain = _ilm.version("libtpu")
+        except Exception:
+            toolchain = "unknown"
+        devkind = jax.devices()[0].device_kind.replace(" ", "_")
         probe_file = os.path.join(
             os.path.expanduser("~"), ".cache", "poasta_tpu",
-            f"int16_probe_{jax.__version__}"
+            f"int16_probe_{jax.__version__}_{toolchain}_{devkind}"
         )
         if os.path.exists(probe_file):
             ok = open(probe_file).read().strip() == "1"

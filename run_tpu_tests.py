@@ -117,7 +117,11 @@ def main():
     print("OK")
 
     if "--soak" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--soak") + 1])
+        at = sys.argv.index("--soak")
+        if at + 1 >= len(sys.argv) or not sys.argv[at + 1].isdigit():
+            print("usage: run_tpu_tests.py [--soak N]")
+            return 2
+        n = int(sys.argv[at + 1])
         print(f"soak: {n} extra consistency seeds on chip:")
         ok = 0
         for k in range(n):

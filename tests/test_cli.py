@@ -228,6 +228,9 @@ def test_compile_cache_helper_respects_optout(monkeypatch, tmp_path):
     from poasta_tpu.utils.compile_cache import enable_persistent_cache
 
     prev = jax.config.jax_compilation_cache_dir
+    prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    prev_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
     try:
         monkeypatch.setenv("POASTA_TPU_NO_COMPILE_CACHE", "1")
         jax.config.update("jax_compilation_cache_dir", None)
@@ -243,3 +246,7 @@ def test_compile_cache_helper_respects_optout(monkeypatch, tmp_path):
         assert jax.config.jax_compilation_cache_dir == "/tmp/userdir"
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          prev_size)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_secs)
