@@ -295,15 +295,18 @@ class BandedScorer:
     """
 
     def __init__(self, flat: FlatGraph, costs: GapAffine,
-                 node_bucket: int = 64, mesh=None):
+                 node_bucket: int = 64, mesh=None, dg=None):
         """``mesh``: optional jax.sharding.Mesh with a ``dp`` axis — the
         read batch shards over it (graph/window arrays replicate; the
         banded fill has no cross-read dependence, so dp needs no
-        collectives and can span hosts over DCN)."""
+        collectives and can span hosts over DCN).  ``dg``: an existing
+        DeviceGraph for the same flat graph, to skip the rebuild/upload.
+        """
         self.flat = flat
         self.costs = costs
         self.mesh = mesh
-        self.dg = DeviceGraph.build(flat, node_bucket=node_bucket)
+        self.dg = dg if dg is not None \
+            else DeviceGraph.build(flat, node_bucket=node_bucket)
         # predecessor RANK table (banded kernel re-derives ring slots)
         n = flat.n_nodes
         P = int(self.dg.pred_slots.shape[1])
@@ -530,6 +533,7 @@ class BandedScorer:
 
         B = int(qshift.shape[0])
         out = np.empty(B, dtype=np.int32)
+        resolved = np.zeros(B, dtype=bool)
         map_idx = np.arange(B)  # out positions of the current sub-batch
         q_cur, l_cur = qshift, lengths
         q_cur_key = qshift
@@ -552,7 +556,12 @@ class BandedScorer:
             )
             done = sub <= ub
             out[map_idx[done]] = sub[done]
-            tiers.append((ub, len(np.unique(map_idx[done]))))
+            # count only newly-resolved reads: mesh mode retries the whole
+            # batch, so earlier tiers' reads verify again at later tiers
+            new_mask = np.zeros(B, dtype=bool)
+            new_mask[map_idx[done]] = True
+            tiers.append((ub, int((new_mask & ~resolved).sum())))
+            resolved |= new_mask
             if done.all():
                 # Pick the starting tier for future calls by modeled cost:
                 # first-fill work is width(tier) x B, plus the unresolved
@@ -662,7 +671,7 @@ class BandedScorer:
         B_shard = B // dp
         if B_shard % 64:
             return None
-        skey = key + ("spallas",)
+        skey = key + ("spallas", B, L)
         sfn = self._prep_cache.get(skey)
         if sfn is None:
             margin, width = prep["margin"], prep["width"]

@@ -170,7 +170,19 @@ def make_sharded_score_fn(dg: DeviceGraph, costs: GapAffine, mesh: Mesh,
                 "two-piece sharded scoring needs a dp-only accelerator "
                 "mesh (or use BandedScorer(mesh=...))"
             )
-        return pallas_fn
+        dp2 = mesh.shape.get("dp", 1)
+
+        def fn2p(qshift, lengths):
+            B = int(qshift.shape[0])
+            if B % dp2 or (B // dp2) % 64:
+                raise ValueError(
+                    f"two-piece sharded scoring needs the batch ({B}) to "
+                    f"split into 64-multiples across dp={dp2}; pad the "
+                    "batch or use BandedScorer(mesh=...)"
+                )
+            return pallas_fn(qshift, lengths)
+
+        return fn2p
 
     body = functools.partial(
         _sp_scan_rows,
@@ -198,14 +210,19 @@ def make_sharded_score_fn(dg: DeviceGraph, costs: GapAffine, mesh: Mesh,
         return xla_fn
 
     dp = mesh.shape.get("dp", 1)
+    failed_shapes: set = set()
 
     def fn(qshift, lengths):
         B = int(qshift.shape[0])
-        if B % dp == 0 and (B // dp) % 64 == 0:
+        key = (B, int(qshift.shape[1]))
+        if B % dp == 0 and (B // dp) % 64 == 0 and key not in failed_shapes:
             try:
                 return pallas_fn(qshift, lengths)
             except Exception:
-                pass  # e.g. VMEM OOM at this shape — use the XLA body
+                # e.g. VMEM OOM at this shape: compile failures are
+                # permanent per shape — remember so streaming workloads
+                # don't re-pay the failed compile every batch
+                failed_shapes.add(key)
         return xla_fn(qshift, lengths)
 
     return fn
@@ -227,7 +244,8 @@ def _make_dp_pallas_score_fn(dg, costs, mesh, free_start, free_end):
     @functools.lru_cache(maxsize=None)
     def inner_for(B_shard: int, L: int):
         if two_piece:
-            blk = pf.pick_b_blk(dg.window, L, L, 4, n_rings=3)
+            blk = pf.pick_b_blk(dg.window, L, L, 4,
+                                n_rings=4 if free_end else 3)
             while B_shard % blk:
                 blk //= 2
             inner = pf._pallas_exec_2p(
@@ -295,8 +313,7 @@ class BatchMapper:
                 # scorer (the plain sharded body is one-piece math)
                 if getattr(self, "_mesh_scorer", None) is None:
                     self._mesh_scorer = BandedScorer(
-                        self.flat, self.costs, mesh=self.mesh)
-                    self._mesh_scorer.dg = self.dg
+                        self.flat, self.costs, mesh=self.mesh, dg=self.dg)
                 return np.asarray(self._mesh_scorer.scores(qshift, lengths))
             if self._score_fn is None:
                 self._score_fn = make_sharded_score_fn(self.dg, self.costs, self.mesh)
@@ -306,8 +323,8 @@ class BatchMapper:
         # banding doesn't pay)
         if getattr(self, "_scorer", None) is None:
             try:
-                self._scorer = BandedScorer(self.flat, self.costs)
-                self._scorer.dg = self.dg  # share device arrays
+                self._scorer = BandedScorer(self.flat, self.costs,
+                                            dg=self.dg)
             except Exception:
                 self._scorer = None
         if self._scorer is not None:
@@ -374,8 +391,8 @@ class BatchMapper:
                     # device scorer seeds each read's band with its exact
                     # score; the two-piece device band isn't built yet, so
                     # 2p reads use the native verify-and-retry on its own
-                    self._banded_scorer = BandedScorer(self.flat, self.costs)
-                    self._banded_scorer.dg = self.dg  # share device arrays
+                    self._banded_scorer = BandedScorer(self.flat, self.costs,
+                                                      dg=self.dg)
             except Exception:
                 return None
         na = self._native

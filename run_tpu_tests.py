@@ -48,7 +48,10 @@ def main():
         "test_pallas_2piece_matches_xla_scores",
     ], param_calls=[("test_pallas_free_ends_matches_xla", (True, True)),
                     ("test_pallas_free_ends_matches_xla", (True, False)),
-                    ("test_pallas_free_ends_matches_xla", (False, True))])
+                    ("test_pallas_free_ends_matches_xla", (False, True)),
+                    ("test_pallas_2p_free_ends_matches_xla", (True, True)),
+                    ("test_pallas_2p_free_ends_matches_xla", (True, False)),
+                    ("test_pallas_2p_free_ends_matches_xla", (False, True))])
 
     print("on-chip consistency sweep:")
     sys.path.insert(0, "tests")

@@ -125,7 +125,7 @@ def test_pallas_free_ends_matches_xla(fs, fe):
     assert (out == ref).all()
 
 
-@pytest.mark.parametrize("fs,fe", [(True, True), (False, True)])
+@pytest.mark.parametrize("fs,fe", [(True, True), (False, True), (True, False)])
 def test_pallas_2p_free_ends_matches_xla(fs, fe):
     from poasta_tpu.aligner import GapAffine2Piece
 
