@@ -83,6 +83,14 @@ def band_windows(flat: FlatGraph, n_min: int, n_max: int, costs: GapAffine,
     ])
     hi = np.maximum(hi, lo)  # degenerate ranks keep a 1-wide window
 
+    # Widen every window one column left: the device kernels substitute
+    # INF for the diagonal predecessor of local column 0 (it lives one
+    # column left of the aligned window reads), which is only sound if
+    # that column is infeasible.  With lo shifted down by one, every
+    # feasible cell sits at local column >= 1 — except global j = 0,
+    # which has no diagonal predecessor at all.
+    lo = np.maximum(lo - 1, 0)
+
     width = int((hi - lo + 1).max())
     width = _round_up(max(width, 128), 128)
 

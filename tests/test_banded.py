@@ -205,3 +205,27 @@ def test_outlier_tail_falls_back_without_disabling_banding():
     )
     got2 = np.asarray(bs.scores(qshift, lengths))
     assert list(got2) == oracle
+
+
+def test_suffix_queries_on_band_edge():
+    """Suffix queries at ub == optimal run the optimal path along the
+    band's left edge — the adversarial shape for the window derivation's
+    left-column diagonal handling."""
+    import random
+
+    from poasta_tpu.native import NativeAligner
+
+    rng = random.Random(1)
+    N = 300
+    base = "".join(rng.choice("ACGT") for _ in range(N))
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * N)
+    na = NativeAligner(g)
+    flat = g.flatten()
+    for cut in (10, 40, 100, 170):
+        q = base[cut:].encode()
+        s_true = na.align(q, COSTS)[0]
+        qs, ln = pack_queries([q])
+        bs = BandedScorer(flat, COSTS)
+        got = int(np.asarray(bs.scores(qs, ln, ub=s_true))[0])
+        assert got == s_true, (cut, got, s_true)
