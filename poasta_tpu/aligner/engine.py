@@ -790,6 +790,8 @@ class PoastaAligner:
 
     def align(self, graph, seq: bytes) -> AstarResult:
         if graph.node_count() == 0:
+            # the reference hardcodes len*4 as a 'rough cost estimate'
+            # for the empty-graph edge case (mod.rs:128-133) — parity
             score = 0 if len(seq) == 0 else len(seq) * 4
             return AstarResult(score=score)
         bubble_index = BubbleIndex(graph)

@@ -273,9 +273,12 @@ def build_parser():
     a.add_argument("-H", "--heuristic", default="mingap")
     a.add_argument("--engine", default="exact", choices=["exact", "banded"],
                    help="exact: reference-parity A* (default); banded: "
-                        "verify-and-retry banded fill — same optimal "
-                        "scores, much faster on long divergent sequences, "
-                        "co-optimal tiebreaks may differ")
+                        "verify-and-retry banded fill — true optimal "
+                        "scores, much faster on long divergent sequences; "
+                        "co-optimal tiebreaks may differ, and for "
+                        "two-piece penalties the A* engine's scores can "
+                        "be higher (its 2-piece heuristic reproduces the "
+                        "reference's inadmissible quirk)")
 
     v = sub.add_parser("view", help="Convert POA graphs to various output formats")
     v.add_argument("graph")

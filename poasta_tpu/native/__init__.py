@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import shutil
 import subprocess
 import threading
 from typing import List, Optional
@@ -25,9 +26,26 @@ _build_error: Optional[str] = None
 
 def _build() -> Optional[str]:
     try:
+        import json
+        import platform
+
+        marker = _LIB + ".info"
+        host = {"machine": platform.machine(), "node": platform.node()}
         src_mtime = os.path.getmtime(_SRC)
         if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
-            return None
+            # A -march=native binary from another host can SIGILL here.
+            # Reuse the library only if the build marker says it was
+            # built on this machine; otherwise rebuild when a toolchain
+            # exists (a marker-less shipped prebuilt is the portable
+            # fallback for toolchain-less environments).
+            try:
+                built_on = json.load(open(marker))
+            except Exception:
+                built_on = None
+            if built_on == host:
+                return None
+            if shutil.which("g++") is None:
+                return None  # no toolchain: trust the shipped portable lib
         # -march=native is worth ~2x on the banded fill (vectorized mins);
         # fall back to generic codegen where the flag is unsupported
         base_cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
@@ -39,6 +57,8 @@ def _build() -> Optional[str]:
                                  timeout=300)
             if res.returncode != 0:
                 return res.stderr[-2000:]
+        with open(marker, "w") as fh:
+            json.dump(host, fh)
         return None
     except Exception as exc:  # toolchain missing etc.
         return str(exc)
