@@ -18,38 +18,48 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "engine.cpp")
+# the repo ships a PORTABLE (generic-ISA) build at _LIB; per-host
+# -march=native rebuilds go to _LIB_LOCAL (gitignored) so the shipped
+# binary is never overwritten with host-specific code
 _LIB = os.path.join(_HERE, "_libpoasta.so")
+_LIB_LOCAL = os.path.join(_HERE, "_libpoasta_local.so")
 _lock = threading.Lock()
 _lib = None
+_lib_path: Optional[str] = None
 _build_error: Optional[str] = None
 
 
 def _build() -> Optional[str]:
+    """Pick/build the library to load; sets _lib_path or returns an error."""
+    global _lib_path
     try:
         import json
         import platform
 
-        marker = _LIB + ".info"
+        marker = _LIB_LOCAL + ".info"
         host = {"machine": platform.machine(), "node": platform.node()}
         src_mtime = os.path.getmtime(_SRC)
-        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
-            # A -march=native binary from another host can SIGILL here.
-            # Reuse the library only if the build marker says it was
-            # built on this machine; otherwise rebuild when a toolchain
-            # exists (a marker-less shipped prebuilt is the portable
-            # fallback for toolchain-less environments).
+        if os.path.exists(_LIB_LOCAL) \
+                and os.path.getmtime(_LIB_LOCAL) >= src_mtime:
+            # A -march=native binary from another host can SIGILL; reuse
+            # the local build only if its marker names this machine.
             try:
                 built_on = json.load(open(marker))
             except Exception:
                 built_on = None
             if built_on == host:
+                _lib_path = _LIB_LOCAL
                 return None
-            if shutil.which("g++") is None:
-                return None  # no toolchain: trust the shipped portable lib
+        if shutil.which("g++") is None:
+            # no toolchain: trust the shipped portable library if current
+            if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
+                _lib_path = _LIB
+                return None
+            return "no C++ toolchain and no usable prebuilt library"
         # -march=native is worth ~2x on the banded fill (vectorized mins);
         # fall back to generic codegen where the flag is unsupported
         base_cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-                    "-o", _LIB]
+                    "-o", _LIB_LOCAL]
         cmd = base_cmd[:1] + ["-march=native"] + base_cmd[1:]
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
         if res.returncode != 0:
@@ -59,6 +69,7 @@ def _build() -> Optional[str]:
                 return res.stderr[-2000:]
         with open(marker, "w") as fh:
             json.dump(host, fh)
+        _lib_path = _LIB_LOCAL
         return None
     except Exception as exc:  # toolchain missing etc.
         return str(exc)
@@ -73,7 +84,7 @@ def _load():
         if err is not None:
             _build_error = err
             return None
-        lib = ctypes.CDLL(_LIB)
+        lib = ctypes.CDLL(_lib_path)
         lib.poasta_engine_create.restype = ctypes.c_void_p
         lib.poasta_engine_create.argtypes = [
             ctypes.c_int32,
