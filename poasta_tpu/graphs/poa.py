@@ -261,7 +261,9 @@ class POAGraph:
         )
 
         for pair in alignment:
-            if pair.qpos is None:
+            if pair.qpos is None or pair.qpos >= len(sequence):
+                # valid_ix above already tolerates out-of-range qpos from
+                # external alignments; the fusion loop must skip them too
                 continue
             q = pair.qpos
             qsymbol = sequence[q]

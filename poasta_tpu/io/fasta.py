@@ -27,7 +27,8 @@ def read_fasta(path) -> Iterator[Tuple[str, bytes]]:
             if line.startswith(">"):
                 if name is not None:
                     yield name, "".join(chunks).encode()
-                name = line[1:].split()[0] if len(line) > 1 else ""
+                tokens = line[1:].split()
+                name = tokens[0] if tokens else ""
                 chunks = []
             else:
                 chunks.append(line.strip())

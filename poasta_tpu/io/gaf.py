@@ -75,7 +75,9 @@ def alignment_to_gaf(
     resolver: NodeSegmentResolver,
 ) -> Optional[GAFRecord]:
     """Build a GAF record from an alignment (reference: ``gaf.rs:152-304``)."""
-    if not alignment:
+    if not alignment or not any(p.is_aligned() for p in alignment):
+        # no aligned pair: there is no graph path to report (the
+        # reference would panic indexing an empty segment list here)
         return None
 
     query_start = 0

@@ -108,6 +108,13 @@ def load_graph_from_gfa(path) -> Tuple[POAGraph, GraphSegments]:
             frm = segments.end_nodes[name_to_ix[link.sid1]]
             to = segments.start_nodes[name_to_ix[link.sid2]]
             graph.add_edge(frm, to, 0, 1)
+        else:
+            # silently dropping a link to an undefined segment would build
+            # a disconnected graph with no warning — fail like malformed
+            # lines do
+            missing = link.sid1 if link.sid1 not in name_to_ix else link.sid2
+            raise GraphError(f"GFA link references undefined segment "
+                             f"{missing!r}")
 
     graph.post_process()
     return graph, segments
@@ -180,7 +187,6 @@ def _seq_walk(graph: POAGraph, seq_id: int, start_node: int, node_to_segment):
     prev_segment, _ = node_to_segment[start_node]
     walk_segments = [prev_segment]
     last_pos = 0
-    total_len_cb = []
 
     while curr is not None:
         node_segment, last_pos = node_to_segment[curr]

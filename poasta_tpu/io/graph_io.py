@@ -112,6 +112,16 @@ def load_graph_from_fasta_msa(path) -> POAGraph:
                 graph.sequences.append(SequenceInfo(name, node_ix))
             prev_node = node_ix
 
+        if prev_node is None:
+            # All-gap/empty row: register it anchored at the virtual start
+            # (the same treatment fusion gives empty sequences) so later
+            # rows' sequence ids stay aligned with their edge tags.  The
+            # reference drops the row here and desynchronizes every
+            # following id (graph.rs:90-95) — our own emitter writes
+            # all-gap rows for empty sequences, so the importer must
+            # handle them.
+            graph.sequences.append(SequenceInfo(name, graph.start_node))
+
     graph.post_process()
     return graph
 

@@ -129,3 +129,52 @@ def test_empty_sequence_msa_row(reference_tests_dir):
     out = buf.getvalue().splitlines()
     row = out[out.index(">empty") + 1]
     assert set(row) <= {"-"}
+
+
+def test_msa_import_all_gap_row_keeps_sequence_ids(tmp_path):
+    # regression: an all-gap row shifted every later sequence's id so
+    # re-export walked the wrong edges (the reference has the same bug;
+    # our own emitter writes all-gap rows for empty sequences, so the
+    # importer must handle them)
+    p = tmp_path / "msa.fa"
+    p.write_text(">s1\n----\n>s2\nACGT\n>s3\nACGT\n")
+    g = load_graph_from_fasta_msa(str(p))
+    assert [s.name for s in g.sequences] == ["s1", "s2", "s3"]
+    buf = io.StringIO()
+    poa_graph_to_fasta(g, buf)
+    rows = {}
+    name = None
+    for ln in buf.getvalue().splitlines():
+        if ln.startswith(">"):
+            name = ln[1:]
+        else:
+            rows[name] = ln
+    assert rows["s2"].replace("-", "") == "ACGT"
+    assert rows["s3"].replace("-", "") == "ACGT"
+    assert set(rows["s1"]) <= {"-"}
+
+
+def test_gaf_returns_none_without_aligned_pair(reference_tests_dir):
+    from poasta_tpu.aligner.alignment import AlignedPair
+    from poasta_tpu.io import load_graph_from_gfa
+
+    graph, segments = load_graph_from_gfa(f"{reference_tests_dir}/test.gfa")
+    resolver = NodeSegmentResolver(graph, segments)
+    aln = [AlignedPair(2, None), AlignedPair(None, 0)]
+    assert alignment_to_gaf(graph, segments, "r", b"A", aln, resolver) is None
+
+
+def test_fasta_whitespace_only_header(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_text(">   \nACGT\n")
+    recs = list(read_fasta(str(p)))
+    assert recs == [("", b"ACGT")]
+
+
+def test_gfa_rejects_link_to_undefined_segment(tmp_path):
+    from poasta_tpu.utils.errors import PoastaError
+
+    p = tmp_path / "x.gfa"
+    p.write_text("S\ts1\tACGT\nL\ts1\t+\tmissing\t+\t0M\n")
+    with pytest.raises(PoastaError):
+        load_graph_from_gfa(str(p))
