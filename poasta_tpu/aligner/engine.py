@@ -322,7 +322,12 @@ class _AlignmentGraph:
                 for node in graph.all_nodes()
                 if node != graph.start_node and node != graph.end_node
             ]
-            temp.reverse()  # queue is LIFO; lower indices processed first
+            if self.two_piece:
+                # the two-piece queue drains LIFO (reference order), so
+                # reverse to process lower node indices first; the
+                # gap-affine queue drains FIFO (truth-corpus discipline),
+                # where insertion order already does that
+                temp.reverse()
             states.extend(temp)
         else:
             states.append((graph.start_node, 0))

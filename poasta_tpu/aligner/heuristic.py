@@ -104,7 +104,15 @@ class PathAwareHeuristic:
             if min_cost is None or cost < min_cost:
                 min_cost = cost
 
-        return min_cost if min_cost is not None else 2**62
+        if min_cost is not None:
+            return min_cost
+        # unreachable in practice (indexed paths always carry distances);
+        # fall back to the conservative no-paths estimate rather than a
+        # huge sentinel, which would make the bucket queue allocate that
+        # many layers (the reference returns usize::MAX here and would
+        # blow up the same way)
+        remaining = max(self.seq_length - offset, 0)
+        return self.costs.gap_cost(AlignState.MATCH, remaining)
 
 
 HEURISTIC_NAMES = {

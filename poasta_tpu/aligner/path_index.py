@@ -132,11 +132,13 @@ class PathIndex:
         return self.node_to_paths.get(node, [])
 
     def get_distance_to_end(self, path_id: int, position: int):
-        for d in self.path_distances:
-            if d.path_id == path_id:
-                if position < len(d.backward_distances):
-                    return d.backward_distances[position]
-                return None
+        # path ids are assigned sequentially in self.paths order, so the
+        # list position IS the id (this sits on the path heuristic's
+        # hottest loop — no linear scan)
+        if 0 <= path_id < len(self.path_distances):
+            d = self.path_distances[path_id]
+            if d.path_id == path_id and position < len(d.backward_distances):
+                return d.backward_distances[position]
         return None
 
     def num_paths(self) -> int:

@@ -41,6 +41,19 @@ struct Costs {
     int open = (state == I || state == D) ? 0 : o;
     return open + length * e;
   }
+
+  // the cost model's own gap_cost (python costs.py gap_cost): piece-aware,
+  // min over both pieces from a Match state — used by bubble pruning
+  int64_t model_gap_cost(int state, int64_t length) const {
+    if (length == 0) return 0;
+    if (state == I || state == D)
+      return (int64_t)gap_open + length * gap_extend;
+    if (state == I2 || state == D2)
+      return (int64_t)gap_open2 + length * gap_extend2;
+    int64_t c1 = (int64_t)gap_open + length * gap_extend;
+    if (!two_piece) return c1;
+    return std::min(c1, (int64_t)gap_open2 + length * gap_extend2);
+  }
 };
 
 struct Graph {
@@ -282,19 +295,19 @@ struct Visited {
     if (left && right) {
       int64_t ls = get(exit_node, *left, M);
       int64_t rs = get(exit_node, *right, M);
-      int64_t fl = ls + c->gap_cost(M, off - *left, c->gap_open, c->gap_extend);
-      int64_t fr = rs + c->gap_cost(M, *right - off, c->gap_open, c->gap_extend);
+      int64_t fl = ls + c->model_gap_cost(M, off - *left);
+      int64_t fr = rs + c->model_gap_cost(M, *right - off);
       implicit = (*right - off > min_dist_end) ? fl : std::min(fl, fr);
       have = true;
     } else if (right) {
       if (*right - off <= min_dist_end) {
         int64_t rs = get(exit_node, *right, M);
-        implicit = rs + c->gap_cost(M, *right - off, c->gap_open, c->gap_extend);
+        implicit = rs + c->model_gap_cost(M, *right - off);
         have = true;
       }
     } else if (left) {
       int64_t ls = get(exit_node, *left, M);
-      implicit = ls + c->gap_cost(M, off - *left, c->gap_open, c->gap_extend);
+      implicit = ls + c->model_gap_cost(M, off - *left);
       have = true;
     }
     return !have || score < implicit;
@@ -937,6 +950,9 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
     int64_t de_max = eng.bi.max_dist_to_end[nd];
     int64_t l = std::max<int64_t>(
         0, std::max(eng.ds_min[nd] - K, (n - de_max + 1) - K));
+    // a node deeper than n + K has l > n; clamp so the fill never reads
+    // seq[] past the query (offsets > n cannot be on any path to (end, n))
+    l = std::min<int64_t>(l, n);
     int64_t h = std::min<int64_t>(
         n, std::min(eng.ds_max[nd] + K, (n - de_min + 1) + K));
     h = std::max(h, l);
