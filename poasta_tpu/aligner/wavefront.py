@@ -328,9 +328,12 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
             from ..ops.pallas_fill import B_BLK, pallas_fill_scores_2p
 
             B = qshift.shape[0]
-            key = ("2p", id(dg), B, qshift.shape[1], costs.gap_open,
-                   costs.gap_extend, costs.gap_extend2, costs.mismatch,
-                   free_start, free_end)
+            # keyed on the compile-relevant shape/config, NOT id(dg):
+            # ids get recycled after gc, which could mask a live graph's
+            # working config behind a dead graph's recorded failure
+            key = ("2p", dg.window, dg.symbols.shape[0], B, qshift.shape[1],
+                   costs.gap_open, costs.gap_extend, costs.gap_extend2,
+                   costs.mismatch, free_start, free_end)
             if (jax.default_backend() != "cpu" or engine == "pallas") \
                     and key not in _PALLAS_FAILED:
                 try:
@@ -362,8 +365,10 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
         B = qshift.shape[0]
         # compile failures are permanent for a given shape/config: remember
         # them so "auto" doesn't re-pay a failed compile on every call
-        key = (id(dg), B, qshift.shape[1], costs.gap_open, costs.gap_extend,
-               costs.mismatch, free_start, free_end)
+        # (shape-based key — id(dg) would be recyclable after gc)
+        key = (dg.window, dg.symbols.shape[0], B, qshift.shape[1],
+               costs.gap_open, costs.gap_extend, costs.mismatch,
+               free_start, free_end)
         if (jax.default_backend() != "cpu" or engine == "pallas") \
                 and key not in _PALLAS_FAILED:
             try:
@@ -411,7 +416,19 @@ def _full_exec(window: int, o: int, e: int, x: int, free_start: bool):
 
 def dp_fill_full(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                  costs: GapAffine, free_start: bool = False):
-    """Full fill: (scores (B,), M, I, D each (Np, B, L)) for host backtrace."""
+    """Full fill: (scores (B,), M, I, D each (Np, B, L)) for host backtrace.
+
+    One-piece gap-affine only: the dense-table recurrence here has a
+    single insertion/deletion layer, so silently accepting a two-piece
+    cost model would return wrong scores.  Two-piece alignment goes
+    through the banded fill + native backtrace instead (see
+    ``BatchMapper.align_batch``).
+    """
+    if getattr(costs, "is_two_piece", False):
+        raise NotImplementedError(
+            "dp_fill_full implements the one-piece recurrence; use "
+            "BatchMapper.align_batch / the banded path for two-piece costs"
+        )
     fn = _full_exec(dg.window, costs.gap_open, costs.gap_extend,
                     costs.mismatch, free_start)
     return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
@@ -430,6 +447,13 @@ def backtrace_dense(flat: FlatGraph, M: np.ndarray, I: np.ndarray, D: np.ndarray
     Same priority rules as the exact engine's backtrace (diagonal first,
     predecessors scanned oldest-edge-first, then deletion closure, then
     insertion closure).  Tables are rank-major: ``M[rank, offset]``.
+
+    Convention (shared with the exact engines and the reference,
+    ``gap_affine.rs`` backtrace): a query prefix that aligns as a leading
+    insertion run against the virtual start node is NOT emitted as pairs —
+    the alignment starts at the first real-node visit.  Consumers that
+    need full query coverage (GAF emission, MSA insertion) recover the
+    unaligned prefix from the first emitted ``qpos``.
     """
     o, e, x = costs.gap_open, costs.gap_extend, costs.mismatch
     n = len(query)

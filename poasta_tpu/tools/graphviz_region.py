@@ -146,8 +146,12 @@ def main(argv=None):
 
     sequences, nodes, edges, aligned = parse_annotated_dot(args.poasta_dot)
     path = sequence_path(sequences, edges, seq_name)
+    # reference semantics (poasta_graphviz_region.py:113-151): walk from
+    # curr_pos = pos_offset-1 keeping start-1 <= curr_pos < stop, i.e. the
+    # stop position is INCLUSIVE in the user's coordinate system
     keep = extract_region(path, aligned,
-                          start - args.pos_offset, stop - args.pos_offset)
+                          start - args.pos_offset,
+                          stop - args.pos_offset + 1)
 
     highlights = {}
     names = list(sequences)

@@ -25,7 +25,10 @@ NODE_LABEL = re.compile(r"'(.|#|\$)' \((\d+)\)")
 EDGE = re.compile(r"^\s*(\d+)\s*->\s*(\d+)")
 NODE = re.compile(r"^\s*(\d+)\s*\[\s*label\s*=")
 
-MATRICES = ("match", "deletion", "insertion", "deletion2", "insertion2")
+# two-piece dumps name the first gap layer "deletion1"/"insertion1"
+# (debug.py mirrors the reference TSV schema), so both spellings render
+MATRICES = ("match", "deletion", "insertion", "deletion1", "insertion1",
+            "deletion2", "insertion2")
 
 
 def load_dot(path):

@@ -76,17 +76,23 @@ def dump_wavefront_tsv(flat, M, I, D, path) -> None:
     are (n_ranks, L) tables for ONE read (e.g. a slice of
     ``dp_fill_full``'s output); INF-sentinel cells are skipped.
     """
+    import numpy as np
+
     INF_CUT = 1 << 27
     # tables may carry bucket-padded ranks beyond the real node count
     n = min(M.shape[0], flat.n_nodes)
-    L = M.shape[1]
+    nodes = np.asarray(flat.node_of_rank[:n])
+    names = ("match", "insertion", "deletion")
+    # stack to (3, n, L) and find finite cells in one vectorized pass;
+    # emit rank-major, offset-next, matrix-last — the same row order the
+    # old per-cell loop produced
+    stacked = np.stack([np.asarray(M[:n]), np.asarray(I[:n]),
+                        np.asarray(D[:n])])
+    mats, rs, js = np.nonzero(stacked < INF_CUT)
+    order = np.lexsort((mats, js, rs))
+    vals = stacked[mats, rs, js]
     with open(path, "w") as fh:
         fh.write("node_id\toffset\tmatrix\tscore\n")
-        for r in range(n):
-            node = int(flat.node_of_rank[r])
-            for j in range(L):
-                for name, table in (("match", M), ("insertion", I),
-                                    ("deletion", D)):
-                    v = int(table[r, j])
-                    if v < INF_CUT:
-                        fh.write(f"{node}\t{j}\t{name}\t{v}\n")
+        for k in order:
+            fh.write(f"{int(nodes[rs[k]])}\t{int(js[k])}\t"
+                     f"{names[mats[k]]}\t{int(vals[k])}\n")

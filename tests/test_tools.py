@@ -58,6 +58,55 @@ def test_graphviz_region_extracts_subgraph(debug_dump, capsys):
     assert '[label="' in out
 
 
+def test_graphviz_region_stop_inclusive(debug_dump, capsys):
+    """Region coordinates are 1-based with an INCLUSIVE stop (reference
+    poasta_graphviz_region.py:113-151): a single-position region keeps
+    that node, not the empty set."""
+    from poasta_tpu.tools.graphviz_region import (
+        main,
+        parse_annotated_dot,
+        sequence_path,
+    )
+
+    dot = str(debug_dump / "annot.dot")
+    sequences, nodes, edges, aligned = parse_annotated_dot(dot)
+    name = next(iter(sequences))
+    path = sequence_path(sequences, edges, name)
+    main([dot, f"{name}:3-3"])
+    out = capsys.readouterr().out
+    assert f"{path[2]} [label=" in out
+
+
+def test_plot_dp_two_piece_matrices(tmp_path):
+    """The two-piece debug dumps name the first gap layers insertion1/
+    deletion1 — plot_dp must render those too."""
+    from poasta_tpu.tools.plot_dp import main
+
+    dot = tmp_path / "g.dot"
+    dot.write_text(
+        "digraph {\n"
+        '0 [label="\'#\' (0)"]\n'
+        '1 [label="\'A\' (1)"]\n'
+        '2 [label="\'$\' (2)"]\n'
+        "0 -> 1\n"
+        "1 -> 2\n"
+        "}\n"
+    )
+    tsv = tmp_path / "x.iter0.tsv"
+    tsv.write_text(
+        "node_id\toffset\tmatrix\tscore\n"
+        "1\t0\tmatch\t0\n"
+        "1\t1\tinsertion1\t8\n"
+        "1\t1\tdeletion1\t8\n"
+        "1\t1\tinsertion2\t9\n"
+    )
+    out = tmp_path / "viz"
+    main([str(dot), str(tsv), "-o", str(out)])
+    names = sorted(p.name for p in out.glob("*.png"))
+    assert names == ["x.iter0.deletion1.png", "x.iter0.insertion1.png",
+                     "x.iter0.insertion2.png", "x.iter0.match.png"]
+
+
 def test_graphviz_region_unknown_sequence(debug_dump):
     from poasta_tpu.tools.graphviz_region import main
 

@@ -65,10 +65,47 @@ def test_full_fill_backtrace_optimal():
     aligner = PoastaAligner(COSTS, Global(), heuristic="mingap")
     for b, q in enumerate(queries):
         aln = backtrace_dense(flat, M[:, b, :], I[:, b, :], D[:, b, :], q, COSTS)
-        # the reconstructed alignment is a valid optimal alignment
-        assert alignment_cost(g, q, aln, COSTS) == aligner.align(g, q).score
+        # the reconstructed alignment is a valid optimal alignment; a
+        # leading query-insertion run is (by the shared engine convention)
+        # not emitted as pairs, so account for its cost separately
+        lead = min((p.qpos for p in aln if p.qpos is not None), default=len(q))
+        cost = alignment_cost(g, q, aln, COSTS)
+        if lead:
+            cost += COSTS.gap_open + COSTS.gap_extend * lead
+        assert cost == aligner.align(g, q).score
         qpos = [p.qpos for p in aln if p.qpos is not None]
-        assert qpos == list(range(len(q)))
+        assert qpos == list(range(lead, len(q)))
+
+
+def test_backtrace_leading_insertion_convention():
+    """Leading query insertions are omitted from the emitted pairs by ALL
+    engines (exact python, native, dense backtrace) — pin the convention."""
+    from poasta_tpu.graphs import POAGraph
+
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", b"AC", None, [1, 1])
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    q = b"TTAC"
+    qshift, lengths = pack_queries([q])
+    scores, M, I, D = dp_fill_full(dg, qshift, lengths, COSTS)
+    M, I, D = np.asarray(M), np.asarray(I), np.asarray(D)
+    aln = backtrace_dense(flat, M[:, 0, :], I[:, 0, :], D[:, 0, :], q, COSTS)
+    pairs = [(p.rpos, p.qpos) for p in aln]
+    aligner = PoastaAligner(COSTS, Global(), heuristic="mingap")
+    res = aligner.align(g, q)
+    assert pairs == [(p.rpos, p.qpos) for p in res.alignment]
+    assert int(scores[0]) == res.score
+
+
+def test_dp_fill_full_rejects_two_piece():
+    from poasta_tpu.aligner import GapAffine2Piece
+
+    g, _ = _random_case(3)
+    dg = DeviceGraph.build(g.flatten())
+    qshift, lengths = pack_queries([b"ACGT"])
+    with pytest.raises(NotImplementedError):
+        dp_fill_full(dg, qshift, lengths, GapAffine2Piece(4, 8, 6, 2, 24))
 
 
 def test_varied_lengths_in_one_batch():
