@@ -313,6 +313,41 @@ def _scores_exec_2p(window: int, o1: int, e1: int, e2: int, x: int,
 _PALLAS_FAILED: set = set()
 
 
+def _try_pallas(fill_fn, dg, qshift, lengths, costs, free_start, free_end,
+                engine, key):
+    """Pad the batch to a B_BLK multiple and run a pallas fill kernel.
+
+    Returns None when the kernel isn't applicable (CPU backend under
+    "auto") or failed to compile (the failure is memoized in
+    ``_PALLAS_FAILED`` by ``key`` — shape/config-based, NOT id(dg),
+    because object ids get recycled after gc and could mask a live
+    graph's working config behind a dead graph's recorded failure).
+    """
+    from ..ops.pallas_fill import B_BLK
+
+    if jax.default_backend() == "cpu" and engine != "pallas":
+        return None
+    if key in _PALLAS_FAILED:
+        return None
+    B = qshift.shape[0]
+    try:
+        pad = (-B) % B_BLK
+        if pad:
+            qp = jnp.concatenate(
+                [qshift, jnp.zeros((pad, qshift.shape[1]), qshift.dtype)]
+            )
+            lp = jnp.concatenate([lengths, jnp.zeros((pad,), lengths.dtype)])
+            return fill_fn(dg, qp, lp, costs, free_start, free_end)[:B]
+        return fill_fn(dg, qshift, lengths, costs, free_start, free_end)
+    except Exception:
+        if engine == "pallas":
+            raise
+        # compile failures are permanent for a given shape/config:
+        # remember them so "auto" doesn't re-pay a failed compile
+        _PALLAS_FAILED.add(key)
+        return None
+
+
 def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                    costs, free_start: bool = False,
                    free_end: bool = False, engine: str = "auto") -> jnp.ndarray:
@@ -323,71 +358,31 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
     on CPU or for configurations the kernel doesn't cover.  Two-piece cost
     models run the 5-layer XLA scan.
     """
-    if getattr(costs, "is_two_piece", False):
-        if engine in ("auto", "pallas"):
-            from ..ops.pallas_fill import B_BLK, pallas_fill_scores_2p
+    two_piece = getattr(costs, "is_two_piece", False)
+    if engine in ("auto", "pallas"):
+        from ..ops.pallas_fill import pallas_fill_scores, pallas_fill_scores_2p
 
-            B = qshift.shape[0]
-            # keyed on the compile-relevant shape/config, NOT id(dg):
-            # ids get recycled after gc, which could mask a live graph's
-            # working config behind a dead graph's recorded failure
-            key = ("2p", dg.window, dg.symbols.shape[0], B, qshift.shape[1],
-                   costs.gap_open, costs.gap_extend, costs.gap_extend2,
-                   costs.mismatch, free_start, free_end)
-            if (jax.default_backend() != "cpu" or engine == "pallas") \
-                    and key not in _PALLAS_FAILED:
-                try:
-                    pad = (-B) % B_BLK
-                    if pad:
-                        qp = jnp.concatenate(
-                            [qshift,
-                             jnp.zeros((pad, qshift.shape[1]), qshift.dtype)]
-                        )
-                        lp = jnp.concatenate(
-                            [lengths, jnp.zeros((pad,), lengths.dtype)]
-                        )
-                        return pallas_fill_scores_2p(dg, qp, lp, costs,
-                                                     free_start, free_end)[:B]
-                    return pallas_fill_scores_2p(dg, qshift, lengths, costs,
-                                                 free_start, free_end)
-                except Exception:
-                    if engine == "pallas":
-                        raise
-                    _PALLAS_FAILED.add(key)
+        shape_key = (dg.window, dg.symbols.shape[0], qshift.shape[0],
+                     qshift.shape[1], free_start, free_end)
+        if two_piece:
+            key = ("2p", *shape_key, costs.gap_open, costs.gap_extend,
+                   costs.gap_extend2, costs.mismatch)
+            fill_fn = pallas_fill_scores_2p
+        else:
+            key = (*shape_key, costs.gap_open, costs.gap_extend,
+                   costs.mismatch)
+            fill_fn = pallas_fill_scores
+        out = _try_pallas(fill_fn, dg, qshift, lengths, costs,
+                          free_start, free_end, engine, key)
+        if out is not None:
+            return out
+    if two_piece:
         fn = _scores_exec_2p(dg.window, costs.gap_open, costs.gap_extend,
                              costs.gap_extend2, costs.mismatch,
                              free_start, free_end)
-        return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
-                  dg.end_rank, qshift, lengths)
-    if engine in ("auto", "pallas"):
-        from ..ops.pallas_fill import B_BLK, pallas_fill_scores
-
-        B = qshift.shape[0]
-        # compile failures are permanent for a given shape/config: remember
-        # them so "auto" doesn't re-pay a failed compile on every call
-        # (shape-based key — id(dg) would be recyclable after gc)
-        key = (dg.window, dg.symbols.shape[0], B, qshift.shape[1],
-               costs.gap_open, costs.gap_extend, costs.mismatch,
-               free_start, free_end)
-        if (jax.default_backend() != "cpu" or engine == "pallas") \
-                and key not in _PALLAS_FAILED:
-            try:
-                pad = (-B) % B_BLK
-                if pad:
-                    qp = jnp.concatenate(
-                        [qshift, jnp.zeros((pad, qshift.shape[1]), qshift.dtype)]
-                    )
-                    lp = jnp.concatenate([lengths, jnp.zeros((pad,), lengths.dtype)])
-                    return pallas_fill_scores(dg, qp, lp, costs, free_start,
-                                              free_end)[:B]
-                return pallas_fill_scores(dg, qshift, lengths, costs,
-                                          free_start, free_end)
-            except Exception:
-                if engine == "pallas":
-                    raise
-                _PALLAS_FAILED.add(key)
-    fn = _scores_exec(dg.window, costs.gap_open, costs.gap_extend,
-                      costs.mismatch, free_start, free_end)
+    else:
+        fn = _scores_exec(dg.window, costs.gap_open, costs.gap_extend,
+                          costs.mismatch, free_start, free_end)
     return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
               dg.end_rank, qshift, lengths)
 
