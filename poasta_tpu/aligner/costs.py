@@ -43,6 +43,24 @@ class EndsFree:
     graph_free_begin: Tuple[str, Optional[int]] = UNBOUNDED
     graph_free_end: Tuple[str, Optional[int]] = UNBOUNDED
 
+    def __post_init__(self) -> None:
+        # reject malformed bounds up front — an unrecognized kind string
+        # would otherwise be treated as "excluded" deep inside the engine's
+        # end test, silently changing semantics
+        for field in ("qry_free_begin", "qry_free_end",
+                      "graph_free_begin", "graph_free_end"):
+            kind, value = getattr(self, field)
+            if kind not in ("unbounded", "included", "excluded"):
+                raise ValueError(
+                    f"{field}: unknown bound kind {kind!r} "
+                    "(use UNBOUNDED / included(v) / excluded(v))"
+                )
+            if kind == "unbounded":
+                if value is not None:
+                    raise ValueError(f"{field}: unbounded carries no value")
+            elif not isinstance(value, int) or value < 0:
+                raise ValueError(f"{field}: bound value must be an int >= 0")
+
 
 AlignmentType = object  # Global | EndsFree
 

@@ -340,15 +340,20 @@ class _AlignmentGraph:
             return state == M and node == graph.end_node and offset == len(seq)
         assert isinstance(self.aln_type, EndsFree)
         qkind, qval = self.aln_type.qry_free_end
+        # offsets past len(seq) exist in the state space (the ref-graph-end
+        # expansion opens an insertion at offset+1 unconditionally, like the
+        # reference; gap_affine.rs:346-367) but never describe a valid query
+        # suffix — a negative remaining length must not satisfy a bound
+        rem = len(seq) - offset
         if qkind == "unbounded":
             if self.two_piece:
                 can_end_query = offset >= len(seq) or len(seq) == 0
             else:
                 can_end_query = offset > 0 or len(seq) == 0
         elif qkind == "included":
-            can_end_query = (len(seq) - offset) <= qval
+            can_end_query = 0 <= rem <= qval
         else:
-            can_end_query = (len(seq) - offset) < qval
+            can_end_query = 0 <= rem < qval
 
         gkind, gval = self.aln_type.graph_free_end
         if gkind == "unbounded":
@@ -721,9 +726,17 @@ def astar_alignment(
                     if aln_graph.is_end(graph, seq, cnode, coffset, M):
                         stop = (score, cnode, coffset)
                         break
-                    aln_graph.expand_ref_graph_end(
-                        visited, parent, score, lambda d, n, o, st: emit(d, n, o, st, score)
-                    )
+                    # opening an insertion past the query end is only
+                    # reachable when the end bound is unsatisfiable (any
+                    # satisfiable bound accepts the offset-n end above);
+                    # unbounded Python offsets would then grow forever, so
+                    # keep the state space finite and let the queue drain
+                    # into the "could not align" error instead
+                    if parent[1] < len(seq):
+                        aln_graph.expand_ref_graph_end(
+                            visited, parent, score,
+                            lambda d, n, o, st: emit(d, n, o, st, score),
+                        )
                 elif kind == Q_END:
                     aln_graph.expand_query_end(
                         visited, parent, child[0], score,

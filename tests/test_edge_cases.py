@@ -134,3 +134,29 @@ def test_one_char_sequence_never_anchors_at_virtual_end():
     rows = [l for l in buf.getvalue().splitlines() if not l.startswith(">")]
     assert rows[1].replace("-", "") == "C"
     assert len({len(row) for row in rows}) == 1
+
+
+def test_ends_free_bound_validation():
+    """Malformed bound kinds are rejected at construction; a legal but
+    unsatisfiable bound (excluded 0) raises cleanly instead of walking
+    past the query end in the backtrace."""
+    from poasta_tpu.aligner import EndsFree, PoastaAligner
+    from poasta_tpu.aligner.costs import excluded, included
+
+    with pytest.raises(ValueError):
+        EndsFree(qry_free_end=("bounded", 0))
+    with pytest.raises(ValueError):
+        EndsFree(graph_free_end=("included", -1))
+    with pytest.raises(ValueError):
+        EndsFree(qry_free_begin=("unbounded", 3))
+
+    g = _graph(b"ACGTACGT")
+    # excluded(0) demands a free span of length < 0: no end state exists
+    ef = EndsFree(qry_free_end=excluded(0), qry_free_begin=included(0))
+    a = PoastaAligner(COSTS, ef, heuristic="mingap")
+    with pytest.raises(RuntimeError):
+        a.align(g, b"ACGT")
+    # included(0) == exact query end: behaves like a query-global bound
+    ef2 = EndsFree(qry_free_begin=included(0), qry_free_end=included(0))
+    r = PoastaAligner(COSTS, ef2, heuristic="mingap").align(g, b"ACGTACGT")
+    assert r.score == 0
