@@ -58,7 +58,7 @@ class EndsFree:
             if kind == "unbounded":
                 if value is not None:
                     raise ValueError(f"{field}: unbounded carries no value")
-            elif not isinstance(value, int) or value < 0:
+            elif not isinstance(value, int) or isinstance(value, bool) or value < 0:
                 raise ValueError(f"{field}: bound value must be an int >= 0")
 
 

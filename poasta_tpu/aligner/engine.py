@@ -71,14 +71,25 @@ class _LayeredQueue:
     published truths.  The two-piece model has no published truth output,
     so it keeps the current reference's order
     (M, D, D2, I, I2 — ``gap_affine_2piece.rs:1069-1089``, LIFO).
+
+    ``discipline="reference"`` selects the reference's *live* LIFO M,D,I
+    discipline for the gap-affine model instead, for side-by-side
+    comparisons against a freshly built reference binary (scores are
+    identical either way; only co-optimal tiebreaks differ).
     """
 
-    def __init__(self, two_piece: bool) -> None:
+    def __init__(self, two_piece: bool, discipline: str = "truth") -> None:
+        if discipline not in ("truth", "reference"):
+            raise ValueError(f"unknown queue discipline {discipline!r}")
         self.layers: deque = deque()
         self.layer_min = 0
         self.two_piece = two_piece
-        self.pop_order = (M, D, D2, I, I2) if two_piece else (D, I, M)
-        self.fifo = not two_piece
+        if two_piece or discipline == "reference":
+            self.pop_order = (M, D, D2, I, I2) if two_piece else (M, D, I)
+            self.fifo = False
+        else:
+            self.pop_order = (D, I, M)
+            self.fifo = True
 
     def _new_layer(self):
         return {M: deque(), D: deque(), I: deque(), D2: deque(), I2: deque()}
@@ -666,11 +677,12 @@ def astar_alignment(
     bubble_index: BubbleIndex,
     enable_pruning: bool = True,
     debug_sink=None,
+    queue_discipline: str = "truth",
 ) -> AstarResult:
     aln_graph = _AlignmentGraph(costs, aln_type)
     visited = _Visited(graph, costs, len(seq), bubble_index)
     result = AstarResult()
-    queue = _LayeredQueue(costs.is_two_piece)
+    queue = _LayeredQueue(costs.is_two_piece, queue_discipline)
 
     for node, offset in aln_graph.initial_states(graph):
         h = heuristic.h(node, offset, M)
@@ -778,11 +790,13 @@ class PoastaAligner:
     ``AlignmentConfig`` impls via the ``heuristic`` string).
     """
 
-    def __init__(self, costs, aln_type=None, heuristic: str = "mingap", debug_sink=None):
+    def __init__(self, costs, aln_type=None, heuristic: str = "mingap", debug_sink=None,
+                 queue_discipline: str = "truth"):
         self.costs = costs
         self.aln_type = aln_type if aln_type is not None else Global()
         self.heuristic_name = heuristic
         self.debug_sink = debug_sink
+        self.queue_discipline = queue_discipline
 
     def _make_heuristic(self, graph, seq: bytes, bubble_index: BubbleIndex):
         if self.heuristic_name == "dijkstra":
@@ -817,6 +831,7 @@ class PoastaAligner:
         return astar_alignment(
             graph, seq, self.costs, self.aln_type, heuristic, bubble_index,
             enable_pruning=True, debug_sink=self.debug_sink,
+            queue_discipline=self.queue_discipline,
         )
 
     def align_with_existing_bubbles(self, graph, seq: bytes, bubble_index) -> AstarResult:
@@ -824,6 +839,7 @@ class PoastaAligner:
         return astar_alignment(
             graph, seq, self.costs, self.aln_type, heuristic, bubble_index,
             enable_pruning=True, debug_sink=self.debug_sink,
+            queue_discipline=self.queue_discipline,
         )
 
     def align_no_pruning(self, graph, seq: bytes) -> AstarResult:
@@ -832,4 +848,5 @@ class PoastaAligner:
         return astar_alignment(
             graph, seq, self.costs, self.aln_type, heuristic, bubble_index,
             enable_pruning=False, debug_sink=self.debug_sink,
+            queue_discipline=self.queue_discipline,
         )

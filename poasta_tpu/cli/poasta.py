@@ -202,19 +202,23 @@ def align_subcommand(args):
                 f"Alignment length: {len(alignment)}",
                 file=sys.stderr,
             )
-            try:
-                graph.add_alignment_with_weights(name, seq, alignment, weights)
-            except PoastaError:
+            if alignment is not None and not any(
+                p.is_aligned() for p in alignment
+            ):
                 # co-optimal alignments of a completely unrelated sequence
                 # can collapse to pure indel runs, which fusion cannot
-                # anchor (the reference errors out here); keep the run
-                # alive by fusing it as a fresh unaligned chain
+                # anchor (the reference errors out here; divergence noted
+                # in PARITY.md); keep the run alive by fusing the sequence
+                # as a fresh unaligned chain.  Checked up front so genuine
+                # fusion bugs (malformed pairs) still propagate as errors.
                 print(
                     f"WARNING: '{name}' shares no aligned column with the "
                     "graph; fusing it unaligned",
                     file=sys.stderr,
                 )
                 graph.add_alignment_with_weights(name, seq, None, weights)
+            else:
+                graph.add_alignment_with_weights(name, seq, alignment, weights)
 
     _emit(graph, args.output_type or "poasta", args.output)
     if debug_sink is not None:

@@ -53,6 +53,19 @@ def save_graph(graph: POAGraph, out: IO[bytes]) -> None:
 def load_graph(inp: IO[bytes]) -> POAGraph:
     magic = inp.read(len(MAGIC))
     if magic != MAGIC:
+        # The Rust reference's .poasta files are bincode: a u32 LE variant
+        # index (0..=3, the POAGraphWithIx arm — reference
+        # ``io/graph.rs:24-34``, ``graphs/poa.rs:482-489``) leads the
+        # stream, so the first 4 bytes decode to a tiny integer.  Detect
+        # that and say so instead of a generic magic failure.
+        if len(magic) >= 4 and int.from_bytes(magic[:4], "little") < 4:
+            raise ValueError(
+                "this looks like a Rust-poasta bincode graph file; the "
+                "TPU port uses its own versioned .poasta container and "
+                "cannot read bincode. Re-export the graph from the "
+                "reference binary as FASTA MSA ('poasta view -O fasta') "
+                "or GFA and import that instead"
+            )
         raise ValueError("not a poasta-tpu graph file")
     version = inp.read(1)[0]
     if version != VERSION:

@@ -66,6 +66,12 @@ def _build() -> Optional[str]:
             res = subprocess.run(base_cmd, capture_output=True, text=True,
                                  timeout=300)
             if res.returncode != 0:
+                # both compiles failed: fall back to the shipped portable
+                # library when it is present and current, like the
+                # no-toolchain branch does
+                if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
+                    _lib_path = _LIB
+                    return None
                 return res.stderr[-2000:]
         with open(marker, "w") as fh:
             json.dump(host, fh)

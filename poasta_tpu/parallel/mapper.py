@@ -386,13 +386,17 @@ class BatchMapper:
         two_piece = getattr(self.costs, "is_two_piece", False)
         if getattr(self, "_native", None) is None:
             try:
-                self._native = NativeAligner(self.graph)
+                native = NativeAligner(self.graph)
                 if not two_piece:
                     # device scorer seeds each read's band with its exact
                     # score; the two-piece device band isn't built yet, so
                     # 2p reads use the native verify-and-retry on its own
                     self._banded_scorer = BandedScorer(self.flat, self.costs,
                                                       dg=self.dg)
+                # cache only once every required object constructed — a
+                # partial init would skip this block next call and crash on
+                # the missing scorer instead of falling back to dense
+                self._native = native
             except Exception:
                 return None
         na = self._native

@@ -107,7 +107,9 @@ def load_tsv(path):
     per_matrix = {}
     max_off = 0
     with open(path) as fh:
-        rd = csv.DictReader(fh, delimiter="\t")
+        # dumps open with a `# seq_name: ...` comment line (debug.rs:103)
+        lines = (ln for ln in fh if not ln.startswith("#"))
+        rd = csv.DictReader(lines, delimiter="\t")
         for row in rd:
             score = row["score"]
             if score in ("", "none", "None"):

@@ -30,9 +30,13 @@ class DebugOutputWriter:
         os.makedirs(directory, exist_ok=True)
         os.makedirs(os.path.join(directory, "astar_iterations"), exist_ok=True)
         self.curr_seq = "none"
+        self.curr_seq_str = ""
+        self.curr_max_rank = 0
 
     def new_sequence(self, name: str, sequence: bytes, graph) -> None:
         self.curr_seq = name
+        self.curr_seq_str = sequence.decode("ascii", "replace")
+        self.curr_max_rank = graph.node_count_with_start_and_end()
         if not graph.is_empty():
             from ..io import format_as_dot
 
@@ -54,6 +58,12 @@ class DebugOutputWriter:
             else tuple(AlignState)
         )
         with open(path, "w") as fh:
+            # header comment line matches the reference byte-for-byte
+            # (``debug.rs:103``)
+            fh.write(
+                f"# seq_name: {self.curr_seq} - seq: {self.curr_seq_str}"
+                f" - max_rank: {self.curr_max_rank}\n"
+            )
             fh.write("node_id\toffset\tmatrix\tscore\n")
             for (node, offset), cell in sorted(visited.scores.items()):
                 for st in states:
