@@ -342,6 +342,9 @@ class BandedScorer:
         # across calls, reset with reset_stats()
         self.stats = {"fills": 0, "cells_filled": 0, "tiers": 0,
                       "fullfill_fallbacks": 0}
+        # dp-sharded full-fill score fn, built lazily on first mesh-mode
+        # fallback to the full fill
+        self._mesh_fullfill_fn = None
 
     # modeled fixed cost per device fill (dispatch + gathers), in cells:
     # ~25-30 ms of tethered dispatch at ~35 Gcells/s.  Biases the tier
@@ -351,6 +354,22 @@ class BandedScorer:
     def reset_stats(self) -> None:
         for k in self.stats:
             self.stats[k] = 0
+
+    def _full_scores(self, qshift, lengths) -> np.ndarray:
+        """Full (unbanded) fill scores; dp-sharded over the mesh when the
+        batch divides — the full-fill fallback is the common path for
+        short-read profiles and parallelizes exactly like the banded fill
+        (no collectives)."""
+        if (self.mesh is not None
+                and int(qshift.shape[0]) % self.mesh.shape.get("dp", 1) == 0
+                and not getattr(self.costs, "is_two_piece", False)):
+            if self._mesh_fullfill_fn is None:
+                from ..parallel.mapper import make_sharded_score_fn
+
+                self._mesh_fullfill_fn = make_sharded_score_fn(
+                    self.dg, self.costs, self.mesh)
+            return np.asarray(self._mesh_fullfill_fn(qshift, lengths))
+        return np.asarray(dp_fill_scores(self.dg, qshift, lengths, self.costs))
 
     def _fill_once(self, q_in_key, qshift, lengths, ub, n_min, n_max,
                    use_pallas, use_mesh, two_piece):
@@ -537,7 +556,7 @@ class BandedScorer:
             self.stats["cells_filled"] += (
                 self.flat.n_nodes * int(qshift.shape[1]) * int(qshift.shape[0])
             )
-            return np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))
+            return self._full_scores(qshift, lengths)
 
         B = int(qshift.shape[0])
         out = np.empty(B, dtype=np.int32)
@@ -637,7 +656,7 @@ class BandedScorer:
             self.stats["cells_filled"] += (
                 self.flat.n_nodes * int(q_cur.shape[1]) * int(q_cur.shape[0])
             )
-            sub = np.asarray(dp_fill_scores(self.dg, q_cur, l_cur, costs))
+            sub = self._full_scores(q_cur, l_cur)
             out[map_idx] = sub
             return out
 
@@ -645,7 +664,7 @@ class BandedScorer:
         self.stats["cells_filled"] += (
             self.flat.n_nodes * int(qshift.shape[1]) * B
         )
-        scores = np.asarray(dp_fill_scores(self.dg, qshift, lengths, costs))
+        scores = self._full_scores(qshift, lengths)
         # The default ub guess can be so loose that the band is wider than
         # the full fill before the retry loop ever runs.  Now that the true
         # max score is known, re-enable banding for future calls if a band

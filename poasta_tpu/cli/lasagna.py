@@ -52,12 +52,53 @@ def align_subcommand(args):
             res = aligner.align_with_existing_bubbles(graph, seq, bubble_index)
             emit_record(name, seq, res.score, res.alignment)
     else:
-        mapper = BatchMapper(graph, costs, batch_size=args.batch_size)
+        from ..parallel import parse_mesh_spec
+
+        mesh = parse_mesh_spec(args.mesh)
+        import jax
+
+        if jax.process_count() > 1:
+            # Multi-host layout: dp has no intra-fill communication, so
+            # hosts need no collectives at all — each process aligns a
+            # round-robin slice of the read stream on a mesh over its
+            # OWN devices and writes its own output shard
+            # (<output>.part<pid>; concatenate when done).  This is the
+            # TPU-native shape of the reference's fan-out/fan-in worker
+            # pool (lasagna.rs:214-273) scaled over DCN.
+            pid, np_ = jax.process_index(), jax.process_count()
+            reader = (
+                rec for i, rec in enumerate(reader) if i % np_ == pid
+            )
+            if args.output:
+                out.close()
+                out = open(f"{args.output}.part{pid}", "w")
+            if mesh is not None:
+                from ..parallel import make_mesh
+
+                mesh = make_mesh(devices=jax.local_devices(),
+                                 dp=len(jax.local_devices()), sp=1)
+        batch_size = args.batch_size
+        if mesh is not None:
+            # the dp shard path needs the batch to split evenly over dp
+            # (ideally into 64-row kernel blocks per shard); round the
+            # batch size up so full batches always take the mesh path —
+            # tail batches fall back to single-device automatically
+            dp = mesh.shape.get("dp", 1)
+            quantum = 64 * dp
+            batch_size = ((batch_size + quantum - 1) // quantum) * quantum
+            if args.verbose:
+                print(
+                    f"INFO: mesh dp={dp} sp={mesh.shape.get('sp', 1)} "
+                    f"({len(mesh.devices.flat)} devices), "
+                    f"batch size {batch_size}",
+                    file=sys.stderr,
+                )
+        mapper = BatchMapper(graph, costs, mesh=mesh, batch_size=batch_size)
         # Super-batches are sorted by read length before splitting into
         # device batches: the banded fill shares one window layout per
         # batch, so mixing lengths pays gap_extend * (max_len - min_len)
         # of extra band width.  Output is restored to input order.
-        super_size = args.batch_size * 16
+        super_size = batch_size * 16
         chunk = []
         for rec in reader:
             if not rec[1]:
@@ -68,11 +109,11 @@ def align_subcommand(args):
                 continue
             chunk.append(rec)
             if len(chunk) >= super_size:
-                _flush_sorted(mapper, chunk, args.batch_size, emit_record,
+                _flush_sorted(mapper, chunk, batch_size, emit_record,
                               args.verbose)
                 chunk = []
         if chunk:
-            _flush_sorted(mapper, chunk, args.batch_size, emit_record,
+            _flush_sorted(mapper, chunk, batch_size, emit_record,
                           args.verbose)
 
     if args.output:
@@ -124,11 +165,43 @@ def build_parser():
     a.add_argument("-g", dest="cost_gap_open", type=int, default=6)
     a.add_argument("-e", dest="cost_gap_extend", type=int, default=2)
     a.add_argument("--engine", default="wavefront", choices=["wavefront", "exact"])
+    a.add_argument("--mesh", default="auto", metavar="auto|off|DP[,SP]",
+                   help="device mesh for the wavefront engine: 'auto' "
+                        "shards the read batch over every visible device "
+                        "(dp axis; the reference's -j worker-thread "
+                        "analogue), 'off' forces single-device, 'DP,SP' "
+                        "sets explicit data/sequence-parallel axis sizes")
+    a.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() before backend "
+                        "init so the dp axis spans hosts over DCN "
+                        "(coordinator/process settings come from the "
+                        "flags below or the standard JAX env vars)")
+    a.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 (with --distributed)")
+    a.add_argument("--num-processes", type=int, default=None,
+                   help="total process count (with --distributed)")
+    a.add_argument("--process-id", type=int, default=None,
+                   help="this process's index (with --distributed)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "distributed", False):
+        # must run before anything initializes a backend: the multi-host
+        # runtime wires every process's local devices into one global
+        # device list, which `--mesh auto` then spans (dp rides DCN
+        # across hosts — it has no intra-fill communication)
+        import jax
+
+        kwargs = {}
+        if args.coordinator_address is not None:
+            kwargs["coordinator_address"] = args.coordinator_address
+        if args.num_processes is not None:
+            kwargs["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kwargs["process_id"] = args.process_id
+        jax.distributed.initialize(**kwargs)
     from ..utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

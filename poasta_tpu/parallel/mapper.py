@@ -45,6 +45,37 @@ def make_mesh(devices=None, dp: Optional[int] = None, sp: int = 1) -> Mesh:
     return Mesh(dev_array, ("dp", "sp"))
 
 
+def parse_mesh_spec(spec: str) -> Optional[Mesh]:
+    """CLI ``--mesh`` spec -> Mesh (or None for single-device).
+
+    * ``auto`` — dp over every local device, sp=1; None when only one
+      device exists (no mesh overhead on single-chip hosts).
+    * ``off`` / ``1`` — force single-device.
+    * ``DP`` or ``DP,SP`` — explicit axis sizes; DP*SP must equal the
+      visible device count (the reference's ``-j N`` worker-thread
+      analogue, ``lasagna.rs:73-75``).
+    """
+    spec = spec.strip().lower()
+    if spec in ("off", "1", "none"):
+        return None
+    n = len(jax.devices())
+    if spec == "auto":
+        return make_mesh(dp=n, sp=1) if n > 1 else None
+    parts = spec.split(",")
+    try:
+        dp = int(parts[0])
+        sp = int(parts[1]) if len(parts) > 1 else 1
+    except ValueError:
+        raise ValueError(f"bad --mesh spec {spec!r} (use auto|off|DP[,SP])")
+    if dp * sp != n:
+        raise ValueError(
+            f"--mesh {spec}: dp*sp = {dp * sp} but {n} devices are visible"
+        )
+    if dp == 1 and sp == 1:
+        return None
+    return make_mesh(dp=dp, sp=sp)
+
+
 def _sp_scan_rows(symbols, pred_slots, pred_valid, write_slots, end_rank,
                   qshift, lengths,
                   *, window: int, o: int, e: int, x: int, free_start: bool,
@@ -355,8 +386,13 @@ class BatchMapper:
         table_bytes = self.dg.n_nodes_padded * B * L * 12
         two_piece = getattr(self.costs, "is_two_piece", False)
         # the dense-table path is one-piece only (dp_fill_full /
-        # backtrace_dense); two-piece always takes the banded native path
-        if two_piece or table_bytes > self.DENSE_TABLE_BUDGET:
+        # backtrace_dense); two-piece always takes the banded native path.
+        # With a mesh, the banded path is preferred at every size — it is
+        # the only one that actually shards the fill over dp (the dense
+        # path is single-device); both paths emit identical alignments
+        # (tests/test_native.py), so output bytes don't depend on this.
+        if (two_piece or table_bytes > self.DENSE_TABLE_BUDGET
+                or self.mesh is not None):
             banded = self._align_batch_banded(queries, qshift, lengths)
             if banded is not None:
                 return banded
@@ -392,6 +428,7 @@ class BatchMapper:
                     # score; the two-piece device band isn't built yet, so
                     # 2p reads use the native verify-and-retry on its own
                     self._banded_scorer = BandedScorer(self.flat, self.costs,
+                                                      mesh=self.mesh,
                                                       dg=self.dg)
                 # cache only once every required object constructed — a
                 # partial init would skip this block next call and crash on

@@ -250,3 +250,63 @@ def test_compile_cache_helper_respects_optout(monkeypatch, tmp_path):
                           prev_size)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           prev_secs)
+
+
+def _diamond_gfa_and_reads(tmp_path, n_reads=16, seed=11):
+    """Synthetic diamond GFA + mutated path reads (deterministic)."""
+    import random
+
+    gfa = tmp_path / "diamond.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.1\n"
+        "S\ts1\tACGTACGTGGCATTGAC\n"
+        "S\ts2\tTTACGGA\n"
+        "S\ts3\tTCACGTT\n"
+        "S\ts4\tGGATCGATCGTTAACC\n"
+        "L\ts1\t+\ts2\t+\t0M\n"
+        "L\ts1\t+\ts3\t+\t0M\n"
+        "L\ts2\t+\ts4\t+\t0M\n"
+        "L\ts3\t+\ts4\t+\t0M\n"
+    )
+    rng = random.Random(seed)
+    paths = ["ACGTACGTGGCATTGAC" + mid + "GGATCGATCGTTAACC"
+             for mid in ("TTACGGA", "TCACGTT")]
+    reads = tmp_path / "reads.fa"
+    with open(reads, "w") as fh:
+        for i in range(n_reads):
+            s = list(rng.choice(paths))
+            for _ in range(rng.randrange(3)):
+                p = rng.randrange(len(s))
+                s[p] = rng.choice("ACGT")
+            fh.write(f">r{i}\n{''.join(s)}\n")
+    return gfa, reads
+
+
+def test_lasagna_mesh_gaf_byte_identical(tmp_path):
+    """lasagna over the 8-device dp mesh == single-device, byte for byte.
+
+    16 reads split evenly over dp=8, so full batches genuinely take the
+    sharded scorer path (BandedScorer mesh mode requires B % dp == 0).
+    """
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    gfa, reads = _diamond_gfa_and_reads(tmp_path)
+    out_single = tmp_path / "single.gaf"
+    out_mesh = tmp_path / "mesh.gaf"
+    rc = lasagna_main(["align", str(gfa), str(reads),
+                       "--mesh", "off", "-o", str(out_single)])
+    assert rc in (0, None)
+    rc = lasagna_main(["align", str(gfa), str(reads),
+                       "--mesh", "8", "-o", str(out_mesh)])
+    assert rc in (0, None)
+    single = out_single.read_text()
+    assert single and single == out_mesh.read_text()
+
+
+def test_lasagna_mesh_spec_validation(tmp_path, capsys):
+    gfa, reads = _diamond_gfa_and_reads(tmp_path, n_reads=2)
+    rc = lasagna_main(["align", str(gfa), str(reads), "--mesh", "3,5"])
+    assert rc == 1
+    assert "devices" in capsys.readouterr().err
