@@ -315,15 +315,9 @@ class BandedScorer:
         self.mesh = mesh
         self.dg = dg if dg is not None \
             else DeviceGraph.build(flat, node_bucket=node_bucket)
-        # predecessor RANK table (banded kernel re-derives ring slots)
-        n = flat.n_nodes
-        P = int(self.dg.pred_slots.shape[1])
-        pred_ranks = np.zeros((self.dg.n_nodes_padded, P), dtype=np.int32)
-        for r in range(n):
-            preds = flat.pred_idx[flat.pred_ptr[r]: flat.pred_ptr[r + 1]]
-            for i, p in enumerate(preds):
-                pred_ranks[r, i] = int(p)
-        self._pred_ranks = jnp.asarray(pred_ranks)
+        # predecessor RANK table (banded kernel re-derives ring slots);
+        # DeviceGraph.build already assembled it vectorized
+        self._pred_ranks = jnp.asarray(self.dg.pred_ranks_np)
         # banded-window device arrays, keyed by (n_min, n_max, ub):
         # re-uploading them per call would put a host->device round trip
         # on the dispatch path (dominant on tethered chips)

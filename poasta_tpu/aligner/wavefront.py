@@ -57,6 +57,81 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _color_ring_slots(n: int, last_use: np.ndarray) -> np.ndarray:
+    """Greedy interval coloring of row lifetimes [r, last_use[r]].
+
+    The unbranched-chain common case (``last_use == r+1``, i.e. each row
+    read only by the next rank) is detected as maximal runs and colored
+    by parity against the slots live across the run — vectorized.  Only
+    ranks inside irregular regions run the Python-level heap.
+    """
+    import heapq
+
+    slot_of = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return slot_of
+    chain = last_use == np.arange(n, dtype=np.int64) + 1
+    # a chain run [a, b] can be bulk-colored iff no earlier interval is
+    # still live inside it; detect via running max of last_use
+    prev_reach = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.maximum.accumulate(last_use[:-1], out=prev_reach[1:])
+    isolated_chain = chain & (prev_reach <= np.arange(n, dtype=np.int64))
+
+    free: list = []
+    live: list = []  # heap of (death_rank, slot)
+    next_slot = 0
+    r = 0
+    while r < n:
+        b = r
+        if isolated_chain[r]:
+            while b + 1 < n and isolated_chain[b + 1]:
+                b += 1
+        if b > r:
+            # maximal chain run [r, b]: alternate two slots (each row dies
+            # as the next-next is written, so 2 colors always suffice; any
+            # interval overlapping the run is still in `live` here, so the
+            # two slots can't collide with it)
+            while live and live[0][0] < r:
+                _, s = heapq.heappop(live)
+                free.append(s)
+            if free:
+                s0 = free.pop()
+            else:
+                s0 = next_slot
+                next_slot += 1
+            # allocate the second slot only after releasing intervals that
+            # die exactly at r (what the sequential greedy would see at
+            # rank r+1) — allocating both up front can inflate the peak
+            while live and live[0][0] < r + 1:
+                _, s = heapq.heappop(live)
+                free.append(s)
+            if free:
+                s1 = free.pop()
+            else:
+                s1 = next_slot
+                next_slot += 1
+            js = np.arange(r, b + 1)
+            slot_of[js] = np.where((js - r) % 2 == 0, s0, s1)
+            # only the last two rows of the run are live past it
+            heapq.heappush(live, (int(last_use[b - 1]), int(slot_of[b - 1])))
+            heapq.heappush(live, (int(last_use[b]), int(slot_of[b])))
+            r = b + 1
+            continue
+        while live and live[0][0] < r:
+            _, s = heapq.heappop(live)
+            free.append(s)
+        if free:
+            s = free.pop()
+        else:
+            s = next_slot
+            next_slot += 1
+        slot_of[r] = s
+        heapq.heappush(live, (int(last_use[r]), s))
+        r += 1
+    return slot_of
+
+
 def _next_pow2(x: int) -> int:
     v = 1
     while v < x:
@@ -101,30 +176,13 @@ class DeviceGraph:
         # typically ~4 for POA graphs vs. the 2^ceil(log2(max edge span))
         # a modulo ring would need — which is what bounds VMEM and hence
         # the batch block size.
+        counts = np.diff(flat.pred_ptr.astype(np.int64))
+        readers = np.repeat(np.arange(n, dtype=np.int64), counts)
         last_use = np.arange(n, dtype=np.int64)
-        for r in range(n):
-            for p in flat.pred_idx[flat.pred_ptr[r] : flat.pred_ptr[r + 1]]:
-                last_use[int(p)] = max(last_use[int(p)], r)
+        np.maximum.at(last_use, flat.pred_idx.astype(np.int64), readers)
 
-        slot_of = np.zeros(n, dtype=np.int32)
-        free: list = []
-        # rows sorted by death rank; release before allocating at each rank
-        import heapq
-
-        live: list = []  # heap of (death_rank, slot)
-        next_slot = 0
-        for r in range(n):
-            while live and live[0][0] < r:
-                _, s = heapq.heappop(live)
-                free.append(s)
-            if free:
-                s = free.pop()
-            else:
-                s = next_slot
-                next_slot += 1
-            slot_of[r] = s
-            heapq.heappush(live, (int(last_use[r]), s))
-        window = max(next_slot, 1)
+        slot_of = _color_ring_slots(n, last_use)
+        window = max(int(slot_of.max()) + 1 if n else 1, 1)
 
         symbols = np.full((np_nodes,), -1, dtype=np.int32)
         symbols[:n] = flat.symbols.astype(np.int32)
@@ -133,12 +191,13 @@ class DeviceGraph:
         pred_ranks = np.zeros((np_nodes, P), dtype=np.int32)
         write_slots = np.zeros((np_nodes,), dtype=np.int32)
         write_slots[:n] = slot_of
-        for r in range(n):
-            preds = flat.pred_idx[flat.pred_ptr[r] : flat.pred_ptr[r + 1]]
-            for i, p in enumerate(preds):
-                pred_slots[r, i] = slot_of[int(p)]
-                pred_valid[r, i] = True
-                pred_ranks[r, i] = int(p)
+        cols = np.arange(len(flat.pred_idx)) - np.repeat(
+            flat.pred_ptr[:-1].astype(np.int64), counts
+        )
+        preds = flat.pred_idx.astype(np.int64)
+        pred_slots[readers, cols] = slot_of[preds]
+        pred_valid[readers, cols] = True
+        pred_ranks[readers, cols] = preds
 
         return DeviceGraph(
             symbols=jnp.asarray(symbols),
