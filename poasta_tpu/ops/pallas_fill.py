@@ -781,6 +781,265 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np=None,
               dg.meta, qshift, lengths, prep["w_end"])
 
 
+def _banded_kernel_drift(
+    # scalar prefetch
+    symbols_ref,      # (Np,)
+    pred_slots_ref,   # (Np*P,) ring slots
+    pred_valid_ref,   # (Np*P,)
+    pred_wstart_ref,  # (Np*P,) window start of each predecessor's rank
+    wstart_ref,       # (Np,) shared FRAME window start (may be negative)
+    wslot_ref,        # (Np,) liveness-colored ring slot per rank
+    s_ref,            # (Np,) cumulative drift-step count per rank
+    s_prev_ref,       # (Np,) previous rank's step count
+    meta_ref,         # (4,): [n_real_ranks, end_rank, _, _]
+    # inputs
+    qshift_ref,       # (B_BLK, MQ+L) VMEM — query, MQ zero lanes left
+    nbs_ref,          # (B_BLK, 128) VMEM — per-read drift units
+    # outputs
+    end_row_ref,      # (B_BLK, Wb) VMEM
+    # scratch
+    m_ring, d_ring,   # (W, B_BLK, 2*MARGIN + Wb) VMEM
+    q_cur,            # (B_BLK, MQ+L) VMEM — query in each read's frame
+    *, W: int, P: int, Wb: int, MARGIN: int, MQ: int, S: int, o: int,
+    e: int, x: int, B_BLK: int, dtype,
+):
+    """Banded fill with per-read drifting windows.
+
+    Shared layout + per-read shift sigma_b(r) = 128*floor(nbs_b*s_r/S).
+    At ranks where s increments, stepping reads re-frame: their query row
+    and live ring rows roll left 128 lanes, so predecessor reads remain
+    shared slices (see aligner/banded.py band_windows_drift).  S is a
+    power of two, so the in-kernel division is a shift.
+    """
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    TOT = 2 * MARGIN + Wb
+    LQ = q_cur.shape[1]
+    inf = INF16 if dtype == jnp.int16 else INF
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+        d_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+    q_cur[:] = qshift_ref[:]
+
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
+    masks = _ge_masks(col32, Wb)
+    nbs_col = nbs_ref[:][:, :1]  # (B_BLK, 1) int32 (full-tile load + slice)
+
+    def body(r, _):
+        sym = symbols_ref[r]
+        w_r = wstart_ref[r]
+        s_r = s_ref[r]
+        s_p = s_prev_ref[r]
+        sig_now_col = ((nbs_col * s_r) // S) * 128  # (B, 1)
+        sig_prev_col = ((nbs_col * s_p) // S) * 128
+
+        @pl.when(s_r > s_p)
+        def _():
+            stepped = sig_now_col > sig_prev_col  # (B, 1)
+            qroll = jnp.concatenate(
+                [q_cur[:, 128:],
+                 jnp.zeros((B_BLK, 128), q_cur.dtype)], axis=1)
+            q_cur[:] = jnp.where(stepped, qroll, q_cur[:])
+            for w in range(W):
+                mw = m_ring[w]
+                dw = d_ring[w]
+                m_ring[w] = jnp.where(
+                    stepped,
+                    jnp.concatenate(
+                        [mw[:, 128:],
+                         jnp.full((B_BLK, 128), inf, dtype)], axis=1),
+                    mw)
+                d_ring[w] = jnp.where(
+                    stepped,
+                    jnp.concatenate(
+                        [dw[:, 128:],
+                         jnp.full((B_BLK, 128), inf, dtype)], axis=1),
+                    dw)
+
+        j32 = col32 + w_r + sig_now_col  # (B, Wb) global offsets
+
+        slot0 = pred_slots_ref[r * P]
+        delta0 = jnp.clip(w_r - pred_wstart_ref[r * P], -MARGIN, MARGIN)
+        start0 = pl.multiple_of(MARGIN + delta0, 128)
+        min_pm = m_ring[slot0, :, pl.ds(start0, Wb)]
+        min_pd = d_ring[slot0, :, pl.ds(start0, Wb)]
+        for p in range(1, P):
+            slot = pred_slots_ref[r * P + p]
+            valid = pred_valid_ref[r * P + p]
+            w_p = pred_wstart_ref[r * P + p]
+            delta = jnp.clip(w_r - w_p, -MARGIN, MARGIN)
+            start = pl.multiple_of(MARGIN + delta, 128)
+            am = m_ring[slot, :, pl.ds(start, Wb)]
+            ad = d_ring[slot, :, pl.ds(start, Wb)]
+            keep = valid == 1
+            min_pm = jnp.minimum(min_pm, jnp.where(keep, am, inf))
+            min_pd = jnp.minimum(min_pd, jnp.where(keep, ad, inf))
+
+        D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
+
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+        qstart = pl.multiple_of(w_r + MQ, 128)
+        qwin = q_cur[:, pl.ds(qstart, Wb)]
+        match_cost = jnp.where(qwin == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
+        diag = diag_src + match_cost
+
+        A = jnp.minimum(diag, D)
+        zero_at_origin = jnp.where(j32 == 0, jnp.int32(0),
+                                   jnp.int32(inf)).astype(dtype)
+        A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
+
+        ejg = (e * j32).astype(dtype)
+        t = A - ejg
+        pref = _prefix_min_rows(t, Wb, dtype(inf), col32, masks)
+        pref_m1 = _roll_lanes(pref, 1)
+        pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
+
+        M = jnp.minimum(A, I)
+        is_end = r == end_rank
+        M = jnp.where(is_end, min_pm, M)
+
+        @pl.when(is_end)
+        def _():
+            end_row_ref[:] = min_pm
+
+        slot = wslot_ref[r]
+        m_ring[slot, :, MARGIN:MARGIN + Wb] = M
+        d_ring[slot, :, MARGIN:MARGIN + Wb] = jnp.where(
+            is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
+        return 0
+
+    jax.lax.fori_loop(0, n_nodes, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_exec_drift(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
+                       MQ: int, S: int, L: int, o: int, e: int, x: int,
+                       B_BLK: int = 64, use_int16: bool = False):
+    dtype = jnp.int16 if use_int16 else jnp.int32
+    kernel = functools.partial(_banded_kernel_drift, W=W, P=P, Wb=Wb,
+                               MARGIN=MARGIN, MQ=MQ, S=S, o=o, e=e, x=x,
+                               B_BLK=B_BLK, dtype=dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B_BLK, MQ + L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B_BLK, Wb), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((B_BLK, MQ + L), jnp.int32),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, pred_wstarts, wstarts, wslots,
+           s_ranks, s_prev, meta, qpad, lengths, n_min_s, w_end):
+        lengths_i = lengths.astype(jnp.int32)
+        nbs = jnp.maximum(lengths_i - n_min_s + 64, 0) // 128
+        nbs2d = jnp.broadcast_to(nbs[:, None], (nbs.shape[0], 128))
+        end_row = call(symbols, pred_slots, pred_valid, pred_wstarts,
+                       wstarts, wslots, s_ranks, s_prev, meta, qpad,
+                       nbs2d.astype(jnp.int32))
+        idx_loc = lengths_i - w_end - 128 * nbs
+        in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
+        idx_c = jnp.clip(idx_loc, 0, Wb - 1)[:, None]
+        at = jnp.take_along_axis(end_row, idx_c, axis=1)[:, 0].astype(jnp.int32)
+        if use_int16:
+            at = jnp.where(at >= INF16, jnp.int32(INF), at)
+        return jnp.where(in_range, at, jnp.int32(INF))
+
+    return fn
+
+
+def prepare_banded_drift(dg, costs, wstarts_np, width: int, s_ranks_np,
+                         S: int, L: int):
+    """Drift-variant of :func:`prepare_banded`: adds the step schedule and
+    the query's static left pad MQ (covers negative frame starts)."""
+    import numpy as np
+
+    Np = dg.n_nodes_padded
+    ws = np.zeros(Np, dtype=np.int32)
+    ws[: wstarts_np.shape[0]] = wstarts_np
+    pw = np.take(ws, dg.pred_ranks_np, axis=0).astype(np.int32)
+    sr = np.zeros(Np, dtype=np.int32)
+    sr[: s_ranks_np.shape[0]] = s_ranks_np
+    sp = np.zeros(Np, dtype=np.int32)
+    sp[1: s_ranks_np.shape[0]] = s_ranks_np[:-1]
+    sp[s_ranks_np.shape[0]:] = 0
+
+    n = min(wstarts_np.shape[0], dg.pred_ranks_np.shape[0])
+    pr = dg.pred_ranks_np[:n]
+    valid = dg.pred_valid_np[:n]
+    deltas = [0]
+    for i in range(pr.shape[1]):
+        d = np.abs(ws[:n] - ws[pr[:, i]])
+        deltas.append(int(np.where(valid[:, i], d, 0).max()) if n else 0)
+    margin = ((max(deltas) + 127) // 128) * 128
+    margin = max(margin, 128)
+    mq = ((max(0, -int(wstarts_np.min())) + 127) // 128) * 128
+
+    return {
+        "margin": margin,
+        "width": width,
+        "mq": mq,
+        "S": S,
+        "L": L,
+        "pred_wstarts": jnp.asarray(pw.reshape(-1)),
+        "wstarts": jnp.asarray(ws),
+        "s_ranks": jnp.asarray(sr),
+        "s_prev": jnp.asarray(sp),
+        "w_end": jnp.asarray(int(ws[dg.end_rank_i]), dtype=jnp.int32),
+    }
+
+
+def pallas_banded_scores_drift(dg, qpad, lengths, costs, prep, n_min: int):
+    """Drifting-window banded scores via the Pallas kernel.
+
+    ``qpad`` must carry ``prep['mq']`` zero lanes on the left (and enough
+    on the right for every window); see BandedScorer._fill_once_drift.
+    """
+    B, LQ = qpad.shape
+    assert B % B_BLK == 0
+    P = int(dg.pred_slots.shape[1])
+    Np = dg.n_nodes_padded
+    margin, width, mq, S = (prep["margin"], prep["width"], prep["mq"],
+                            prep["S"])
+    L = LQ - mq
+
+    dtype = score_dtype(Np, LQ, costs.gap_open, costs.gap_extend,
+                        costs.mismatch)
+    use_int16 = dtype == jnp.int16
+    blk = pick_b_blk(dg.window, 2 * margin + width, LQ,
+                     2 if use_int16 else 4)
+    while B % blk:
+        blk //= 2
+    fn = _banded_exec_drift(B // blk, dg.window, P, width, margin, mq, S, L,
+                            costs.gap_open, costs.gap_extend, costs.mismatch,
+                            B_BLK=blk, use_int16=use_int16)
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
+              prep["s_ranks"], prep["s_prev"], dg.meta, qpad, lengths,
+              jnp.asarray(n_min, dtype=jnp.int32), prep["w_end"])
+
+
 def _banded_kernel_2p(
     # scalar prefetch
     symbols_ref, pred_slots_ref, pred_valid_ref, pred_wstart_ref,

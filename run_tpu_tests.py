@@ -119,6 +119,33 @@ def main():
     assert (np.asarray(bs.scores(qshift, lengths)) == full).all()
     print("OK")
 
+    print("drifting-window banded fill (pallas, mixed-length SV batch):")
+    base2 = "".join(rng.choice("ACGT") for _ in range(2200))
+    variant2 = base2[:300] + base2[1900:]  # 1.6 kb deletion allele
+    g2 = POAGraph()
+    g2.add_alignment_with_weights("s0", base2.encode(), None,
+                                  [1] * len(base2))
+    _, aln2, _ = NativeAligner(g2).align(variant2.encode(), costs)
+    g2.add_alignment_with_weights("s1", variant2.encode(), aln2,
+                                  [1] * len(variant2))
+    flat2 = g2.flatten()
+    dg2 = DeviceGraph.build(flat2)
+    reads2 = []
+    for i in range(64):
+        src = base2 if i % 2 else variant2
+        reads2.append(mutate(src, 0.015).encode())
+    q2, l2 = pack_queries(reads2)
+    oracle2 = np.asarray(dp_fill_scores(dg2, q2, l2, costs))
+    print("  pallas drift scores == full fill ...", end=" ", flush=True)
+    bs2 = BandedScorer(flat2, costs, dg=dg2)
+    got2 = np.asarray(bs2.scores(q2, l2))
+    assert (got2 == oracle2).all(), (got2, oracle2)
+    assert not bs2._prep_cache.get(
+        ("nodriftpallas", int(np.asarray(l2).min()),
+         int(np.asarray(l2).max()))), \
+        "pallas drift kernel fell back to the XLA body on this toolchain"
+    print("OK")
+
     if "--soak" in sys.argv:
         at = sys.argv.index("--soak")
         if at + 1 >= len(sys.argv) or not sys.argv[at + 1].isdigit():
