@@ -1,19 +1,28 @@
 """Throughput benchmark: batched reads vs a static POA graph on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Config: the long-read mapping shape from BASELINE.md (#5 scaled to one
-chip) — a ~6k-node POA graph built from 5 kb sequences, 1024 reads of
-~5 kb at ~10% divergence, scored exactly by the banded Pallas wavefront
-fill (verify-and-retry keeps it exact; see poasta_tpu/aligner/banded.py).
+Configs (BASELINE.md shapes, scaled to one chip):
 
-Metric: DP cells/second/chip, cells = graph nodes × query offsets ×
-reads actually scored — the work a full fill would do, credited to the
-banded engine because its scores are verified exact.  ``vs_baseline``
-is reads/s versus the native C++ exact engine (single core; same
-algorithm family and data structures as the reference Rust aligner,
-which publishes no numbers of its own — see BASELINE.md).
+* uniform      — ~6k-node POA graph from 5 kb sequences; 1024 reads of
+                 ~5 kb at ~10% divergence, scored exactly by the banded
+                 Pallas wavefront fill (verify-and-retry keeps it exact).
+                 This is the headline metric.
+* mixed_div    — same graph; 95% of reads at ~2% divergence, 5% at ~15%:
+                 exercises the tiered retry (low-divergence bulk resolves
+                 in narrow bands; only the tail refills wide).
+* mixed_len_sv — graph carries a 4 kb-deletion allele; reads come from
+                 both alleles (~1 kb and ~5 kb): exercises the per-read
+                 drifting windows (width stops paying the length spread).
+
+Metrics: ``value`` is EFFECTIVE DP cells/s (full-fill-equivalent cells
+credited to the banded engine because its scores are verified exact);
+``raw_cells_per_sec`` counts only cells actually filled (the kernel-speed
+number); ``reads_per_sec`` is the serving rate.  ``vs_baseline`` is
+reads/s versus the native C++ exact engine on a 16-read sample
+(single core; same algorithm family as the reference Rust aligner, which
+publishes no numbers of its own — see BASELINE.md).
 
 Timing notes: every iteration ends with a device->host copy of the
 scores; block_until_ready() alone can return early on tethered
@@ -29,48 +38,55 @@ import time
 sys.path.insert(0, ".")
 
 
-def build_graph_and_reads(graph_len=5000, n_seqs=4, n_reads=1024,
-                          read_len=5000, seed=7):
-    from poasta_tpu.aligner import GapAffine, Global, PoastaAligner
+def _mutate(rng, s, d, target_len=None):
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < d:
+            continue
+        out.append(rng.choice("ACGT") if r < 2.5 * d else ch)
+        if rng.random() < d:
+            out.append(rng.choice("ACGT"))
+    s2 = "".join(out)
+    if target_len is not None:
+        s2 = s2[:target_len]
+    return s2 or "A"
+
+
+def _fuse(graph, seq, costs, name):
+    from poasta_tpu.native import NativeAligner
+
+    _, alignment, _ = NativeAligner(graph).align(seq, costs)
+    graph.add_alignment_with_weights(name, seq, alignment, [1] * len(seq))
+
+
+def build_uniform(costs, graph_len=5000, n_seqs=4, n_reads=1024, seed=7):
     from poasta_tpu.graphs import POAGraph
 
     rng = random.Random(seed)
     base = "".join(rng.choice("ACGT") for _ in range(graph_len))
-
-    def mutate(s, target_len):
-        out = []
-        for ch in s:
-            r = rng.random()
-            if r < 0.03:
-                continue
-            out.append(rng.choice("ACGT") if r < 0.08 else ch)
-            if rng.random() < 0.03:
-                out.append(rng.choice("ACGT"))
-        return "".join(out)[:target_len] or "A"
-
-    costs = GapAffine(4, 2, 6)
     graph = POAGraph()
-    graph.add_alignment_with_weights("s0", base.encode(), None, [1] * len(base))
-
-    def align_host(seq):
-        # native engine when available (much faster graph build), exact
-        # python engine otherwise — identical results either way
-        try:
-            from poasta_tpu.native import NativeAligner
-
-            score, alignment, _ = NativeAligner(graph).align(seq, costs)
-            return alignment
-        except Exception:
-            aligner = PoastaAligner(costs, Global(), heuristic="mingap")
-            return aligner.align(graph, seq).alignment
-
+    graph.add_alignment_with_weights("s0", base.encode(), None,
+                                     [1] * len(base))
     for i in range(1, n_seqs):
-        s = mutate(base, graph_len).encode()
-        alignment = align_host(s)
-        graph.add_alignment_with_weights(f"s{i}", s, alignment, [1] * len(s))
-
-    reads = [mutate(base, read_len).encode() for _ in range(n_reads)]
+        _fuse(graph, _mutate(rng, base, 0.03, graph_len).encode(), costs,
+              f"s{i}")
+    reads = [_mutate(rng, base, 0.03, graph_len).encode()
+             for _ in range(n_reads)]
     return graph, reads
+
+
+def _time_scores(scorer, qshift, lengths, iters):
+    import numpy as np
+
+    scorer.scores(qshift, lengths)  # warm: compile + converge ub hint
+    scorer.reset_stats()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        scores = scorer.scores(qshift, lengths)
+    elapsed = (time.perf_counter() - t0) / iters
+    raw_cells = scorer.stats["cells_filled"] / iters
+    return np.asarray(scores), elapsed, raw_cells
 
 
 def main():
@@ -83,44 +99,86 @@ def main():
     from poasta_tpu.aligner import GapAffine
     from poasta_tpu.aligner.banded import BandedScorer
     from poasta_tpu.aligner.wavefront import pack_queries
+    from poasta_tpu.graphs import POAGraph
 
     costs = GapAffine(4, 2, 6)
-    graph, reads = build_graph_and_reads()
+    extras = {}
+
+    # --- uniform config (headline) ------------------------------------
+    graph, reads = build_uniform(costs)
     flat = graph.flatten()
     scorer = BandedScorer(flat, costs)
     qshift, lengths = pack_queries(reads)
-
-    # warm-up: compile + converge the verify-and-retry upper bound
-    scores = scorer.scores(qshift, lengths)
-
-    t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        scores = scorer.scores(qshift, lengths)
-    elapsed = (time.perf_counter() - t0) / iters
+    scores, elapsed, raw_cells = _time_scores(scorer, qshift, lengths, 10)
 
     n_cells = flat.n_nodes * int(qshift.shape[1]) * len(reads)
     cells_per_sec = n_cells / elapsed
     reads_per_sec = len(reads) / elapsed
+    extras["raw_cells_per_sec"] = round(raw_cells / elapsed)
+    extras["reads_per_sec"] = round(reads_per_sec, 2)
 
     # Baseline: native (C++) exact engine — single-core, same A* algorithm
     # family and data structures as the reference's Rust implementation.
     from poasta_tpu.native import NativeAligner
 
     na = NativeAligner(graph)
-    sample = reads[:4]
+    sample = reads[:16]
     t0 = time.perf_counter()
     for i, q in enumerate(sample):
         score, _, _ = na.align(q, costs)
         assert score == int(scores[i]), (score, int(scores[i]))
     host_elapsed = time.perf_counter() - t0
     host_reads_per_sec = len(sample) / host_elapsed
+    extras["host_baseline_reads_per_sec"] = round(host_reads_per_sec, 4)
+    extras["host_baseline_sample"] = len(sample)
+
+    # --- mixed-divergence config (tiered retry) -----------------------
+    rng = random.Random(11)
+    base = "".join(rng.choice("ACGT") for _ in range(5000))
+    gmix = POAGraph()
+    gmix.add_alignment_with_weights("s0", base.encode(), None, [1] * 5000)
+    _fuse(gmix, _mutate(rng, base, 0.02).encode(), costs, "s1")
+    mixed = [
+        _mutate(rng, base, 0.15 if i % 20 == 0 else 0.02).encode()
+        for i in range(1024)
+    ]
+    fmix = gmix.flatten()
+    smix = BandedScorer(fmix, costs)
+    qm, lm = pack_queries(mixed)
+    _, el_m, raw_m = _time_scores(smix, qm, lm, 4)
+    extras["mixed_div_reads_per_sec"] = round(1024 / el_m, 2)
+    extras["mixed_div_raw_cells_per_sec"] = round(raw_m / el_m)
+
+    # --- mixed-length SV config (drifting windows) --------------------
+    rng = random.Random(13)
+    base = "".join(rng.choice("ACGT") for _ in range(5000))
+    variant = base[:500] + base[4500:]  # 4 kb deletion allele
+    gsv = POAGraph()
+    gsv.add_alignment_with_weights("s0", base.encode(), None, [1] * 5000)
+    _fuse(gsv, variant.encode(), costs, "s1")
+    sv_reads = [
+        _mutate(rng, base if i % 2 else variant, 0.015).encode()
+        for i in range(1024)
+    ]
+    fsv = gsv.flatten()
+    qs, ls = pack_queries(sv_reads)
+    ssv = BandedScorer(fsv, costs)
+    sv_scores, el_s, raw_s = _time_scores(ssv, qs, ls, 4)
+    extras["mixed_len_reads_per_sec"] = round(1024 / el_s, 2)
+    shared = BandedScorer(fsv, costs)
+    shared.DRIFT_MIN_SPREAD = 1 << 30
+    sh_scores, el_sh, raw_sh = _time_scores(shared, qs, ls, 2)
+    assert (sv_scores == sh_scores).all()
+    extras["mixed_len_drift_cells_ratio"] = round(raw_sh / max(raw_s, 1), 2)
+    extras["mixed_len_drift_speedup"] = round(el_sh / el_s, 2)
 
     print(json.dumps({
         "metric": "poa_affine_fill_cells_per_sec_per_chip",
         "value": round(cells_per_sec),
         "unit": "cells/s",
-        "vs_baseline": round(reads_per_sec / max(host_reads_per_sec, 1e-9), 2),
+        "vs_baseline": round(reads_per_sec / max(host_reads_per_sec, 1e-9),
+                             2),
+        **extras,
     }))
 
 

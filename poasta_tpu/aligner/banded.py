@@ -52,9 +52,36 @@ def _pad_to_pow2_blocks(rows: int, block: int = 64) -> int:
     return blocks * block
 
 
+def _free_allowances(aln_type) -> Tuple[bool, int, int]:
+    """(free_start, qv, gv): max free query suffix / graph-end distance
+    implied by an alignment span (0/0 for Global)."""
+    from .costs import EndsFree
+
+    BIG = 1 << 30
+    if not isinstance(aln_type, EndsFree):
+        return False, 0, 0
+    free_start = aln_type.graph_free_begin[0] == "unbounded"
+    qk, qval = aln_type.qry_free_end
+    qv = BIG if qk == "unbounded" else (
+        qval if qk == "included" else max(qval - 1, 0))
+    gk, gval = aln_type.graph_free_end
+    gv = BIG if gk == "unbounded" else (
+        gval if gk == "included" else max(gval - 1, 0))
+    return free_start, qv, gv
+
+
 def band_windows(flat: FlatGraph, n_min: int, n_max: int, costs: GapAffine,
-                 ub: int) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray]:
+                 ub: int, aln_type=None
+                 ) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray]:
     """Per-rank window starts + width covering all bound≤ub cells.
+
+    ``aln_type``: None/Global for the global corridor; an ``EndsFree``
+    span relaxes the bound terms — free graph begin drops the
+    deletions-before requirement, a free query suffix of qv lowers the
+    insertions-after requirement (n -> n - qv), and a free graph end
+    within distance gv lowers the deletions-after requirement
+    (de_min -> de_min - gv).  Relaxed terms only widen the window toward
+    the corners, so exactness (cover all bound<=ub cells) is preserved.
 
     Returns (wstart (N,), width, lo, hi).
     """
@@ -65,21 +92,26 @@ def band_windows(flat: FlatGraph, n_min: int, n_max: int, costs: GapAffine,
         # less exactness)
         e = costs.gap_extend2
     K = max((ub - o) // e, 0) if ub >= o + e else 0
+    free_start, qv, gv = _free_allowances(aln_type)
 
     ds_min = flat.min_dist_from_start.astype(np.int64)
     ds_max = flat.max_dist_from_start.astype(np.int64)
     de_min = flat.min_dist_to_end.astype(np.int64)
     de_max = flat.max_dist_to_end.astype(np.int64)
 
-    lo = np.maximum.reduce([
+    lo_terms = [
         np.zeros_like(ds_min),
-        ds_min - K,
-        (n_min - de_max + 1) - K,
-    ])
+        (n_min - qv - de_max + 1) - K,
+    ]
+    if not free_start:
+        # with a free graph begin a path may enter at any node, so there
+        # is no deletions-before requirement
+        lo_terms.append(ds_min - K)
+    lo = np.maximum.reduce(lo_terms)
     hi = np.minimum.reduce([
         np.full_like(ds_min, n_max),
         ds_max + K,
-        (n_max - de_min + 1) + K,
+        (n_max - np.maximum(de_min - gv, 0) + 1) + K,
     ])
     hi = np.maximum(hi, lo)  # degenerate ranks keep a 1-wide window
 
@@ -295,6 +327,114 @@ def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int,
               write_slots)
         _, at_len = jax.lax.scan(step, (M0, D0), xs)  # (Np, B)
         return jnp.min(at_len, axis=0)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_exec_ef(window: int, Wb: int, P: int, o: int, e: int, x: int,
+                    free_start: bool, vary_axes: tuple = ()):
+    """Ends-free banded scores kernel (XLA body).
+
+    Like :func:`_banded_exec` plus bounded/unbounded free ends: a free
+    graph begin seeds every real rank's j=0 cell, and a global-width
+    ``best`` row accumulates the window of each rank whose graph-end
+    bound passes (``end_ok``); the query-end bound applies as a windowed
+    min over ``[jlo, n]`` at the end.  Bound values ride in as arrays, so
+    one compiled variant serves every bound combination.
+    """
+
+    @jax.jit
+    def fn(symbols, pred_slots_ranks, pred_valid, wstarts, write_slots,
+           end_rank, end_ok, qshift, lengths, jlo):
+        B, L = qshift.shape
+        Np = symbols.shape[0]
+        lengths_i = lengths.astype(jnp.int32)
+
+        M0 = jnp.full((B, window, Wb), INF, dtype=jnp.int32)
+        D0 = jnp.full((B, window, Wb), INF, dtype=jnp.int32)
+        best0 = jnp.full((B, L), INF, dtype=jnp.int32)
+        if vary_axes:
+            M0 = jax.lax.pcast(M0, vary_axes, to="varying")
+            D0 = jax.lax.pcast(D0, vary_axes, to="varying")
+            best0 = jax.lax.pcast(best0, vary_axes, to="varying")
+
+        jloc = jnp.arange(Wb, dtype=jnp.int32)
+
+        def step(carry, xs):
+            M_ring, D_ring, best = carry
+            rank, sym, pred_ranks, valid, w_r, wslot, ok = xs
+            j_global = w_r + jloc  # (Wb,)
+
+            min_pm = jnp.full((B, Wb), INF, dtype=jnp.int32)
+            min_pd = jnp.full((B, Wb), INF, dtype=jnp.int32)
+            for p in range(P):
+                pr = pred_ranks[p]
+                slot = jnp.take(write_slots, pr)
+                w_p = jnp.take(wstarts, pr)
+                delta = w_r - w_p
+                rowM = jax.lax.dynamic_index_in_dim(M_ring, slot, 1,
+                                                    keepdims=False)
+                rowD = jax.lax.dynamic_index_in_dim(D_ring, slot, 1,
+                                                    keepdims=False)
+                padM = jnp.concatenate(
+                    [jnp.full((B, Wb), INF, jnp.int32), rowM,
+                     jnp.full((B, Wb), INF, jnp.int32)], axis=1)
+                padD = jnp.concatenate(
+                    [jnp.full((B, Wb), INF, jnp.int32), rowD,
+                     jnp.full((B, Wb), INF, jnp.int32)], axis=1)
+                start = jnp.clip(delta + Wb, 0, 2 * Wb)
+                am = jax.lax.dynamic_slice_in_dim(padM, start, Wb, axis=1)
+                ad = jax.lax.dynamic_slice_in_dim(padD, start, Wb, axis=1)
+                keep = valid[p]
+                min_pm = jnp.minimum(min_pm, jnp.where(keep, am, INF))
+                min_pd = jnp.minimum(min_pd, jnp.where(keep, ad, INF))
+
+            D = jnp.minimum(jnp.minimum(min_pm + o + e, min_pd + e), INF)
+
+            diag_src = jnp.concatenate(
+                [jnp.full((B, 1), INF, jnp.int32), min_pm[:, :-1]], axis=1)
+            qwin = jax.lax.dynamic_slice_in_dim(qshift, w_r, Wb, axis=1)
+            match_cost = jnp.where(qwin == sym, jnp.int32(0), jnp.int32(x))
+            diag = jnp.minimum(diag_src + match_cost, INF)
+
+            A = jnp.minimum(diag, D)
+            is_end = rank == end_rank
+            is_real = jnp.logical_and(rank > 0,
+                                      jnp.logical_not(is_end))
+            origin_rank = jnp.logical_or(
+                rank == 0, jnp.logical_and(is_real, free_start))
+            origin = jnp.logical_and(origin_rank, j_global[None, :] == 0)
+            A = jnp.minimum(A, jnp.where(origin, jnp.int32(0), INF))
+
+            t = A - e * j_global[None, :]
+            pref = jax.lax.cummin(t, axis=1)
+            pref_m1 = jnp.concatenate(
+                [jnp.full((B, 1), INF, jnp.int32), pref[:, :-1]], axis=1)
+            I = jnp.minimum(pref_m1 + o + e * j_global[None, :], INF)
+            M = jnp.minimum(A, I)
+
+            M = jnp.where(is_end, min_pm, M)
+            D = jnp.where(is_end, INF, D)
+
+            M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, wslot, 1)
+            D_ring = jax.lax.dynamic_update_index_in_dim(D_ring, D, wslot, 1)
+
+            permitted = ok == 1
+            cur = jax.lax.dynamic_slice_in_dim(best, w_r, Wb, axis=1)
+            upd = jnp.where(permitted, jnp.minimum(cur, M), cur)
+            best = jax.lax.dynamic_update_slice_in_dim(best, upd, w_r,
+                                                       axis=1)
+            return (M_ring, D_ring, best), None
+
+        ranks = jnp.arange(Np, dtype=jnp.int32)
+        xs = (ranks, symbols, pred_slots_ranks, pred_valid, wstarts,
+              write_slots, end_ok)
+        (_, _, best), _ = jax.lax.scan(step, (M0, D0, best0), xs)
+        col = jnp.arange(L, dtype=jnp.int32)[None, :]
+        win = jnp.logical_and(col >= jlo.astype(jnp.int32)[:, None],
+                              col <= lengths_i[:, None])
+        return jnp.min(jnp.where(win, best, INF), axis=1)
 
     return fn
 
@@ -524,16 +664,31 @@ class BandedScorer:
     """
 
     def __init__(self, flat: FlatGraph, costs: GapAffine,
-                 node_bucket: int = 64, mesh=None, dg=None):
+                 node_bucket: int = 64, mesh=None, dg=None, aln_type=None):
         """``mesh``: optional jax.sharding.Mesh with a ``dp`` axis — the
         read batch shards over it (graph/window arrays replicate; the
         banded fill has no cross-read dependence, so dp needs no
         collectives and can span hosts over DCN).  ``dg``: an existing
         DeviceGraph for the same flat graph, to skip the rebuild/upload.
+        ``aln_type``: None/Global for global alignment; an ``EndsFree``
+        span routes through the ends-free banded kernels (bounded or
+        unbounded free ends; reference ``gap_affine.rs:150-248``).
+        Ends-free currently disables the mesh/drift fast paths (the
+        fills fall back to single-device kernels).
         """
+        from .costs import EndsFree
+
         self.flat = flat
         self.costs = costs
         self.mesh = mesh
+        self.aln_type = aln_type
+        self.ends_free = isinstance(aln_type, EndsFree)
+        if self.ends_free and mesh is not None:
+            raise NotImplementedError(
+                "ends-free banded scoring does not shard over a mesh yet; "
+                "use mesh=None (or dp_fill_scores_ends_free for full "
+                "fills)"
+            )
         self.dg = dg if dg is not None \
             else DeviceGraph.build(flat, node_bucket=node_bucket)
         # predecessor RANK table (banded kernel re-derives ring slots);
@@ -570,11 +725,40 @@ class BandedScorer:
         for k in self.stats:
             self.stats[k] = 0
 
+    def _ef_params(self, lengths):
+        """(free_start, end_ok (device), jlo (device)) for the scorer's
+        EndsFree span; end_ok is static per scorer, jlo per lengths
+        array (cached by identity like the length stats)."""
+        from .wavefront import ends_free_device_params
+
+        cached = self._prep_cache.get(("ef_static",))
+        if cached is None:
+            fs, end_ok, _ = ends_free_device_params(
+                self.flat, self.aln_type, jnp.zeros(1, jnp.int32),
+                self.dg.n_nodes_padded)
+            cached = (fs, end_ok)
+            self._prep_cache[("ef_static",)] = cached
+        fs, end_ok = cached
+        ent = self._prep_cache.get(("ef_jlo", id(lengths)))
+        if ent is None or ent[0] is not lengths:
+            _, _, jlo = ends_free_device_params(
+                self.flat, self.aln_type, lengths, self.dg.n_nodes_padded)
+            self._prep_cache[("ef_jlo", id(lengths))] = (lengths, jlo)
+        else:
+            jlo = ent[1]
+        return fs, end_ok, jlo
+
     def _full_scores(self, qshift, lengths) -> np.ndarray:
         """Full (unbanded) fill scores; dp-sharded over the mesh when the
         batch divides — the full-fill fallback is the common path for
         short-read profiles and parallelizes exactly like the banded fill
         (no collectives)."""
+        if self.ends_free:
+            from .wavefront import dp_fill_scores_ends_free
+
+            return np.asarray(dp_fill_scores_ends_free(
+                self.dg, self.flat, qshift, lengths, self.costs,
+                self.aln_type))
         if (self.mesh is not None
                 and int(qshift.shape[0]) % self.mesh.shape.get("dp", 1) == 0
                 and not getattr(self.costs, "is_two_piece", False)):
@@ -734,7 +918,8 @@ class BandedScorer:
             cached = self._prep_cache.get(key)
             if cached is None:
                 wstart, width, lo, hi = band_windows(
-                    self.flat, n_min, n_max, costs, ub
+                    self.flat, n_min, n_max, costs, ub,
+                    aln_type=self.aln_type
                 )
                 if use_pallas or pallas_mesh:
                     # 128-align windows so in-kernel dynamic slices stay legal
@@ -773,6 +958,7 @@ class BandedScorer:
                 from ..ops.pallas_fill import (
                     pallas_banded_scores,
                     pallas_banded_scores_2p,
+                    pallas_banded_scores_ef,
                     prepare_banded,
                 )
 
@@ -783,6 +969,13 @@ class BandedScorer:
                                           int(q_in.shape[1]))
                     self._prep_cache[pkey] = prep
                 try:
+                    if self.ends_free:
+                        fs, end_ok, jlo = self._ef_params(lengths)
+                        return np.asarray(
+                            pallas_banded_scores_ef(self.dg, q_in, lengths,
+                                                    costs, prep, fs,
+                                                    end_ok, jlo)
+                        )
                     if two_piece:
                         return np.asarray(
                             pallas_banded_scores_2p(self.dg, q_in, lengths,
@@ -825,6 +1018,17 @@ class BandedScorer:
                 )
                 wstarts = jnp.asarray(np.concatenate([wstart, pad]))
                 self._prep_cache[wkey] = wstarts
+            if self.ends_free:
+                fs, end_ok, jlo = self._ef_params(lengths)
+                fn = _banded_exec_ef(self.dg.window, width,
+                                     int(self._pred_ranks.shape[1]),
+                                     costs.gap_open, costs.gap_extend,
+                                     costs.mismatch, fs)
+                return np.asarray(
+                    fn(self.dg.symbols, self._pred_ranks,
+                       self.dg.pred_valid, wstarts, self.dg.write_slots,
+                       self.dg.end_rank, end_ok, q_in, lengths, jlo)
+                )
             if two_piece:
                 fn = _banded_exec_2p(self.dg.window, width,
                                      int(self._pred_ranks.shape[1]),
@@ -875,15 +1079,17 @@ class BandedScorer:
         two_piece = getattr(costs, "is_two_piece", False)
         drift_eligible = (
             not two_piece
+            and not self.ends_free
             and n_max - n_min >= self.DRIFT_MIN_SPREAD
         )
         if ub is None:
             guess = ((costs.gap_open + costs.gap_extend) * 4
                      + costs.mismatch * max(n_max // 16, 4))
-            if not drift_eligible:
+            if not drift_eligible and not self.ends_free:
                 # shared windows must absorb the length spread in the
                 # band, so the score guess carries it; drifted windows
-                # don't (each read rides its own diagonal)
+                # don't (each read rides its own diagonal), and free
+                # ends absorb length mismatch at no cost
                 guess += costs.gap_extend * (n_max - n_min)
             ub = self._ub_hint.get((n_min, n_max)) or guess
 
@@ -901,6 +1107,16 @@ class BandedScorer:
             and int(qshift.shape[0]) % 64 == 0
             and not self._prep_cache.get(("nopallas", n_min, n_max))
         )
+
+        if two_piece and self.ends_free:
+            # no two-piece ends-free banded kernel yet: bounded full fill
+            # (XLA 5-layer recurrence) keeps the capability complete
+            self.stats["fills"] += 1
+            self.stats["cells_filled"] += (
+                self.flat.n_nodes * int(qshift.shape[1])
+                * int(qshift.shape[0])
+            )
+            return self._full_scores(qshift, lengths)
 
         if self._prep_cache.get(("fullfill", n_min, n_max)):
             # banding already proved unprofitable for this length profile
@@ -925,7 +1141,7 @@ class BandedScorer:
         cur_n_min, cur_n_max = n_min, n_max
         for attempt in range(max_retries):
             sub = None
-            if (not two_piece
+            if (not two_piece and not self.ends_free
                     and cur_n_max - cur_n_min >= self.DRIFT_MIN_SPREAD):
                 # per-read drifting windows: width stops paying the
                 # batch's length spread (VERDICT r1 weak #2); engages
@@ -963,7 +1179,8 @@ class BandedScorer:
                 # distributions choose the final tier (one fill);
                 # heavy-tailed ones keep the bulk in narrow bands.
                 def _width_of(u):
-                    return band_windows(self.flat, n_min, n_max, costs, u)[1]
+                    return band_windows(self.flat, n_min, n_max, costs, u,
+                                        aln_type=self.aln_type)[1]
 
                 _pad = _pad_to_pow2_blocks
 
@@ -1041,7 +1258,7 @@ class BandedScorer:
         if finite.size:
             tight = int(finite.max())
             _, width, _, _ = band_windows(self.flat, n_min, n_max, costs,
-                                          tight)
+                                          tight, aln_type=self.aln_type)
             if drift_eligible:
                 S = drift_steps_for(n_min, n_max)
                 _, dwidth, _ = band_windows_drift(self.flat, n_min, n_max,

@@ -369,6 +369,211 @@ def _scores_exec_2p(window: int, o1: int, e1: int, e2: int, x: int,
     return fn
 
 
+def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
+                            n_nodes_padded: int):
+    """Lower an ``EndsFree`` span to device arrays for the bounded fills.
+
+    Returns ``(free_start, end_ok, jlo)``:
+
+    * ``free_start`` — graph_free_begin is Unbounded (bounded free begin
+      degenerates to the start node, faithfully to the reference's
+      ``initial_states``, ``gap_affine.rs:150-168``).
+    * ``end_ok`` — (Np,) int32: rank may end the alignment per the
+      graph_free_end bound on its min distance to the end node
+      (``gap_affine.rs:219-241``); the virtual end rank always qualifies
+      (distance 0).
+    * ``jlo`` — (B,) int32: lowest query offset satisfying the
+      qry_free_end bound on the remaining suffix (``gap_affine.rs:
+      203-217``); the valid end window is ``[jlo_b, n_b]`` (empty when
+      jlo > n: unsatisfiable bound -> INF scores, like the exact
+      engine's drained-queue error).  The Unbounded case keeps the
+      reference's offset>0 quirk.
+    """
+    from .costs import EndsFree
+
+    assert isinstance(aln_type, EndsFree)
+    free_start = aln_type.graph_free_begin[0] == "unbounded"
+
+    n = flat.n_nodes
+    de = flat.min_dist_to_end.astype(np.int64)
+    gkind, gval = aln_type.graph_free_end
+    if gkind == "unbounded":
+        ok = np.ones(n, dtype=np.int32)
+    elif gkind == "included":
+        ok = (de <= gval).astype(np.int32)
+    else:
+        ok = (de < gval).astype(np.int32)
+    # The virtual start node IS a valid end state when its own distance
+    # passes the bound (the reference's is_end has no node exclusion:
+    # ending at the start with offset 0 gives the empty alignment when
+    # the query bound covers the whole read).  The virtual end node's
+    # distance is 0, so it passes every bound.
+    ok[n - 1] = 1
+    end_ok = np.zeros(n_nodes_padded, dtype=np.int32)
+    end_ok[:n] = ok
+
+    li = lengths.astype(jnp.int32)
+    qkind, qval = aln_type.qry_free_end
+    if qkind == "unbounded":
+        jlo = jnp.minimum(li, 1)  # offset>0 quirk; empty query ends at 0
+    elif qkind == "included":
+        jlo = jnp.maximum(li - qval, 0)
+    else:
+        jlo = jnp.maximum(li - qval + 1, 0)
+    return free_start, jnp.asarray(end_ok), jlo
+
+
+@functools.lru_cache(maxsize=None)
+def _scores_exec_bounded(window: int, o: int, e: int, x: int,
+                         free_start: bool, two_piece_params=None):
+    """Bounded ends-free scores kernel (XLA body).
+
+    Bound *values* ride in as arrays (``end_ok`` per rank, ``jlo`` per
+    read), so one compiled variant serves every Included/Excluded/
+    Unbounded combination.  ``two_piece_params``: (o2, e2) enables the
+    5-layer recurrence.
+    """
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, write_slots, end_rank, end_ok,
+           qshift, lengths, jlo):
+        B, L = qshift.shape
+        Np = symbols.shape[0]
+        ring0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
+        best0 = jnp.full((B, L), INF, dtype=jnp.int32)
+        idx = lengths.astype(jnp.int32)[:, None]
+
+        if two_piece_params is None:
+            def step(carry, xs):
+                M_ring, D_ring, best = carry
+                rank, sym, slots, valid, wslot, ok = xs
+                pred_M = jnp.take(M_ring, slots, axis=1)
+                pred_D = jnp.take(D_ring, slots, axis=1)
+                match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                                       jnp.int32(x))
+                is_start = rank == 0
+                is_end = rank == end_rank
+                is_real = jnp.logical_and(rank > 0, rank < end_rank)
+                M, I, D = row_update(
+                    pred_M, pred_D, valid, match_cost, o, e,
+                    is_start_row=is_start,
+                    free_start=jnp.logical_and(is_real, free_start),
+                )
+                mask = valid.reshape(1, -1, 1)
+                min_pm = jnp.min(jnp.where(mask, pred_M, INF), axis=1)
+                M = jnp.where(is_end, min_pm, M)
+                I = jnp.where(is_end, INF, I)
+                D = jnp.where(is_end, INF, D)
+                M_ring = jax.lax.dynamic_update_index_in_dim(
+                    M_ring, M, wslot, axis=1)
+                D_ring = jax.lax.dynamic_update_index_in_dim(
+                    D_ring, D, wslot, axis=1)
+                permitted = ok == 1
+                best = jnp.where(permitted, jnp.minimum(best, M), best)
+                return (M_ring, D_ring, best), None
+
+            carry0 = (ring0, ring0, best0)
+        else:
+            from ..ops.dp_rows_2p import row_update_2p
+
+            o2, e2 = two_piece_params
+
+            def step(carry, xs):
+                M_ring, D1_ring, D2_ring, best = carry
+                rank, sym, slots, valid, wslot, ok = xs
+                pred_M = jnp.take(M_ring, slots, axis=1)
+                pred_D1 = jnp.take(D1_ring, slots, axis=1)
+                pred_D2 = jnp.take(D2_ring, slots, axis=1)
+                match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                                       jnp.int32(x))
+                is_start = rank == 0
+                is_end = rank == end_rank
+                is_real = jnp.logical_and(rank > 0, rank < end_rank)
+                M, I1, I2, D1, D2 = row_update_2p(
+                    pred_M, pred_D1, pred_D2, valid, match_cost, o, e, e2,
+                    is_start_row=is_start,
+                    free_start=jnp.logical_and(is_real, free_start),
+                )
+                mask = valid.reshape(1, -1, 1)
+                min_pm = jnp.min(jnp.where(mask, pred_M, INF), axis=1)
+                M = jnp.where(is_end, min_pm, M)
+                D1 = jnp.where(is_end, INF, D1)
+                D2 = jnp.where(is_end, INF, D2)
+                M_ring = jax.lax.dynamic_update_index_in_dim(
+                    M_ring, M, wslot, 1)
+                D1_ring = jax.lax.dynamic_update_index_in_dim(
+                    D1_ring, D1, wslot, 1)
+                D2_ring = jax.lax.dynamic_update_index_in_dim(
+                    D2_ring, D2, wslot, 1)
+                permitted = ok == 1
+                best = jnp.where(permitted, jnp.minimum(best, M), best)
+                return (M_ring, D1_ring, D2_ring, best), None
+
+            carry0 = (ring0, ring0, ring0, best0)
+
+        ranks = jnp.arange(Np, dtype=jnp.int32)
+        xs = (ranks, symbols, pred_slots, pred_valid, write_slots, end_ok)
+        out_carry, _ = jax.lax.scan(step, carry0, xs)
+        best = out_carry[-1]
+        col = jnp.arange(L, dtype=jnp.int32)[None, :]
+        win = jnp.logical_and(col >= jlo[:, None], col <= idx)
+        return jnp.min(jnp.where(win, best, INF), axis=1)
+
+    return fn
+
+
+def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
+                             lengths, costs, aln_type,
+                             engine: str = "auto") -> jnp.ndarray:
+    """(B,) optimal ends-free scores with Included/Excluded/Unbounded
+    bounds on the graph/query free ends (reference:
+    ``gap_affine.rs:150-248``).  ``qry_free_begin`` is parsed-but-ignored,
+    faithfully to the reference.
+    """
+    free_start, end_ok, jlo = ends_free_device_params(
+        flat, aln_type, lengths, dg.n_nodes_padded)
+    two_piece = getattr(costs, "is_two_piece", False)
+    if engine in ("auto", "pallas") and not two_piece:
+        from ..ops.pallas_fill import pallas_fill_scores_bounded
+
+        key = ("bounded", dg.window, dg.symbols.shape[0], qshift.shape[0],
+               qshift.shape[1], free_start, costs.gap_open,
+               costs.gap_extend, costs.mismatch)
+        if jax.default_backend() != "cpu" or engine == "pallas":
+            if key not in _PALLAS_FAILED:
+                try:
+                    from ..ops.pallas_fill import B_BLK
+
+                    B = qshift.shape[0]
+                    pad = (-B) % B_BLK
+                    qp, lp, jl = qshift, lengths, jlo
+                    if pad:
+                        qp = jnp.concatenate(
+                            [qshift, jnp.zeros((pad, qshift.shape[1]),
+                                               qshift.dtype)])
+                        lp = jnp.concatenate(
+                            [lengths, jnp.zeros((pad,), lengths.dtype)])
+                        jl = jnp.concatenate(
+                            [jlo, jnp.ones((pad,), jlo.dtype)])
+                    return pallas_fill_scores_bounded(
+                        dg, qp, lp, costs, free_start, end_ok, jl)[:B]
+                except Exception:
+                    if engine == "pallas":
+                        raise
+                    _PALLAS_FAILED.add(key)
+    if two_piece:
+        fn = _scores_exec_bounded(dg.window, costs.gap_open,
+                                  costs.gap_extend, costs.mismatch,
+                                  free_start,
+                                  (costs.gap_open2, costs.gap_extend2))
+    else:
+        fn = _scores_exec_bounded(dg.window, costs.gap_open,
+                                  costs.gap_extend, costs.mismatch,
+                                  free_start)
+    return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
+              dg.end_rank, end_ok, qshift, lengths, jlo)
+
+
 _PALLAS_FAILED: set = set()
 
 

@@ -352,6 +352,176 @@ def _pallas_exec(nblocks: int, W: int, P: int, L: int, o: int, e: int, x: int,
     return fn
 
 
+def _fill_kernel_bounded(
+    # scalar prefetch
+    symbols_ref,      # (Np,)
+    pred_slots_ref,   # (Np*P,)
+    pred_valid_ref,   # (Np*P,)
+    wslot_ref,        # (Np,)
+    end_ok_ref,       # (Np,) int32 0/1 — graph-end bound per rank
+    meta_ref,         # (4,)
+    # inputs
+    qshift_ref,       # (B_BLK, L) VMEM
+    # outputs
+    end_row_ref,      # (B_BLK, L) VMEM — min M over permitted ranks
+    # scratch
+    m_ring, d_ring, best_ref,
+    *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
+    free_start: bool,
+):
+    """Bounded ends-free fill: like :func:`_fill_kernel` with free_end,
+    but the running-min accumulation is gated by the per-rank
+    ``end_ok`` mask (Included/Excluded graph_free_end bounds lowered
+    host-side; see aligner/wavefront.py ends_free_device_params).  The
+    query-end bound is applied outside the kernel as a windowed min over
+    the output row."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    inf = INF16 if dtype == jnp.int16 else INF
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    best_ref[:] = jnp.full((B_BLK, L), inf, dtype=dtype)
+
+    qshift = qshift_ref[:]
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
+    ej = (e * col32).astype(dtype)
+    zero_at_0 = jnp.where(col32 == 0, jnp.int32(0), jnp.int32(inf)).astype(dtype)
+    masks = _ge_masks(col32, L)
+
+    def body(r, _):
+        sym = symbols_ref[r]
+        slot0 = pred_slots_ref[r * P]
+        min_pm = m_ring[slot0]
+        min_pd = d_ring[slot0]
+        for p in range(1, P):
+            slot = pred_slots_ref[r * P + p]
+            valid = pred_valid_ref[r * P + p]
+            rm = m_ring[slot]
+            rd = d_ring[slot]
+            keep = valid == 1
+            min_pm = jnp.minimum(min_pm, jnp.where(keep, rm, inf))
+            min_pd = jnp.minimum(min_pd, jnp.where(keep, rd, inf))
+
+        D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+        match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
+        diag = diag_src + match_cost
+
+        A = jnp.minimum(diag, D)
+        if free_start:
+            A = jnp.where(r == end_rank, A, jnp.minimum(A, zero_at_0))
+        else:
+            A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
+
+        t = A - ej
+        pref = _prefix_min_rows(t, L, dtype(inf), col32, masks)
+        pref_m1 = _roll_lanes(pref, 1)
+        pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o) + ej, dtype(inf))
+
+        M = jnp.minimum(A, I)
+        is_end = r == end_rank
+        M = jnp.where(is_end, min_pm, M)
+        D_out = jnp.where(is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
+
+        permitted = end_ok_ref[r] == 1
+
+        @pl.when(permitted)
+        def _():
+            best_ref[:] = jnp.minimum(best_ref[:], M)
+
+        @pl.when(is_end)
+        def _():
+            end_row_ref[:] = best_ref[:]
+
+        slot = wslot_ref[r]
+        m_ring[slot] = M
+        d_ring[slot] = D_out
+        return 0
+
+    jax.lax.fori_loop(0, n_nodes, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_exec_bounded(nblocks: int, W: int, P: int, L: int, o: int,
+                         e: int, x: int, B_BLK: int = 64,
+                         use_int16: bool = False, free_start: bool = False):
+    dtype = jnp.int16 if use_int16 else jnp.int32
+    kernel = functools.partial(_fill_kernel_bounded, W=W, P=P, L=L, o=o,
+                               e=e, x=x, B_BLK=B_BLK, dtype=dtype,
+                               free_start=free_start)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((B_BLK, L), dtype),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, wslots, end_ok, meta, qshift,
+           lengths, jlo):
+        end_row = call(symbols, pred_slots, pred_valid, wslots, end_ok,
+                       meta, qshift).astype(jnp.int32)
+        if use_int16:
+            end_row = jnp.where(end_row >= INF16, jnp.int32(INF), end_row)
+        L_ = end_row.shape[1]
+        col = jnp.arange(L_, dtype=jnp.int32)[None, :]
+        li = lengths.astype(jnp.int32)[:, None]
+        win = jnp.logical_and(col >= jlo.astype(jnp.int32)[:, None],
+                              col <= li)
+        return jnp.min(jnp.where(win, end_row, INF), axis=1)
+
+    return fn
+
+
+def pallas_fill_scores_bounded(dg, qshift, lengths, costs,
+                               free_start: bool, end_ok, jlo):
+    """(B,) bounded ends-free scores via the Pallas kernel.
+
+    ``end_ok``: (Np,) int32 per-rank graph-end mask; ``jlo``: (B,) lowest
+    valid end offset per read (see ends_free_device_params).  Requires B
+    to be a multiple of B_BLK.
+    """
+    B, L = qshift.shape
+    assert B % B_BLK == 0
+    dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
+                        costs.gap_extend, costs.mismatch)
+    use_int16 = dtype == jnp.int16
+    blk = pick_b_blk(dg.window, L, L, 2 if use_int16 else 4, n_rings=3)
+    blk = min(blk, B) if B % 64 == 0 else blk
+    while B % blk:
+        blk //= 2
+    assert blk >= 64 and B % blk == 0
+    P = int(dg.pred_slots.shape[1])
+    fn = _pallas_exec_bounded(B // blk, dg.window, P, L,
+                              costs.gap_open, costs.gap_extend,
+                              costs.mismatch, B_BLK=blk,
+                              use_int16=use_int16, free_start=free_start)
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              dg.write_slots, end_ok, dg.meta, qshift, lengths, jlo)
+
+
 def _coupled_insertion_rows(A, L: int, inf, masks, o1: int, e1: int, e2: int,
                             dtype):
     """(I1, I2) rows for the two-piece model, in-kernel.
@@ -779,6 +949,193 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np=None,
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
               dg.meta, qshift, lengths, prep["w_end"])
+
+
+def _banded_kernel_ef(
+    # scalar prefetch
+    symbols_ref,      # (Np,)
+    pred_slots_ref,   # (Np*P,) ring slots
+    pred_valid_ref,   # (Np*P,)
+    pred_wstart_ref,  # (Np*P,)
+    wstart_ref,       # (Np,)
+    wslot_ref,        # (Np,)
+    end_ok_ref,       # (Np,) int32 0/1 — graph-end bound per rank
+    meta_ref,         # (4,)
+    # inputs
+    qshift_ref,       # (B_BLK, L) VMEM
+    # outputs
+    end_row_ref,      # (B_BLK, L) VMEM — min M over permitted ranks, global j
+    # scratch
+    m_ring, d_ring,   # (W, B_BLK, 2*MARGIN + Wb)
+    best_ref,         # (B_BLK, L)
+    *, W: int, P: int, Wb: int, MARGIN: int, o: int, e: int, x: int,
+    B_BLK: int, dtype, free_start: bool,
+):
+    """Ends-free banded fill: :func:`_banded_kernel` plus a free graph
+    begin (j=0 seed at every real rank) and a global-width best row
+    accumulating windows of ranks whose graph-end bound passes.  The
+    query-end bound applies outside as a windowed min over [jlo, n]."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    inf = INF16 if dtype == jnp.int16 else INF
+    L = best_ref.shape[1]
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, 2 * MARGIN + Wb), inf, dtype=dtype)
+        d_ring[w] = jnp.full((B_BLK, 2 * MARGIN + Wb), inf, dtype=dtype)
+    best_ref[:] = jnp.full((B_BLK, L), inf, dtype=dtype)
+
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
+    masks = _ge_masks(col32, Wb)
+
+    def body(r, _):
+        sym = symbols_ref[r]
+        w_r = wstart_ref[r]
+        j32 = col32 + w_r
+
+        slot0 = pred_slots_ref[r * P]
+        delta0 = jnp.clip(w_r - pred_wstart_ref[r * P], -MARGIN, MARGIN)
+        start0 = pl.multiple_of(MARGIN + delta0, 128)
+        min_pm = m_ring[slot0, :, pl.ds(start0, Wb)]
+        min_pd = d_ring[slot0, :, pl.ds(start0, Wb)]
+        for p in range(1, P):
+            slot = pred_slots_ref[r * P + p]
+            valid = pred_valid_ref[r * P + p]
+            w_p = pred_wstart_ref[r * P + p]
+            delta = jnp.clip(w_r - w_p, -MARGIN, MARGIN)
+            start = pl.multiple_of(MARGIN + delta, 128)
+            am = m_ring[slot, :, pl.ds(start, Wb)]
+            ad = d_ring[slot, :, pl.ds(start, Wb)]
+            keep = valid == 1
+            min_pm = jnp.minimum(min_pm, jnp.where(keep, am, inf))
+            min_pd = jnp.minimum(min_pd, jnp.where(keep, ad, inf))
+
+        D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
+
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+        qstart = pl.multiple_of(w_r, 128)
+        qwin = qshift_ref[:, pl.ds(qstart, Wb)]
+        match_cost = jnp.where(qwin == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
+        diag = diag_src + match_cost
+
+        A = jnp.minimum(diag, D)
+        is_end = r == end_rank
+        zero_at_origin = jnp.where(j32 == 0, jnp.int32(0),
+                                   jnp.int32(inf)).astype(dtype)
+        if free_start:
+            A = jnp.where(is_end, A, jnp.minimum(A, zero_at_origin))
+        else:
+            A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
+
+        ejg = (e * j32).astype(dtype)
+        t = A - ejg
+        pref = _prefix_min_rows(t, Wb, dtype(inf), col32, masks)
+        pref_m1 = _roll_lanes(pref, 1)
+        pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
+
+        M = jnp.minimum(A, I)
+        M = jnp.where(is_end, min_pm, M)
+
+        permitted = end_ok_ref[r] == 1
+
+        @pl.when(permitted)
+        def _():
+            cur = best_ref[:, pl.ds(qstart, Wb)]
+            best_ref[:, pl.ds(qstart, Wb)] = jnp.minimum(cur, M)
+
+        @pl.when(is_end)
+        def _():
+            end_row_ref[:] = best_ref[:]
+
+        slot = wslot_ref[r]
+        m_ring[slot, :, MARGIN:MARGIN + Wb] = M
+        d_ring[slot, :, MARGIN:MARGIN + Wb] = jnp.where(
+            is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
+        return 0
+
+    jax.lax.fori_loop(0, n_nodes, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_exec_ef(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
+                    L: int, o: int, e: int, x: int, free_start: bool,
+                    B_BLK: int = 64, use_int16: bool = False):
+    dtype = jnp.int16 if use_int16 else jnp.int32
+    kernel = functools.partial(_banded_kernel_ef, W=W, P=P, Wb=Wb,
+                               MARGIN=MARGIN, o=o, e=e, x=x, B_BLK=B_BLK,
+                               dtype=dtype, free_start=free_start)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((B_BLK, L), dtype),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, pred_wstarts, wstarts, wslots,
+           end_ok, meta, qshift, lengths, jlo):
+        end_row = call(symbols, pred_slots, pred_valid, pred_wstarts,
+                       wstarts, wslots, end_ok, meta,
+                       qshift).astype(jnp.int32)
+        if use_int16:
+            end_row = jnp.where(end_row >= INF16, jnp.int32(INF), end_row)
+        col = jnp.arange(end_row.shape[1], dtype=jnp.int32)[None, :]
+        li = lengths.astype(jnp.int32)[:, None]
+        win = jnp.logical_and(col >= jlo.astype(jnp.int32)[:, None],
+                              col <= li)
+        return jnp.min(jnp.where(win, end_row, INF), axis=1)
+
+    return fn
+
+
+def pallas_banded_scores_ef(dg, qshift, lengths, costs, prep, free_start,
+                            end_ok, jlo):
+    """Ends-free banded scores via the Pallas kernel."""
+    B, L = qshift.shape
+    assert B % B_BLK == 0
+    P = int(dg.pred_slots.shape[1])
+    margin, width = prep["margin"], prep["width"]
+
+    dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
+                        costs.gap_extend, costs.mismatch)
+    use_int16 = dtype == jnp.int16
+    itemsize = 2 if use_int16 else 4
+    # rings + qshift input + end_row output + best scratch must fit VMEM
+    blk = 64
+    for cand in (512, 256, 128, 64):
+        need = (2 * dg.window * cand * (2 * margin + width) * itemsize
+                + cand * L * (4 + 2 * itemsize))
+        if need <= VMEM_BUDGET:
+            blk = cand
+            break
+    while B % blk:
+        blk //= 2
+    fn = _banded_exec_ef(B // blk, dg.window, P, width, margin, L,
+                         costs.gap_open, costs.gap_extend, costs.mismatch,
+                         free_start, B_BLK=blk, use_int16=use_int16)
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
+              end_ok, dg.meta, qshift, lengths, jlo)
 
 
 def _banded_kernel_drift(

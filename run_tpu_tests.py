@@ -146,6 +146,57 @@ def main():
         "pallas drift kernel fell back to the XLA body on this toolchain"
     print("OK")
 
+    print("bounded ends-free pallas kernels:")
+    from poasta_tpu.aligner.costs import (
+        EndsFree,
+        UNBOUNDED,
+        excluded,
+        included,
+    )
+    from poasta_tpu.aligner.wavefront import (
+        dp_fill_full,
+        dp_fill_scores_ends_free,
+        ends_free_device_params,
+    )
+
+    ef_reads = []
+    for _ in range(64):
+        a = rng.randrange(0, 150)
+        b = rng.randrange(a + 60, 500)
+        ef_reads.append(mutate(base[a:b], 0.03).encode())
+    qe, le = pack_queries(ef_reads)
+    le_np = np.asarray(le)
+    for cfg in (
+        EndsFree(UNBOUNDED, UNBOUNDED, UNBOUNDED, UNBOUNDED),
+        EndsFree(UNBOUNDED, included(25), UNBOUNDED, included(30)),
+        EndsFree(UNBOUNDED, excluded(20), included(3), excluded(40)),
+    ):
+        print(f"  pallas bounded fill {cfg.qry_free_end}/"
+              f"{cfg.graph_free_end} ...", end=" ", flush=True)
+        fs, end_ok, jlo = ends_free_device_params(flat, cfg, le,
+                                                  dg.n_nodes_padded)
+        got = np.asarray(dp_fill_scores_ends_free(
+            dg, flat, qe, le, costs, cfg, engine="pallas"))
+        _, Mt, _, _ = dp_fill_full(dg, qe, le, costs, free_start=fs)
+        Mt = np.asarray(Mt)
+        eo = np.asarray(end_ok).astype(bool)
+        jlo_np = np.asarray(jlo)
+        for b in range(len(ef_reads)):
+            n, lo = int(le_np[b]), int(jlo_np[b])
+            sub = Mt[eo, b, lo:n + 1] if lo <= n else np.empty(0)
+            want = int(sub.min()) if sub.size else (1 << 28)
+            assert int(got[b]) == want, (b, int(got[b]), want)
+        print("OK")
+
+    print("  pallas banded ends-free ...", end=" ", flush=True)
+    cfg = EndsFree(UNBOUNDED, included(40), UNBOUNDED, included(40))
+    oracle_ef = np.asarray(dp_fill_scores_ends_free(
+        dg, flat, qe, le, costs, cfg))
+    bs_ef = BandedScorer(flat, costs, dg=dg, aln_type=cfg)
+    got_ef = np.asarray(bs_ef.scores(qe, le))
+    assert (got_ef == oracle_ef).all(), (got_ef, oracle_ef)
+    print("OK")
+
     if "--soak" in sys.argv:
         at = sys.argv.index("--soak")
         if at + 1 >= len(sys.argv) or not sys.argv[at + 1].isdigit():
