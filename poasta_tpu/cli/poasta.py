@@ -165,8 +165,37 @@ def align_subcommand(args):
         except ImportError:
             raise SystemExit("--engine banded requires the native engine")
 
+    # Device assist (banded engine only): while the native engine aligns
+    # sequence i, the device scores sequence i+1 against the current
+    # graph in a background thread; fusion only adds paths, so the stale
+    # score is a valid upper bound that makes the next native fill verify
+    # first-try at near-minimal band width.  Strictly best-effort: a
+    # late/failed device result falls back to the heuristic seed.
+    records = list(read_fasta(args.sequences))
+    assist = None
+    if use_banded and getattr(args, "device_assist", "auto") != "off":
+        want = getattr(args, "device_assist", "auto") == "on"
+        if not want:
+            try:
+                import os as _os
+
+                import jax
+
+                # the background device work is only free with a spare
+                # host core; on 1-core containers it contends with the
+                # native fill (measured: washes out the gain)
+                want = ((_os.cpu_count() or 1) >= 2
+                        and jax.default_backend() != "cpu"
+                        and any(len(s) >= 8192 for _, s in records))
+            except Exception:
+                want = False
+        if want:
+            from ..aligner.fusion_assist import DeviceSeedPrefetcher
+
+            assist = DeviceSeedPrefetcher(aligner.costs)
+
     last_banded_score = None
-    for name, seq in read_fasta(args.sequences):
+    for idx, (name, seq) in enumerate(records):
         weights = [1] * len(seq)
         if debug_sink is not None:
             debug_sink.new_sequence(name, seq, graph)
@@ -179,10 +208,17 @@ def align_subcommand(args):
                 # sequences of one MSA have similar divergence: seeding the
                 # band with the previous score (+slack) usually makes the
                 # first fill verify, halving per-sequence work; a low seed
-                # just triggers the normal verify-and-retry
-                ub = None
-                if last_banded_score is not None:
+                # just triggers the normal verify-and-retry.  A prefetched
+                # device score is a true upper bound and beats both.
+                ub_dev = assist.take() if assist is not None else None
+                if assist is not None and idx + 1 < len(records):
+                    assist.prefetch(graph, records[idx + 1][1])
+                if ub_dev is not None:
+                    ub = ub_dev
+                elif last_banded_score is not None:
                     ub = int(last_banded_score * 3 / 2) + 64
+                else:
+                    ub = None
                 score, alignment = NativeAligner(graph).align_banded(
                     seq, aligner.costs, ub=ub
                 )
@@ -220,6 +256,8 @@ def align_subcommand(args):
             else:
                 graph.add_alignment_with_weights(name, seq, alignment, weights)
 
+    if assist is not None:
+        assist.close()
     _emit(graph, args.output_type or "poasta", args.output)
     if debug_sink is not None:
         debug_sink.close()
@@ -275,6 +313,12 @@ def build_parser():
     a.add_argument("-g", dest="cost_gap_open", default="6")
     a.add_argument("-e", dest="cost_gap_extend", default="2")
     a.add_argument("-H", "--heuristic", default="mingap")
+    a.add_argument("--device-assist", dest="device_assist", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="with --engine banded: prefetch each sequence's "
+                        "score on the accelerator in the background as an "
+                        "exact band seed (auto: on for >=8 kb sequences "
+                        "on an accelerator backend)")
     a.add_argument("--engine", default="exact", choices=["exact", "banded"],
                    help="exact: reference-parity A* (default); banded: "
                         "verify-and-retry banded fill — true optimal "

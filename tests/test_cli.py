@@ -310,3 +310,22 @@ def test_lasagna_mesh_spec_validation(tmp_path, capsys):
     rc = lasagna_main(["align", str(gfa), str(reads), "--mesh", "3,5"])
     assert rc == 1
     assert "devices" in capsys.readouterr().err
+
+
+def test_device_assist_byte_identical(tmp_path, reference_tests_dir):
+    """--device-assist on/off must produce identical output (the seed
+    only changes band width; verify-and-retry certifies exactness and
+    the banded backtrace visits only optimal-path cells)."""
+    out_on = tmp_path / "on.fa"
+    out_off = tmp_path / "off.fa"
+    for out, mode in ((out_on, "on"), (out_off, "off")):
+        rc, _ = _run(poasta_main,
+                     ["align", "--engine", "banded", "--device-assist",
+                      mode, "-O", "fasta",
+                      f"{reference_tests_dir}/test_from_abpoa.fa",
+                      "-o", str(out)])
+        assert rc in (0, None)
+    text = out_on.read_text()
+    assert text and text == out_off.read_text()
+    truth = open(f"{reference_tests_dir}/test_from_abpoa.truth.fa").read()
+    assert text == truth
