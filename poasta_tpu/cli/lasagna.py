@@ -122,15 +122,34 @@ def align_subcommand(args):
 
 def _flush_sorted(mapper, chunk, batch_size, emit_record, verbose=0):
     import time
+    from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.perf_counter()
     order = sorted(range(len(chunk)), key=lambda i: len(chunk[i][1]))
     results = [None] * len(chunk)
-    for at in range(0, len(order), batch_size):
-        idxs = order[at:at + batch_size]
-        out = mapper.align_batch([chunk[i][1] for i in idxs])
-        for i, r in zip(idxs, out):
-            results[i] = r
+    batches = [order[at:at + batch_size]
+               for at in range(0, len(order), batch_size)]
+    queries = [[chunk[i][1] for i in idxs] for idxs in batches]
+
+    # Pipelined batches (reference analogue: the reader/aligner/writer
+    # thread pipeline, lasagna.rs:217-273): the device scores batch k+1
+    # on a background thread while the host backtraces batch k — device
+    # time is mostly accelerator/remote wait, so the overlap pays even
+    # on few-core hosts.  Scoring calls are serialized on one thread
+    # (the scorer's caches are not written concurrently).
+    pipeline = len(batches) > 1 and mapper.takes_banded_path(queries[0])
+    with ThreadPoolExecutor(max_workers=1) as scorer_thread:
+        fut = (scorer_thread.submit(mapper.prescore, queries[0])
+               if pipeline else None)
+        for k, idxs in enumerate(batches):
+            pre = fut.result() if fut is not None else None
+            if pipeline and k + 1 < len(batches):
+                fut = scorer_thread.submit(mapper.prescore, queries[k + 1])
+            else:
+                fut = None
+            out = mapper.align_batch(queries[k], prescored=pre)
+            for i, r in zip(idxs, out):
+                results[i] = r
     for (name, seq), (score, alignment) in zip(chunk, results):
         emit_record(name, seq, score, alignment)
     if verbose:

@@ -367,7 +367,7 @@ class BatchMapper:
     # scores + per-read native banded backtrace
     DENSE_TABLE_BUDGET = 64 * 1024 * 1024
 
-    def align_batch(self, queries):
+    def align_batch(self, queries, prescored=None):
         """Scores + alignments for a read batch.
 
         Small shapes: one device fill returns dense M/I/D tables and the
@@ -391,9 +391,13 @@ class BatchMapper:
         # the only one that actually shards the fill over dp (the dense
         # path is single-device); both paths emit identical alignments
         # (tests/test_native.py), so output bytes don't depend on this.
+        pre_scores = None
+        if prescored is not None and prescored[0] is queries:
+            pre_scores = prescored[1]
         if (two_piece or table_bytes > self.DENSE_TABLE_BUDGET
                 or self.mesh is not None):
-            banded = self._align_batch_banded(queries, qshift, lengths)
+            banded = self._align_batch_banded(queries, qshift, lengths,
+                                              scores=pre_scores)
             if banded is not None:
                 return banded
             if two_piece:
@@ -409,35 +413,36 @@ class BatchMapper:
             out.append((int(scores[b]), aln))
         return out
 
-    def _align_batch_banded(self, queries, qshift, lengths):
+    def _init_banded(self, two_piece) -> bool:
+        """Construct the native engine (+ device scorer) once; False when
+        the native library is unavailable (dense fallback)."""
+        if getattr(self, "_native", None) is not None:
+            return True
         try:
             from ..native import NativeAligner
+
+            from ..aligner.banded import BandedScorer
+
+            native = NativeAligner(self.graph)
+            if not two_piece:
+                # device scorer seeds each read's band with its exact
+                # score; the two-piece device band isn't built yet, so
+                # 2p reads use the native verify-and-retry on its own
+                self._banded_scorer = BandedScorer(self.flat, self.costs,
+                                                  mesh=self.mesh,
+                                                  dg=self.dg)
+            # cache only once every required object constructed — a
+            # partial init would skip this block next call and crash on
+            # the missing scorer instead of falling back to dense
+            self._native = native
+            return True
         except Exception:
-            return None
-        import os
-        from concurrent.futures import ThreadPoolExecutor
+            return False
 
-        from ..aligner.banded import BandedScorer
-
-        two_piece = getattr(self.costs, "is_two_piece", False)
-        if getattr(self, "_native", None) is None:
-            try:
-                native = NativeAligner(self.graph)
-                if not two_piece:
-                    # device scorer seeds each read's band with its exact
-                    # score; the two-piece device band isn't built yet, so
-                    # 2p reads use the native verify-and-retry on its own
-                    self._banded_scorer = BandedScorer(self.flat, self.costs,
-                                                      mesh=self.mesh,
-                                                      dg=self.dg)
-                # cache only once every required object constructed — a
-                # partial init would skip this block next call and crash on
-                # the missing scorer instead of falling back to dense
-                self._native = native
-            except Exception:
-                return None
-        na = self._native
-
+    def _device_scores(self, qshift, lengths, two_piece):
+        """The scoring phase of the banded path (device-side; the
+        pipelined serving loop runs it on a background thread while the
+        host backtraces the previous batch)."""
         if two_piece:
             # seed with device scores from the full two-piece fill (no
             # banded 2p device kernel yet); exactness is unconditional,
@@ -445,11 +450,56 @@ class BatchMapper:
             try:
                 from ..aligner.wavefront import dp_fill_scores
 
-                seeds = np.asarray(
+                return np.asarray(
                     dp_fill_scores(self.dg, qshift, lengths, self.costs)
                 )
             except Exception:
-                seeds = [None] * len(queries)
+                return None
+        return np.asarray(self._banded_scorer.scores(qshift, lengths))
+
+    def takes_banded_path(self, queries) -> bool:
+        """Whether align_batch would use the banded score+backtrace path
+        for this batch (i.e. whether prescore() has anything to overlap)."""
+        from ..aligner.wavefront import pack_queries
+
+        qshift, _ = pack_queries(queries)
+        B, L = int(qshift.shape[0]), int(qshift.shape[1])
+        table_bytes = self.dg.n_nodes_padded * B * L * 12
+        two_piece = getattr(self.costs, "is_two_piece", False)
+        return (two_piece or table_bytes > self.DENSE_TABLE_BUDGET
+                or self.mesh is not None)
+
+    def prescore(self, queries):
+        """Run the device scoring phase for a batch ahead of time.
+
+        Returns an opaque token for ``align_batch(prescored=...)``, or
+        None when the batch would take the dense path / the native
+        engine is unavailable (nothing to overlap).  Thread-safe against
+        concurrent native backtraces of OTHER batches (the two phases
+        touch disjoint state), not against concurrent prescore calls.
+        """
+        from ..aligner.wavefront import pack_queries
+
+        two_piece = getattr(self.costs, "is_two_piece", False)
+        if not self.takes_banded_path(queries)                 or not self._init_banded(two_piece):
+            return None
+        qshift, lengths = pack_queries(queries)
+        scores = self._device_scores(qshift, lengths, two_piece)
+        return (queries, scores)
+
+    def _align_batch_banded(self, queries, qshift, lengths, scores=None):
+        two_piece = getattr(self.costs, "is_two_piece", False)
+        if not self._init_banded(two_piece):
+            return None
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        na = self._native
+        if scores is None:
+            scores = self._device_scores(qshift, lengths, two_piece)
+
+        if two_piece:
+            seeds = scores if scores is not None else [None] * len(queries)
 
             def one(a):
                 q, s = a
@@ -458,14 +508,12 @@ class BatchMapper:
                 )
             args = list(zip(queries, seeds))
         else:
-            scores = self._banded_scorer.scores(qshift, lengths)
-
             def one(a):
                 q, s = a
                 score, aln = na.align_banded(q, self.costs, ub=int(s))
                 assert score == int(s), (score, int(s))
                 return score, aln
-            args = list(zip(queries, np.asarray(scores)))
+            args = list(zip(queries, scores))
 
         workers = min(len(queries), os.cpu_count() or 4)
         with ThreadPoolExecutor(max_workers=workers) as pool:

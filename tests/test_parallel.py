@@ -171,3 +171,55 @@ def test_sharded_free_ends_match_single_device(fs, fe):
                                        free_start=fs, free_end=fe,
                                        engine="xla"))
     assert (sharded == single).all()
+
+
+def test_pipelined_flush_matches_serial_batches():
+    """lasagna's pipelined _flush_sorted (device scores batch k+1 while
+    the host backtraces batch k) must emit exactly what serial
+    per-batch align_batch calls emit."""
+    import random
+
+    from poasta_tpu.cli.lasagna import _flush_sorted
+    from poasta_tpu.native import NativeAligner
+
+    rng = random.Random(23)
+    base = "".join(rng.choice("ACGT") for _ in range(600))
+
+    def mutate(s, d=0.04):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < d:
+                continue
+            out.append(rng.choice("ACGT") if r < 2 * d else ch)
+            if rng.random() < d:
+                out.append(rng.choice("ACGT"))
+        return "".join(out) or "A"
+
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * 600)
+    s = mutate(base).encode()
+    _, aln, _ = NativeAligner(g).align(s, COSTS)
+    g.add_alignment_with_weights("s1", s, aln, [1] * len(s))
+    chunk = [(f"r{i}", mutate(base).encode()) for i in range(48)]
+
+    # force the banded path at small sizes so prescore has work
+    mapper = BatchMapper(g, COSTS, batch_size=16)
+    mapper.DENSE_TABLE_BUDGET = 0
+    got = []
+    _flush_sorted(mapper, chunk, 16,
+                  lambda n, s_, sc, a: got.append((n, sc, len(a))))
+
+    mapper2 = BatchMapper(g, COSTS, batch_size=16)
+    mapper2.DENSE_TABLE_BUDGET = 0
+    want = []
+    order = sorted(range(len(chunk)), key=lambda i: len(chunk[i][1]))
+    results = [None] * len(chunk)
+    for at in range(0, len(order), 16):
+        idxs = order[at:at + 16]
+        out = mapper2.align_batch([chunk[i][1] for i in idxs])
+        for i, r in zip(idxs, out):
+            results[i] = r
+    for (name, seq), (score, alignment) in zip(chunk, results):
+        want.append((name, score, len(alignment)))
+    assert got == want
