@@ -715,6 +715,8 @@ class BandedScorer:
         # dp-sharded full-fill score fn, built lazily on first mesh-mode
         # fallback to the full fill
         self._mesh_fullfill_fn = None
+        # (id -> (lengths ref, jlo)) per-batch ends-free query windows
+        self._ef_jlo: dict = {}
 
     # modeled fixed cost per device fill (dispatch + gathers), in cells:
     # ~25-30 ms of tethered dispatch at ~35 Gcells/s.  Biases the tier
@@ -735,15 +737,19 @@ class BandedScorer:
         if cached is None:
             fs, end_ok, _ = ends_free_device_params(
                 self.flat, self.aln_type, jnp.zeros(1, jnp.int32),
-                self.dg.n_nodes_padded)
+                self.dg.n_nodes_padded,
+                two_piece=getattr(self.costs, "is_two_piece", False))
             cached = (fs, end_ok)
             self._prep_cache[("ef_static",)] = cached
         fs, end_ok = cached
-        ent = self._prep_cache.get(("ef_jlo", id(lengths)))
+        ent = self._ef_jlo.get(id(lengths))
         if ent is None or ent[0] is not lengths:
             _, _, jlo = ends_free_device_params(
-                self.flat, self.aln_type, lengths, self.dg.n_nodes_padded)
-            self._prep_cache[("ef_jlo", id(lengths))] = (lengths, jlo)
+                self.flat, self.aln_type, lengths, self.dg.n_nodes_padded,
+                two_piece=getattr(self.costs, "is_two_piece", False))
+            self._ef_jlo[id(lengths)] = (lengths, jlo)
+            while len(self._ef_jlo) > 8:  # LRU-bounded like _lenstats
+                self._ef_jlo.pop(next(iter(self._ef_jlo)))
         else:
             jlo = ent[1]
         return fs, end_ok, jlo
@@ -784,7 +790,11 @@ class BandedScorer:
         """
         costs = self.costs
         S = drift_steps_for(n_min, n_max)
-        if S == 0:
+        # the kernels roll frames exactly 128 lanes per stepped rank, so
+        # the schedule must increment at most once per rank: S <= N-1
+        # (graphs shorter than the length spread fall back to shared
+        # windows)
+        if S == 0 or S > self.flat.n_nodes - 1:
             return None
         use_pallas = (
             not use_mesh

@@ -35,6 +35,7 @@ class DeviceSeedPrefetcher:
         self._result: Optional[int] = None
         self._done = threading.Event()
         self._last_score: Optional[int] = None
+        self._seq: Optional[bytes] = None  # request identity for take()
 
     def prefetch(self, graph, seq: bytes) -> bool:
         """Start scoring ``seq`` against a snapshot of ``graph``.
@@ -52,6 +53,7 @@ class DeviceSeedPrefetcher:
             return False
         self._done.clear()
         self._result = None
+        self._seq = seq
         hint = self._last_score
 
         def work():
@@ -87,10 +89,15 @@ class DeviceSeedPrefetcher:
             self._thread.join()
             self._thread = None
 
-    def take(self) -> Optional[int]:
-        """The prefetched score if it is ready, else None (non-blocking)."""
+    def take(self, seq: Optional[bytes] = None) -> Optional[int]:
+        """The prefetched score if it is ready AND was computed for
+        ``seq``, else None (non-blocking).  Without identity checking, a
+        late result from a skipped prefetch could seed the band of a
+        *different* sequence with an unrelated bound."""
         if self._thread is None or not self._done.is_set():
             return None
+        if seq is not None and self._seq is not seq:
+            return None  # stale result for another sequence: discard
         self._thread = None
         if self._result is not None:
             self._last_score = self._result

@@ -370,7 +370,7 @@ def _scores_exec_2p(window: int, o1: int, e1: int, e2: int, x: int,
 
 
 def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
-                            n_nodes_padded: int):
+                            n_nodes_padded: int, two_piece: bool = False):
     """Lower an ``EndsFree`` span to device arrays for the bounded fills.
 
     Returns ``(free_start, end_ok, jlo)``:
@@ -395,6 +395,11 @@ def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
     free_start = aln_type.graph_free_begin[0] == "unbounded"
 
     n = flat.n_nodes
+    # Every rank's eligibility follows its own min distance to the end,
+    # with NO node exclusions — the reference's is_end has none: the
+    # virtual start can end an alignment (empty alignment) when its
+    # distance passes, and the virtual end rank (distance 0) passes any
+    # bound except excluded(0), which forbids ending anywhere.
     de = flat.min_dist_to_end.astype(np.int64)
     gkind, gval = aln_type.graph_free_end
     if gkind == "unbounded":
@@ -403,19 +408,18 @@ def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
         ok = (de <= gval).astype(np.int32)
     else:
         ok = (de < gval).astype(np.int32)
-    # The virtual start node IS a valid end state when its own distance
-    # passes the bound (the reference's is_end has no node exclusion:
-    # ending at the start with offset 0 gives the empty alignment when
-    # the query bound covers the whole read).  The virtual end node's
-    # distance is 0, so it passes every bound.
-    ok[n - 1] = 1
     end_ok = np.zeros(n_nodes_padded, dtype=np.int32)
     end_ok[:n] = ok
 
     li = lengths.astype(jnp.int32)
     qkind, qval = aln_type.qry_free_end
     if qkind == "unbounded":
-        jlo = jnp.minimum(li, 1)  # offset>0 quirk; empty query ends at 0
+        if two_piece:
+            # the two-piece exact engine only ends at offset >= len(seq)
+            # for the unbounded case (engine.py, reference parity)
+            jlo = li
+        else:
+            jlo = jnp.minimum(li, 1)  # offset>0 quirk; empty query ends at 0
     elif qkind == "included":
         jlo = jnp.maximum(li - qval, 0)
     else:
@@ -530,9 +534,9 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
     ``gap_affine.rs:150-248``).  ``qry_free_begin`` is parsed-but-ignored,
     faithfully to the reference.
     """
-    free_start, end_ok, jlo = ends_free_device_params(
-        flat, aln_type, lengths, dg.n_nodes_padded)
     two_piece = getattr(costs, "is_two_piece", False)
+    free_start, end_ok, jlo = ends_free_device_params(
+        flat, aln_type, lengths, dg.n_nodes_padded, two_piece=two_piece)
     if engine in ("auto", "pallas") and not two_piece:
         from ..ops.pallas_fill import pallas_fill_scores_bounded
 

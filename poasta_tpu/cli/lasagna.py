@@ -37,7 +37,28 @@ def align_subcommand(args):
     is_fastq = base.endswith((".fastq", ".fq"))
     reader = read_fastq(args.sequences) if is_fastq else read_fasta(args.sequences)
 
-    out = open(args.output, "w") if args.output else sys.stdout
+    # Multi-host layout: dp has no intra-fill communication, so hosts
+    # need no collectives at all — each process aligns a round-robin
+    # slice of the read stream and writes its own output shard
+    # (<output>.part<pid>; concatenate when done).  This is the
+    # TPU-native shape of the reference's fan-out/fan-in worker pool
+    # (lasagna.rs:214-273) scaled over DCN.  Decided BEFORE opening any
+    # file so no process ever truncates the shared output path.
+    multi_host = False
+    out_path = args.output
+    if args.engine != "exact":
+        import jax
+
+        if jax.process_count() > 1:
+            multi_host = True
+            pid, np_ = jax.process_index(), jax.process_count()
+            reader = (
+                rec for i, rec in enumerate(reader) if i % np_ == pid
+            )
+            if args.output:
+                out_path = f"{args.output}.part{pid}"
+
+    out = open(out_path, "w") if out_path else sys.stdout
 
     def emit_record(name, seq, score, alignment):
         rec = alignment_to_gaf(graph, segments, name, seq, alignment, resolver)
@@ -52,31 +73,25 @@ def align_subcommand(args):
             res = aligner.align_with_existing_bubbles(graph, seq, bubble_index)
             emit_record(name, seq, res.score, res.alignment)
     else:
-        from ..parallel import parse_mesh_spec
+        from ..parallel import make_mesh, parse_mesh_spec
 
-        mesh = parse_mesh_spec(args.mesh)
-        import jax
+        if multi_host:
+            # each process runs a dp-only mesh over its own devices; an
+            # explicit global spec cannot be honored per-host, so reject
+            # it instead of silently substituting a different layout
+            if args.mesh not in ("auto", "off", "1", "none"):
+                raise ValueError(
+                    f"--mesh {args.mesh!r} cannot be honored per-host "
+                    "under --distributed; use --mesh auto (dp over each "
+                    "host's local devices) or --mesh off"
+                )
+            import jax
 
-        if jax.process_count() > 1:
-            # Multi-host layout: dp has no intra-fill communication, so
-            # hosts need no collectives at all — each process aligns a
-            # round-robin slice of the read stream on a mesh over its
-            # OWN devices and writes its own output shard
-            # (<output>.part<pid>; concatenate when done).  This is the
-            # TPU-native shape of the reference's fan-out/fan-in worker
-            # pool (lasagna.rs:214-273) scaled over DCN.
-            pid, np_ = jax.process_index(), jax.process_count()
-            reader = (
-                rec for i, rec in enumerate(reader) if i % np_ == pid
-            )
-            if args.output:
-                out.close()
-                out = open(f"{args.output}.part{pid}", "w")
-            if mesh is not None:
-                from ..parallel import make_mesh
-
-                mesh = make_mesh(devices=jax.local_devices(),
-                                 dp=len(jax.local_devices()), sp=1)
+            local = jax.local_devices()
+            mesh = (make_mesh(devices=local, dp=len(local), sp=1)
+                    if args.mesh == "auto" and len(local) > 1 else None)
+        else:
+            mesh = parse_mesh_spec(args.mesh)
         batch_size = args.batch_size
         if mesh is not None:
             # the dp shard path needs the batch to split evenly over dp

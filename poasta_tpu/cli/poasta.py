@@ -210,7 +210,7 @@ def align_subcommand(args):
                 # first fill verify, halving per-sequence work; a low seed
                 # just triggers the normal verify-and-retry.  A prefetched
                 # device score is a true upper bound and beats both.
-                ub_dev = assist.take() if assist is not None else None
+                ub_dev = assist.take(seq) if assist is not None else None
                 if assist is not None and idx + 1 < len(records):
                     assist.prefetch(graph, records[idx + 1][1])
                 if ub_dev is not None:

@@ -381,7 +381,12 @@ class BatchMapper:
         """
         from ..aligner.wavefront import backtrace_dense, dp_fill_full, pack_queries
 
-        qshift, lengths = pack_queries(queries)
+        if prescored is not None and prescored[0] is queries:
+            # reuse the packed batch from prescore(): re-packing would put
+            # another full host->device upload on the serving path
+            qshift, lengths = prescored[2], prescored[3]
+        else:
+            qshift, lengths = pack_queries(queries)
         B, L = int(qshift.shape[0]), int(qshift.shape[1])
         table_bytes = self.dg.n_nodes_padded * B * L * 12
         two_piece = getattr(self.costs, "is_two_piece", False)
@@ -459,11 +464,11 @@ class BatchMapper:
 
     def takes_banded_path(self, queries) -> bool:
         """Whether align_batch would use the banded score+backtrace path
-        for this batch (i.e. whether prescore() has anything to overlap)."""
-        from ..aligner.wavefront import pack_queries
-
-        qshift, _ = pack_queries(queries)
-        B, L = int(qshift.shape[0]), int(qshift.shape[1])
+        for this batch (i.e. whether prescore() has anything to overlap).
+        Computed from the raw reads — no packing or device upload."""
+        B = len(queries)
+        maxlen = max((len(q) for q in queries), default=0)
+        L = ((maxlen + 1 + 127) // 128) * 128  # pack_queries' padding rule
         table_bytes = self.dg.n_nodes_padded * B * L * 12
         two_piece = getattr(self.costs, "is_two_piece", False)
         return (two_piece or table_bytes > self.DENSE_TABLE_BUDGET
@@ -481,11 +486,13 @@ class BatchMapper:
         from ..aligner.wavefront import pack_queries
 
         two_piece = getattr(self.costs, "is_two_piece", False)
-        if not self.takes_banded_path(queries)                 or not self._init_banded(two_piece):
+        if (not self.takes_banded_path(queries)
+                or not self._init_banded(two_piece)):
             return None
         qshift, lengths = pack_queries(queries)
         scores = self._device_scores(qshift, lengths, two_piece)
-        return (queries, scores)
+        # the packed batch rides along so align_batch skips re-packing
+        return (queries, scores, qshift, lengths)
 
     def _align_batch_banded(self, queries, qshift, lengths, scores=None):
         two_piece = getattr(self.costs, "is_two_piece", False)

@@ -157,3 +157,21 @@ def test_drift_layout_covers_every_read_exactly():
             bad = np.flatnonzero(~ok)
             assert bad.size == 0, (n, ub, bad[:5], lo[bad[:5]], hi[bad[:5]],
                                    win_lo[bad[:5]], win_hi[bad[:5]])
+
+
+def test_drift_disabled_when_graph_shorter_than_spread():
+    """A tiny graph with a huge read-length spread must NOT drift (the
+    kernels roll at most 128 lanes per rank, so the step schedule needs
+    S <= n_ranks-1); scores still come back exact via shared windows or
+    the full fill."""
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", b"ACGTACGTAC", None, [1] * 10)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    # reads 5 and ~700 long: spread >> n_ranks
+    reads = [b"ACGTA", b"ACGT" * 175]
+    qshift, lengths = pack_queries(reads)
+    oracle = np.asarray(dp_fill_scores(dg, qshift, lengths, COSTS))
+    bs = BandedScorer(flat, COSTS, dg=dg)
+    got = np.asarray(bs.scores(qshift, lengths))
+    assert (got == oracle).all(), (got, oracle)

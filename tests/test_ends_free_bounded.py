@@ -170,11 +170,37 @@ def test_unsatisfiable_bounds_yield_inf():
     flat = g.flatten()
     dg = DeviceGraph.build(flat)
     qshift, lengths = pack_queries(reads)
-    # excluded(0): no remaining-suffix length is < 0
+    # excluded(0) on the query: no remaining-suffix length is < 0
     cfg = EndsFree(UNBOUNDED, excluded(0), UNBOUNDED, UNBOUNDED)
     device = np.asarray(
         dp_fill_scores_ends_free(dg, flat, qshift, lengths, COSTS, cfg))
     assert (device >= INF).all()
+    # excluded(0) on the graph end: not even the virtual end node
+    # (distance 0) passes, mirroring the exact engine's drained queue
+    cfg = EndsFree(UNBOUNDED, UNBOUNDED, UNBOUNDED, excluded(0))
+    device = np.asarray(
+        dp_fill_scores_ends_free(dg, flat, qshift, lengths, COSTS, cfg))
+    assert (device >= INF).all()
+
+
+def test_two_piece_unbounded_query_end_quirk():
+    """The two-piece exact engine only ends at offset >= len(seq) for
+    Unbounded qry_free_end; the device lowers the same quirk (jlo = n)
+    so both agree on fully-unbounded two-piece ends-free."""
+    from poasta_tpu.aligner import GapAffine2Piece
+
+    costs2 = GapAffine2Piece(4, 2, 6, 1, 24)
+    g, reads, _ = _graph_and_reads(11)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    qshift, lengths = pack_queries(reads)
+    cfg = EndsFree(UNBOUNDED, UNBOUNDED, UNBOUNDED, UNBOUNDED)
+    device = np.asarray(dp_fill_scores_ends_free(
+        dg, flat, qshift, lengths, costs2, cfg))
+    aligner = PoastaAligner(costs2, cfg, heuristic="dijkstra")
+    for b, read in enumerate(reads):
+        exact = aligner.align(g, read).score
+        assert device[b] <= exact, (b, device[b], exact)
 
 
 def test_banded_ends_free_engages_bands_on_trimmed_reads():
