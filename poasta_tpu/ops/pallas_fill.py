@@ -41,6 +41,24 @@ INF16 = 1 << 14
 
 B_BLK = 64  # default batch block; callers may pick larger when VMEM allows
 
+# Scalar-prefetch tables (symbols, predecessor slots/valid, write slots,
+# window starts...) live in SMEM, which holds ~1 MiB on v5e: graphs past
+# ~50-100k nodes (P-dependent) fail remote compilation.  Guarded up
+# front so giant graphs fall back to the XLA body cleanly instead of
+# paying a failed compile round trip.
+SMEM_PREFETCH_BUDGET = 1024 * 1024
+
+
+def _check_prefetch_fits(dg, extra_per_rank_words: int = 0) -> None:
+    P = int(dg.pred_slots.shape[1])
+    words = dg.n_nodes_padded * (2 + 2 * P + extra_per_rank_words) + 8
+    if words * 4 > SMEM_PREFETCH_BUDGET:
+        raise ValueError(
+            f"graph too large for the Pallas kernels' scalar-prefetch "
+            f"SMEM ({dg.n_nodes_padded} ranks x P={P}); the XLA body "
+            "serves graphs of this size"
+        )
+
 # Scoped VMEM is 16 MiB; the kernel's live temporaries (prefix-min
 # rounds, gather operands) need ~4 MiB on top of rings + I/O blocks, so
 # the ring budget stops at 10 MiB (measured: 12 MiB OOMs at B_BLK=256).
@@ -137,12 +155,15 @@ def score_dtype(n_nodes: int, L: int, o: int, e: int, x: int):
 
 def pick_b_blk(W: int, row_lanes: int, L: int, itemsize: int = 4,
                n_rings: int = 2) -> int:
-    """Largest batch block whose rings (+ qshift block) fit the VMEM budget."""
-    for cand in (512, 256, 128, 64):
+    """Largest batch block whose rings (+ qshift block) fit the VMEM
+    budget.  Goes down to 32 rows so long-L configurations (e.g. the
+    bounded full fill at 5 kb reads, 3 L-wide rows) still compile
+    instead of falling back to the XLA body."""
+    for cand in (512, 256, 128, 64, 32):
         need = n_rings * W * cand * row_lanes * itemsize + cand * L * 4 * 2
         if need <= VMEM_BUDGET:
             return cand
-    return 64
+    return 32
 
 
 def _roll_lanes(t: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -503,6 +524,7 @@ def pallas_fill_scores_bounded(dg, qshift, lengths, costs,
     valid end offset per read (see ends_free_device_params).  Requires B
     to be a multiple of B_BLK.
     """
+    _check_prefetch_fits(dg, 1)
     B, L = qshift.shape
     assert B % B_BLK == 0
     dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
@@ -512,7 +534,7 @@ def pallas_fill_scores_bounded(dg, qshift, lengths, costs,
     blk = min(blk, B) if B % 64 == 0 else blk
     while B % blk:
         blk //= 2
-    assert blk >= 64 and B % blk == 0
+    assert blk >= 32 and B % blk == 0
     P = int(dg.pred_slots.shape[1])
     fn = _pallas_exec_bounded(B // blk, dg.window, P, L,
                               costs.gap_open, costs.gap_extend,
@@ -727,12 +749,13 @@ def pallas_fill_scores_2p(dg, qshift, lengths, costs,
 
     Requires B to be a multiple of B_BLK (callers pad batches).
     """
+    _check_prefetch_fits(dg, 0)
     B, L = qshift.shape
     blk = pick_b_blk(dg.window, L, L, 4, n_rings=4 if free_end else 3)
     blk = min(blk, B) if B % 64 == 0 else blk
     while B % blk:
         blk //= 2
-    assert blk >= 64 and B % blk == 0, f"batch {B} must be a multiple of 64"
+    assert blk >= 32 and B % blk == 0, f"batch {B} must divide into kernel blocks"
     P = int(dg.pred_slots.shape[1])
     fn = _pallas_exec_2p(B // blk, dg.window, P, L,
                          costs.gap_open, costs.gap_extend, costs.gap_extend2,
@@ -930,6 +953,7 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np=None,
     width, a multiple of 128.  Caller guarantees band coverage (see
     :class:`poasta_tpu.aligner.banded.BandedScorer`).
     """
+    _check_prefetch_fits(dg, 2)
     B, L = qshift.shape
     assert B % B_BLK == 0
     P = int(dg.pred_slots.shape[1])
@@ -1111,6 +1135,7 @@ def _banded_exec_ef(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
 def pallas_banded_scores_ef(dg, qshift, lengths, costs, prep, free_start,
                             end_ok, jlo):
     """Ends-free banded scores via the Pallas kernel."""
+    _check_prefetch_fits(dg, 3)
     B, L = qshift.shape
     assert B % B_BLK == 0
     P = int(dg.pred_slots.shape[1])
@@ -1373,6 +1398,7 @@ def pallas_banded_scores_drift(dg, qpad, lengths, costs, prep, n_min: int):
     ``qpad`` must carry ``prep['mq']`` zero lanes on the left (and enough
     on the right for every window); see BandedScorer._fill_once_drift.
     """
+    _check_prefetch_fits(dg, 4)
     B, LQ = qpad.shape
     assert B % B_BLK == 0
     P = int(dg.pred_slots.shape[1])
@@ -1537,6 +1563,7 @@ def _banded_exec_2p(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
 
 def pallas_banded_scores_2p(dg, qshift, lengths, costs, prep):
     """Two-piece banded global-alignment scores via the Pallas kernel."""
+    _check_prefetch_fits(dg, 2)
     B, L = qshift.shape
     assert B % B_BLK == 0
     P = int(dg.pred_slots.shape[1])
@@ -1559,6 +1586,7 @@ def pallas_fill_scores(dg, qshift, lengths, costs, free_start: bool = False,
 
     Requires B to be a multiple of B_BLK (callers pad batches).
     """
+    _check_prefetch_fits(dg, 0)
     B, L = qshift.shape
     dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
                         costs.gap_extend, costs.mismatch)
@@ -1568,7 +1596,7 @@ def pallas_fill_scores(dg, qshift, lengths, costs, free_start: bool = False,
     blk = min(blk, B) if B % 64 == 0 else blk
     while B % blk:
         blk //= 2
-    assert blk >= 64 and B % blk == 0, f"batch {B} must be a multiple of 64"
+    assert blk >= 32 and B % blk == 0, f"batch {B} must divide into kernel blocks"
     P = int(dg.pred_slots.shape[1])
     fn = _pallas_exec(B // blk, dg.window, P, L,
                       costs.gap_open, costs.gap_extend, costs.mismatch,
