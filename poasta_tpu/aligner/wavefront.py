@@ -797,6 +797,128 @@ def backtrace_dense(flat: FlatGraph, M: np.ndarray, I: np.ndarray, D: np.ndarray
     return alignment
 
 
+def backtrace_dense_ends_free(flat: FlatGraph, M: np.ndarray, I: np.ndarray,
+                              D: np.ndarray, query: bytes, costs: GapAffine,
+                              end_ok: np.ndarray, jlo: int,
+                              free_start: bool) -> Tuple[int, Alignment]:
+    """Ends-free backtrace over converged dense tables.
+
+    Picks the best permitted end state (graph-end mask ``end_ok`` per
+    rank, query offsets ``[jlo, n]``; ties prefer the largest offset,
+    then the lowest rank — deterministic), walks with the same priority
+    rules as :func:`backtrace_dense`, and stops at any origin (the
+    global origin, or any zero-score j=0 seed under a free graph
+    begin).  The unaligned free suffix/prefix of the query is not
+    emitted as pairs (reference convention, ``gap_affine.rs`` ends-free
+    backtrace); consumers recover them from the first/last qpos.
+
+    Returns (score, alignment).
+    """
+    n = len(query)
+    end_rank = flat.n_nodes - 1
+    # tables may carry bucket-padded rows; the mask's padding entries are 0
+    eo = np.asarray(end_ok)[: M.shape[0]].astype(bool)
+    lo = max(int(jlo), 0)
+    if lo > n or not eo.any():
+        raise RuntimeError("ends-free backtrace: unsatisfiable bounds")
+    sub = M[eo, :, ][:, lo:n + 1]
+    score = int(sub.min())
+    if score >= INF:
+        raise RuntimeError("ends-free backtrace: no finite end state")
+    # best offset (prefer largest), then lowest rank
+    ranks_eo = np.flatnonzero(eo)
+    best = None
+    for j in range(n, lo - 1, -1):
+        col = M[eo, j]
+        hit = np.flatnonzero(col == score)
+        if hit.size:
+            best = (int(ranks_eo[hit[0]]), j)
+            break
+    assert best is not None
+    r, j = best
+
+    def preds(r_):
+        lst = flat.pred_idx[flat.pred_ptr[r_]: flat.pred_ptr[r_ + 1]]
+        return list(lst[::-1])
+
+    alignment: Alignment = []
+    if r == end_rank:
+        # virtual end: hop to the real predecessor carrying the score
+        nr = None
+        for p in preds(end_rank):
+            if int(M[p, j]) == score:
+                nr = int(p)
+                break
+        if nr is None:
+            raise RuntimeError("ends-free backtrace: no pred for end state")
+        r = nr
+    state = "M"
+    o, e, x = costs.gap_open, costs.gap_extend, costs.mismatch
+
+    while True:
+        cur = int(M[r, j]) if state == "M" else (
+            int(D[r, j]) if state == "D" else int(I[r, j])
+        )
+        # origin: a zero-score M cell at offset 0 ends the walk — the
+        # global origin, or (under a free graph begin) any real rank's
+        # j=0 seed.  The entry cell consumes no query char, so nothing
+        # more is emitted.
+        if state == "M" and j == 0 and cur == 0:
+            break
+        step = None
+        if state == "M":
+            if j > 0:
+                sym_match = int(flat.symbols[r]) == query[j - 1]
+                want = cur if sym_match else cur - x
+                for p in preds(r):
+                    if int(M[p, j - 1]) == want:
+                        step = (int(p), j - 1, "M")
+                        break
+            if step is None and int(D[r, j]) == cur:
+                step = (r, j, "D")
+            if step is None and int(I[r, j]) == cur:
+                step = (r, j, "I")
+        elif state == "D":
+            for p in preds(r):
+                if int(M[p, j]) == cur - o - e:
+                    step = (int(p), j, "M")
+                    break
+            if step is None:
+                for p in preds(r):
+                    if int(D[p, j]) == cur - e:
+                        step = (int(p), j, "D")
+                        break
+        else:  # insertion
+            if j > 0:
+                if int(M[r, j - 1]) == cur - o - e:
+                    step = (r, j - 1, "M")
+                elif int(I[r, j - 1]) == cur - e:
+                    step = (r, j - 1, "I")
+
+        if step is None:
+            break
+
+        bt_r, bt_j, bt_state = step
+        if state == "M" and bt_state in ("D", "I"):
+            r, j, state = bt_r, bt_j, bt_state
+            continue
+
+        node = int(flat.node_of_rank[r])
+        if state == "M":
+            alignment.append(AlignedPair(node, j - 1))
+        elif state == "I":
+            alignment.append(AlignedPair(None, j - 1))
+        else:
+            alignment.append(AlignedPair(node, None))
+
+        if bt_r == 0:  # virtual start node
+            break
+        r, j, state = bt_r, bt_j, bt_state
+
+    alignment.reverse()
+    return score, alignment
+
+
 def alignment_cost(graph, query: bytes, alignment: Alignment, costs: GapAffine) -> int:
     """Recompute an alignment's gap-affine cost (validation helper)."""
     total = 0

@@ -66,9 +66,24 @@ def align_subcommand(args):
             rec.additional_fields.append(("AS", "i", str(score)))
             out.write(str(rec) + "\n")
 
+    # -m is honored for real (DELIBERATE deviation: the reference parses
+    # and ignores it, hardcoding global — lasagna.rs:256; see PARITY.md).
+    # semi-global = whole query, free graph ends (the read-mapping
+    # semantics); ends-free = all-unbounded (poasta's own -m mapping).
+    aln_type = None
+    if args.alignment_span == "semi-global":
+        from ..aligner.costs import EndsFree, UNBOUNDED, included
+
+        aln_type = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+    elif args.alignment_span == "ends-free":
+        from ..aligner.costs import EndsFree, UNBOUNDED
+
+        aln_type = EndsFree(UNBOUNDED, UNBOUNDED, UNBOUNDED, UNBOUNDED)
+
     if args.engine == "exact":
         bubble_index = BubbleIndex(graph)
-        aligner = PoastaAligner(costs, Global(), heuristic="mingap")
+        aligner = PoastaAligner(costs, aln_type if aln_type is not None
+                                else Global(), heuristic="mingap")
         for name, seq in reader:
             res = aligner.align_with_existing_bubbles(graph, seq, bubble_index)
             emit_record(name, seq, res.score, res.alignment)
@@ -108,7 +123,14 @@ def align_subcommand(args):
                     f"batch size {batch_size}",
                     file=sys.stderr,
                 )
-        mapper = BatchMapper(graph, costs, mesh=mesh, batch_size=batch_size)
+        if aln_type is not None and mesh is not None:
+            # ends-free batch mapping is single-device for now
+            print("INFO: -m {} disables the device mesh (single-device "
+                  "ends-free path)".format(args.alignment_span),
+                  file=sys.stderr)
+            mesh = None
+        mapper = BatchMapper(graph, costs, mesh=mesh, batch_size=batch_size,
+                             aln_type=aln_type)
         # Super-batches are sorted by read length before splitting into
         # device batches: the banded fill shares one window layout per
         # batch, so mixing lengths pays gap_extend * (max_len - min_len)

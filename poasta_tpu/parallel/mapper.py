@@ -322,7 +322,13 @@ class BatchMapper:
     """
 
     def __init__(self, graph, costs: GapAffine, mesh: Optional[Mesh] = None,
-                 batch_size: int = 64):
+                 batch_size: int = 64, aln_type=None):
+        """``aln_type``: None/Global for global alignment; an ``EndsFree``
+        span (bounded or unbounded) scores via the ends-free device
+        fills and backtraces over dense tables
+        (:func:`backtrace_dense_ends_free`).  Ends-free currently runs
+        single-device (no mesh) and dense-table alignment only."""
+        from ..aligner.costs import EndsFree
         from ..graphs.flat import FlatGraph
 
         self.graph = graph
@@ -331,6 +337,12 @@ class BatchMapper:
         self.costs = costs
         self.mesh = mesh
         self.batch_size = batch_size
+        self.aln_type = aln_type
+        self.ends_free = isinstance(aln_type, EndsFree)
+        if self.ends_free and mesh is not None:
+            raise NotImplementedError(
+                "ends-free batch mapping does not shard over a mesh yet"
+            )
         self._score_fn = None
 
     def score_batch(self, queries) -> np.ndarray:
@@ -338,6 +350,13 @@ class BatchMapper:
         from ..aligner.wavefront import dp_fill_scores, pack_queries
 
         qshift, lengths = pack_queries(queries)
+        if self.ends_free:
+            # banded ends-free when profitable, else the bounded full fill
+            if getattr(self, "_ef_scorer", None) is None:
+                self._ef_scorer = BandedScorer(self.flat, self.costs,
+                                               dg=self.dg,
+                                               aln_type=self.aln_type)
+            return np.asarray(self._ef_scorer.scores(qshift, lengths))
         if self.mesh is not None:
             if getattr(self.costs, "is_two_piece", False):
                 # two-piece mesh scoring runs through the sharded banded
@@ -396,6 +415,9 @@ class BatchMapper:
         # the only one that actually shards the fill over dp (the dense
         # path is single-device); both paths emit identical alignments
         # (tests/test_native.py), so output bytes don't depend on this.
+        if self.ends_free:
+            return self._align_batch_ends_free(queries, qshift, lengths,
+                                               two_piece)
         pre_scores = None
         if prescored is not None and prescored[0] is queries:
             pre_scores = prescored[1]
@@ -416,6 +438,38 @@ class BatchMapper:
             aln = backtrace_dense(self.flat, M[:, b, :], I[:, b, :], D[:, b, :],
                                   q, self.costs)
             out.append((int(scores[b]), aln))
+        return out
+
+    def _align_batch_ends_free(self, queries, qshift, lengths, two_piece):
+        """Ends-free scores + alignments over dense tables.
+
+        The native banded backtrace is global-only, so ends-free
+        alignment runs the dense path regardless of table size (scores
+        alone scale further via score_batch)."""
+        from ..aligner.wavefront import (
+            backtrace_dense_ends_free,
+            dp_fill_full,
+            ends_free_device_params,
+        )
+
+        if two_piece:
+            raise NotImplementedError(
+                "two-piece ends-free alignment is exact-engine-only "
+                "(PoastaAligner); device ends-free covers scores"
+            )
+        fs, end_ok, jlo = ends_free_device_params(
+            self.flat, self.aln_type, lengths, self.dg.n_nodes_padded)
+        _, M, I, D = dp_fill_full(self.dg, qshift, lengths, self.costs,
+                                  free_start=fs)
+        M, I, D = np.asarray(M), np.asarray(I), np.asarray(D)
+        eo = np.asarray(end_ok)
+        jlo_np = np.asarray(jlo)
+        out = []
+        for b, q in enumerate(queries):
+            score, aln = backtrace_dense_ends_free(
+                self.flat, M[:, b, :], I[:, b, :], D[:, b, :], q,
+                self.costs, eo, int(jlo_np[b]), fs)
+            out.append((score, aln))
         return out
 
     def _init_banded(self, two_piece) -> bool:
@@ -466,6 +520,8 @@ class BatchMapper:
         """Whether align_batch would use the banded score+backtrace path
         for this batch (i.e. whether prescore() has anything to overlap).
         Computed from the raw reads — no packing or device upload."""
+        if self.ends_free:
+            return False  # ends-free alignment runs the dense path
         B = len(queries)
         maxlen = max((len(q) for q in queries), default=0)
         L = ((maxlen + 1 + 127) // 128) * 128  # pack_queries' padding rule

@@ -329,3 +329,53 @@ def test_device_assist_byte_identical(tmp_path, reference_tests_dir):
     assert text and text == out_off.read_text()
     truth = open(f"{reference_tests_dir}/test_from_abpoa.truth.fa").read()
     assert text == truth
+
+
+def test_lasagna_semi_global_span(tmp_path):
+    """-m semi-global is honored for real (deliberate deviation from the
+    reference, which parses and ignores it): substring reads map with
+    free graph ends and much lower scores than global mode."""
+    gfa, reads = _diamond_gfa_and_reads(tmp_path, n_reads=4, seed=3)
+    # substring reads: middles of the long path
+    sub = tmp_path / "subreads.fa"
+    sub.write_text(">m0\nACGTGGCATTGACTTACGGAGGATC\n"
+                   ">m1\nGGCATTGACTCACGTTGGATCGATC\n")
+    out_g = tmp_path / "g.gaf"
+    out_s = tmp_path / "s.gaf"
+    rc = lasagna_main(["align", str(gfa), str(sub), "-o", str(out_g)])
+    assert rc in (0, None)
+    rc = lasagna_main(["align", str(gfa), str(sub), "-m", "semi-global",
+                       "-o", str(out_s)])
+    assert rc in (0, None)
+
+    def scores(path):
+        return [int(next(f[5:] for f in line.split("\t")
+                         if f.startswith("AS:i:")))
+                for line in path.read_text().splitlines()]
+
+    g_scores, s_scores = scores(out_g), scores(out_s)
+    assert len(s_scores) == 2
+    # substrings map exactly under semi-global; global pays the ends
+    assert all(s == 0 for s in s_scores), s_scores
+    assert all(g > 0 for g in g_scores), g_scores
+
+
+def test_lasagna_semi_global_exact_engine_agrees(tmp_path):
+    gfa, _ = _diamond_gfa_and_reads(tmp_path, n_reads=2, seed=4)
+    sub = tmp_path / "subreads.fa"
+    sub.write_text(">m0\nACGTGGCATTGACTTACGGAGGATC\n")
+    outs = []
+    for engine in ("wavefront", "exact"):
+        out = tmp_path / f"{engine}.gaf"
+        rc = lasagna_main(["align", str(gfa), str(sub), "-m", "semi-global",
+                           "--engine", engine, "-o", str(out)])
+        assert rc in (0, None)
+        outs.append([l.split("\t") for l in out.read_text().splitlines()])
+    # the wavefront engine returns the true optimum; the exact engine
+    # reproduces the reference's greedy-extension quirk (end states
+    # reached inside a zero-cost match run are never end-tested) and can
+    # report a higher score — device <= exact, here 0 vs a gapped path
+    s_wave = int(next(f[5:] for f in outs[0][0] if f.startswith("AS:i:")))
+    s_exact = int(next(f[5:] for f in outs[1][0] if f.startswith("AS:i:")))
+    assert s_wave <= s_exact
+    assert s_wave == 0  # the read IS a path substring
