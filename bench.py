@@ -109,7 +109,7 @@ def main():
     flat = graph.flatten()
     scorer = BandedScorer(flat, costs)
     qshift, lengths = pack_queries(reads)
-    scores, elapsed, raw_cells = _time_scores(scorer, qshift, lengths, 10)
+    scores, elapsed, raw_cells = _time_scores(scorer, qshift, lengths, 6)
 
     n_cells = flat.n_nodes * int(qshift.shape[1]) * len(reads)
     cells_per_sec = n_cells / elapsed
@@ -145,7 +145,7 @@ def main():
     fmix = gmix.flatten()
     smix = BandedScorer(fmix, costs)
     qm, lm = pack_queries(mixed)
-    _, el_m, raw_m = _time_scores(smix, qm, lm, 4)
+    _, el_m, raw_m = _time_scores(smix, qm, lm, 2)
     extras["mixed_div_reads_per_sec"] = round(1024 / el_m, 2)
     extras["mixed_div_raw_cells_per_sec"] = round(raw_m / el_m)
 
@@ -163,7 +163,7 @@ def main():
     fsv = gsv.flatten()
     qs, ls = pack_queries(sv_reads)
     ssv = BandedScorer(fsv, costs)
-    sv_scores, el_s, raw_s = _time_scores(ssv, qs, ls, 4)
+    sv_scores, el_s, raw_s = _time_scores(ssv, qs, ls, 2)
     extras["mixed_len_reads_per_sec"] = round(1024 / el_s, 2)
     shared = BandedScorer(fsv, costs)
     shared.DRIFT_MIN_SPREAD = 1 << 30

@@ -991,19 +991,57 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
     return (tp && in_band(nd, j)) ? D2b[idx(nd, j)] : INF;
   };
 
-  // fill in topological order (row semantics of ops/dp_rows*.py)
+  // fill in topological order (row semantics of ops/dp_rows*.py).
+  // Hot-loop structure: per-predecessor row pointers and bounds hoist out
+  // of the j loop (the lambda accessors recompute base[]/bounds per cell
+  // and iterate the preds vector per cell — measured ~14 ns/cell; the
+  // hoisted form keeps the same math and access ORDER, so results are
+  // bit-identical).  NB: a per-pred segment-sweep into row temporaries
+  // was tried in round 1 and measured 3x SLOWER — this is not that; no
+  // temporaries, just loop-invariant hoisting.
+  struct PredRow {
+    const int32_t* M;
+    const int32_t* D;
+    const int32_t* D2;
+    int64_t lo, hi;
+  };
+  std::vector<PredRow> prows;
   for (int32_t r = 0; r < g.n; ++r) {
     int32_t nd = eng.topo[r];
     bool is_start = nd == g.start_node;
     bool is_end = nd == g.end_node;
+    const int64_t lo_n = lo[nd], hi_n = hi[nd];
+    prows.clear();
+    for (int32_t p : g.preds[nd]) {
+      PredRow pr;
+      pr.lo = lo[p];
+      pr.hi = hi[p];
+      const int64_t b = base[p] - lo[p];
+      pr.M = Mb.data() + b;
+      pr.D = Db.data() + b;
+      pr.D2 = tp ? D2b.data() + b : nullptr;
+      prows.push_back(pr);
+    }
+    const size_t np = prows.size();
+    int32_t* Mrow = Mb.data() + base[nd] - lo_n;
+    int32_t* Irow = Ib.data() + base[nd] - lo_n;
+    int32_t* Drow = Db.data() + base[nd] - lo_n;
+    int32_t* I2row = tp ? I2b.data() + base[nd] - lo_n : nullptr;
+    int32_t* D2row = tp ? D2b.data() + base[nd] - lo_n : nullptr;
+    const int32_t sym = g.symbols[nd];
+    const bool end_matches_all = is_end;  // end node matches everything
     int32_t prevA = INF, prevI = INF, prevI2 = INF;
-    for (int64_t j = lo[nd]; j <= hi[nd]; ++j) {
+    for (int64_t j = lo_n; j <= hi_n; ++j) {
       int32_t min_pm = INF, min_pd = INF, min_pd2 = INF, diag_src = INF;
-      for (int32_t p : g.preds[nd]) {
-        min_pm = std::min(min_pm, getM(p, j));
-        min_pd = std::min(min_pd, getD(p, j));
-        if (tp) min_pd2 = std::min(min_pd2, getD2(p, j));
-        if (j >= 1) diag_src = std::min(diag_src, getM(p, j - 1));
+      for (size_t pi = 0; pi < np; ++pi) {
+        const PredRow& pr = prows[pi];
+        if (j >= pr.lo && j <= pr.hi) {
+          min_pm = std::min(min_pm, pr.M[j]);
+          min_pd = std::min(min_pd, pr.D[j]);
+          if (tp) min_pd2 = std::min(min_pd2, pr.D2[j]);
+        }
+        if (j - 1 >= pr.lo && j - 1 <= pr.hi)
+          diag_src = std::min(diag_src, pr.M[j - 1]);
       }
       int32_t Dv = std::min(std::min((int64_t)min_pm + o + e,
                                      (int64_t)min_pd + e),
@@ -1011,7 +1049,8 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
       int32_t D2v = INF;
       if (tp)
         D2v = std::min((int64_t)std::min(min_pd, min_pd2) + e2, (int64_t)INF);
-      int32_t match = (j >= 1 && g.symbol_equal(nd, seq[j - 1])) ? 0 : x;
+      int32_t match =
+          (j >= 1 && (end_matches_all || sym == (int32_t)seq[j - 1])) ? 0 : x;
       int32_t diag = (j >= 1 && diag_src < INF) ? diag_src + match : INF;
       int32_t A = std::min(diag, std::min(Dv, D2v));
       if (is_start && j == 0) A = 0;
@@ -1034,13 +1073,12 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
         I2v = INF;
         D2v = INF;
       }
-      int64_t ix = idx(nd, j);
-      Mb[ix] = Mv;
-      Ib[ix] = Iv;
-      Db[ix] = Dv;
+      Mrow[j] = Mv;
+      Irow[j] = Iv;
+      Drow[j] = Dv;
       if (tp) {
-        I2b[ix] = I2v;
-        D2b[ix] = D2v;
+        I2row[j] = I2v;
+        D2row[j] = D2v;
       }
       prevA = A;
       prevI = Iv;
