@@ -538,7 +538,11 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
     free_start, end_ok, jlo = ends_free_device_params(
         flat, aln_type, lengths, dg.n_nodes_padded, two_piece=two_piece)
     if engine in ("auto", "pallas") and not two_piece:
-        from ..ops.pallas_fill import pallas_fill_scores_bounded
+        from ..ops.pallas_fill import (
+            _check_prefetch_fits,
+            pallas_fill_scores_bounded,
+            pallas_fill_scores_bounded_big,
+        )
 
         key = ("bounded", dg.window, dg.symbols.shape[0], qshift.shape[0],
                qshift.shape[1], free_start, costs.gap_open,
@@ -547,6 +551,14 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
             if key not in _PALLAS_FAILED:
                 try:
                     from ..ops.pallas_fill import B_BLK
+
+                    # graphs past the scalar-prefetch SMEM budget stream
+                    # their rank tables from HBM instead (big variant)
+                    try:
+                        _check_prefetch_fits(dg, 1)
+                        fill = pallas_fill_scores_bounded
+                    except ValueError:
+                        fill = pallas_fill_scores_bounded_big
 
                     B = qshift.shape[0]
                     pad = (-B) % B_BLK
@@ -559,7 +571,7 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
                             [lengths, jnp.zeros((pad,), lengths.dtype)])
                         jl = jnp.concatenate(
                             [jlo, jnp.ones((pad,), jlo.dtype)])
-                    return pallas_fill_scores_bounded(
+                    return fill(
                         dg, qp, lp, costs, free_start, end_ok, jl)[:B]
                 except Exception:
                     if engine == "pallas":
@@ -616,6 +628,28 @@ def _try_pallas(fill_fn, dg, qshift, lengths, costs, free_start, free_end,
         return None
 
 
+# (id(dg), free_end) -> (dg ref, end_ok) global/semi-global end masks for
+# the big-graph kernel; the dg reference pins the id, LRU-bounded
+_BIG_MASKS: dict = {}
+
+
+def _big_end_mask(dg, free_end: bool):
+    key = (id(dg), free_end)
+    ent = _BIG_MASKS.get(key)
+    if ent is not None and ent[0] is dg:
+        return ent[1]
+    eo = np.zeros(dg.n_nodes_padded, dtype=np.int32)
+    if free_end:
+        eo[: dg.n_nodes] = 1
+    else:
+        eo[dg.end_rank_i] = 1
+    mask = jnp.asarray(eo)
+    _BIG_MASKS[key] = (dg, mask)
+    while len(_BIG_MASKS) > 8:
+        _BIG_MASKS.pop(next(iter(_BIG_MASKS)))
+    return mask
+
+
 def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                    costs, free_start: bool = False,
                    free_end: bool = False, engine: str = "auto") -> jnp.ndarray:
@@ -644,6 +678,43 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                           free_start, free_end, engine, key)
         if out is not None:
             return out
+        # graphs past the scalar-prefetch SMEM budget: the big variant
+        # streams rank tables HBM->SMEM (measured ~25x the XLA body at
+        # 100k nodes); its bounded formulation with an end-rank-only
+        # mask and jlo = n reproduces the global (and unbounded
+        # free-end) semantics exactly
+        if (not two_piece and jax.default_backend() != "cpu"
+                and ("big", *key) not in _PALLAS_FAILED):
+            try:
+                from ..ops.pallas_fill import (
+                    B_BLK,
+                    _check_prefetch_fits,
+                    pallas_fill_scores_bounded_big,
+                )
+
+                needs_big = False
+                try:
+                    _check_prefetch_fits(dg, 0)
+                except ValueError:
+                    needs_big = True
+                if needs_big:
+                    B = qshift.shape[0]
+                    pad = (-B) % B_BLK
+                    qp, lp = qshift, lengths
+                    if pad:
+                        qp = jnp.concatenate(
+                            [qshift, jnp.zeros((pad, qshift.shape[1]),
+                                               qshift.dtype)])
+                        lp = jnp.concatenate(
+                            [lengths, jnp.zeros((pad,), lengths.dtype)])
+                    end_ok = _big_end_mask(dg, free_end)
+                    jlo = lp.astype(jnp.int32)
+                    return pallas_fill_scores_bounded_big(
+                        dg, qp, lp, costs, free_start, end_ok, jlo)[:B]
+            except Exception:
+                if engine == "pallas":
+                    raise
+                _PALLAS_FAILED.add(("big", *key))
     if two_piece:
         fn = _scores_exec_2p(dg.window, costs.gap_open, costs.gap_extend,
                              costs.gap_extend2, costs.mismatch,

@@ -544,6 +544,236 @@ def pallas_fill_scores_bounded(dg, qshift, lengths, costs,
               dg.write_slots, end_ok, dg.meta, qshift, lengths, jlo)
 
 
+BIG_CHUNK = 1024  # ranks per SMEM chunk; chunk slices must be 1024-aligned
+
+
+def _fill_kernel_bounded_big(
+    # scalar prefetch
+    meta_ref,         # (4,): [n_real_ranks, end_rank, R(record words), _]
+    # inputs
+    tab_hbm,          # (Np*R,) int32 in HBM: per-rank interleaved records
+    qshift_ref,       # (B_BLK, L) VMEM
+    # outputs
+    end_row_ref,      # (B_BLK, L) VMEM
+    # scratch
+    m_ring, d_ring, best_ref, tab_s, sems,
+    *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
+    free_start: bool,
+):
+    """Bounded ends-free fill for graphs past the scalar-prefetch SMEM
+    budget: per-rank records [sym, wslot, end_ok, pred_slot*P,
+    pred_valid*P] stream from HBM into a double-buffered SMEM scratch,
+    BIG_CHUNK ranks per DMA (slices must be 1024-aligned), overlapping
+    the next chunk's transfer with the current chunk's fill.  Covers the
+    global full fill too (end_ok = end rank only, jlo = n)."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    R = meta_ref[2]
+    inf = INF16 if dtype == jnp.int16 else INF
+    C = BIG_CHUNK
+    CW = C * (3 + 2 * P)  # words per chunk (R is static via P)
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    best_ref[:] = jnp.full((B_BLK, L), inf, dtype=dtype)
+
+    qshift = qshift_ref[:]
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
+    ej = (e * col32).astype(dtype)
+    zero_at_0 = jnp.where(col32 == 0, jnp.int32(0),
+                          jnp.int32(inf)).astype(dtype)
+    masks = _ge_masks(col32, L)
+
+    n_chunks = (n_nodes + C - 1) // C
+
+    def dma(k, buf):
+        return pltpu.make_async_copy(
+            tab_hbm.at[pl.ds(k * CW, CW)],
+            tab_s.at[pl.ds(buf * CW, CW)],
+            sems.at[buf])
+
+    dma(0, 0).start()
+
+    def chunk_body(k, _):
+        buf = jax.lax.rem(k, 2)
+        dma(k, buf).wait()
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        base0 = buf * CW
+
+        def body(i, _):
+            r = k * C + i
+            rec = base0 + i * R
+            sym = tab_s[rec]
+            wslot = tab_s[rec + 1]
+            endok = tab_s[rec + 2]
+
+            slot0 = tab_s[rec + 3]
+            min_pm = m_ring[slot0]
+            min_pd = d_ring[slot0]
+            for p in range(1, P):
+                slot = tab_s[rec + 3 + p]
+                valid = tab_s[rec + 3 + P + p]
+                rm = m_ring[slot]
+                rd = d_ring[slot]
+                keep = valid == 1
+                min_pm = jnp.minimum(min_pm, jnp.where(keep, rm, inf))
+                min_pd = jnp.minimum(min_pd, jnp.where(keep, rd, inf))
+
+            D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
+            diag_src = _roll_lanes(min_pm, 1)
+            diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+            match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                                   jnp.int32(x)).astype(dtype)
+            diag = diag_src + match_cost
+
+            A = jnp.minimum(diag, D)
+            if free_start:
+                A = jnp.where(r == end_rank, A, jnp.minimum(A, zero_at_0))
+            else:
+                A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
+
+            t = A - ej
+            pref = _prefix_min_rows(t, L, dtype(inf), col32, masks)
+            pref_m1 = _roll_lanes(pref, 1)
+            pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
+            I = jnp.minimum(pref_m1 + dtype(o) + ej, dtype(inf))
+
+            M = jnp.minimum(A, I)
+            is_end = r == end_rank
+            M = jnp.where(is_end, min_pm, M)
+            D_out = jnp.where(is_end, dtype(inf),
+                              jnp.minimum(D, dtype(inf)))
+
+            @pl.when(endok == 1)
+            def _():
+                best_ref[:] = jnp.minimum(best_ref[:], M)
+
+            @pl.when(is_end)
+            def _():
+                end_row_ref[:] = best_ref[:]
+
+            m_ring[wslot] = M
+            d_ring[wslot] = D_out
+            return 0
+
+        n_here = jnp.minimum(C, n_nodes - k * C)
+        jax.lax.fori_loop(0, n_here, body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_exec_bounded_big(nblocks: int, W: int, P: int, L: int, o: int,
+                             e: int, x: int, B_BLK: int = 64,
+                             use_int16: bool = False,
+                             free_start: bool = False):
+    dtype = jnp.int16 if use_int16 else jnp.int32
+    kernel = functools.partial(_fill_kernel_bounded_big, W=W, P=P, L=L, o=o,
+                               e=e, x=x, B_BLK=B_BLK, dtype=dtype,
+                               free_start=free_start)
+    R = 3 + 2 * P
+    CW = BIG_CHUNK * R
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # rank table stays in HBM
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((B_BLK, L), dtype),
+            pltpu.SMEM((2 * CW,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(tab, meta, qshift, lengths, jlo):
+        end_row = call(meta, tab, qshift).astype(jnp.int32)
+        if use_int16:
+            end_row = jnp.where(end_row >= INF16, jnp.int32(INF), end_row)
+        col = jnp.arange(end_row.shape[1], dtype=jnp.int32)[None, :]
+        li = lengths.astype(jnp.int32)[:, None]
+        win = jnp.logical_and(col >= jlo.astype(jnp.int32)[:, None],
+                              col <= li)
+        return jnp.min(jnp.where(win, end_row, INF), axis=1)
+
+    return fn
+
+
+# (dg id -> (dg ref, tab, meta)) interleaved rank tables for the big
+# kernel; the dg reference pins the id against recycling, LRU-bounded
+_BIG_TABLES: dict = {}
+
+
+def _big_rank_table(dg, end_ok):
+    import numpy as np
+
+    key = (id(dg), id(end_ok))
+    ent = _BIG_TABLES.get(key)
+    if ent is not None and ent[0] is dg and ent[1] is end_ok:
+        return ent[2], ent[3]
+    P = int(dg.pred_slots.shape[1])
+    R = 3 + 2 * P
+    Np = dg.n_nodes_padded
+    Np_pad = ((Np + BIG_CHUNK - 1) // BIG_CHUNK) * BIG_CHUNK
+    tab = np.zeros((Np_pad, R), dtype=np.int32)
+    n = dg.n_nodes
+    tab[:Np, 0] = np.asarray(dg.symbols)
+    tab[:Np, 1] = np.asarray(dg.write_slots)
+    tab[:Np, 2] = np.asarray(end_ok)[:Np]
+    tab[:Np, 3:3 + P] = np.asarray(dg.pred_slots)
+    tab[:Np, 3 + P:3 + 2 * P] = np.asarray(dg.pred_valid).astype(np.int32)
+    tab_dev = jnp.asarray(tab.reshape(-1))
+    meta = jnp.asarray([n, n - 1, R, 0], dtype=jnp.int32)
+    ent = (dg, end_ok, tab_dev, meta)
+    _BIG_TABLES[key] = ent
+    while len(_BIG_TABLES) > 8:
+        _BIG_TABLES.pop(next(iter(_BIG_TABLES)))
+    return tab_dev, meta
+
+
+def pallas_fill_scores_bounded_big(dg, qshift, lengths, costs,
+                                   free_start: bool, end_ok, jlo):
+    """Bounded ends-free scores for graphs past the scalar-prefetch SMEM
+    budget: rank tables stream HBM->SMEM in double-buffered chunks."""
+    B, L = qshift.shape
+    assert B % B_BLK == 0
+    P = int(dg.pred_slots.shape[1])
+    dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
+                        costs.gap_extend, costs.mismatch)
+    use_int16 = dtype == jnp.int16
+    blk = pick_b_blk(dg.window, L, L, 2 if use_int16 else 4, n_rings=3)
+    while B % blk:
+        blk //= 2
+    tab, meta = _big_rank_table(dg, end_ok)
+    fn = _pallas_exec_bounded_big(B // blk, dg.window, P, L,
+                                  costs.gap_open, costs.gap_extend,
+                                  costs.mismatch, B_BLK=blk,
+                                  use_int16=use_int16,
+                                  free_start=free_start)
+    return fn(tab, meta, qshift, lengths, jlo)
+
+
 def _coupled_insertion_rows(A, L: int, inf, masks, o1: int, e1: int, e2: int,
                             dtype):
     """(I1, I2) rows for the two-piece model, in-kernel.

@@ -197,6 +197,34 @@ def main():
     assert (got_ef == oracle_ef).all(), (got_ef, oracle_ef)
     print("OK")
 
+    print("big-graph kernel (HBM->SMEM chunked rank tables):")
+    big_base = "".join(rng.choice("ACGT") for _ in range(60000))
+    gb = POAGraph()
+    gb.add_alignment_with_weights("s0", big_base.encode(), None,
+                                  [1] * len(big_base))
+    for v in range(0, 60000 - 3, 997):
+        gb.add_edge(v, v + 3, 0, 1)
+    gb.post_process()
+    flatb = gb.flatten()
+    dgb = DeviceGraph.build(flatb)
+    big_reads = [mutate(big_base[i * 400:i * 400 + 1500], 0.02).encode()
+                 for i in range(64)]
+    qb, lb = pack_queries(big_reads)
+    print("  60k-node semi-global big kernel == XLA oracle ...", end=" ",
+          flush=True)
+    cfgb = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+    got_b = np.asarray(dp_fill_scores_ends_free(dgb, flatb, qb, lb, costs,
+                                                cfgb))
+    ref_b = np.asarray(dp_fill_scores_ends_free(dgb, flatb, qb, lb, costs,
+                                                cfgb, engine="xla"))
+    assert (got_b == ref_b).all(), (got_b[:8], ref_b[:8])
+    print("OK")
+    print("  60k-node global big kernel == XLA ...", end=" ", flush=True)
+    got_g = np.asarray(dp_fill_scores(dgb, qb, lb, costs))
+    ref_g = np.asarray(dp_fill_scores(dgb, qb, lb, costs, engine="xla"))
+    assert (got_g == ref_g).all()
+    print("OK")
+
     if "--soak" in sys.argv:
         at = sys.argv.index("--soak")
         if at + 1 >= len(sys.argv) or not sys.argv[at + 1].isdigit():
