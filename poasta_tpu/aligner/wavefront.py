@@ -526,6 +526,126 @@ def _scores_exec_bounded(window: int, o: int, e: int, x: int,
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _scores_exec_bounded_ends(window: int, o: int, e: int, x: int,
+                              free_start: bool):
+    """Bounded ends-free scores + best end state (XLA body, one-piece).
+
+    Like :func:`_scores_exec_bounded` but also tracks, per (read,
+    offset), the first rank achieving the best permitted M value, so the
+    caller learns each read's optimal end state (rank, offset) without
+    materializing tables — the anchor for the native corridor backtrace.
+    """
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, write_slots, end_rank, end_ok,
+           qshift, lengths, jlo):
+        B, L = qshift.shape
+        Np = symbols.shape[0]
+        ring0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
+        best0 = jnp.full((B, L), INF, dtype=jnp.int32)
+        bestr0 = jnp.zeros((B, L), dtype=jnp.int32)
+        idx = lengths.astype(jnp.int32)[:, None]
+
+        def step(carry, xs):
+            M_ring, D_ring, best, bestr = carry
+            rank, sym, slots, valid, wslot, ok = xs
+            pred_M = jnp.take(M_ring, slots, axis=1)
+            pred_D = jnp.take(D_ring, slots, axis=1)
+            match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                                   jnp.int32(x))
+            is_start = rank == 0
+            is_end = rank == end_rank
+            is_real = jnp.logical_and(rank > 0, rank < end_rank)
+            M, I, D = row_update(
+                pred_M, pred_D, valid, match_cost, o, e,
+                is_start_row=is_start,
+                free_start=jnp.logical_and(is_real, free_start),
+            )
+            mask = valid.reshape(1, -1, 1)
+            min_pm = jnp.min(jnp.where(mask, pred_M, INF), axis=1)
+            M = jnp.where(is_end, min_pm, M)
+            I = jnp.where(is_end, INF, I)
+            D = jnp.where(is_end, INF, D)
+            M_ring = jax.lax.dynamic_update_index_in_dim(
+                M_ring, M, wslot, axis=1)
+            D_ring = jax.lax.dynamic_update_index_in_dim(
+                D_ring, D, wslot, axis=1)
+            improved = jnp.logical_and(ok == 1, M < best)
+            best = jnp.where(improved, M, best)
+            bestr = jnp.where(improved, rank, bestr)
+            return (M_ring, D_ring, best, bestr), None
+
+        ranks = jnp.arange(Np, dtype=jnp.int32)
+        xs = (ranks, symbols, pred_slots, pred_valid, write_slots, end_ok)
+        (_, _, best, bestr), _ = jax.lax.scan(
+            step, (ring0, ring0, best0, bestr0), xs)
+        col = jnp.arange(L, dtype=jnp.int32)[None, :]
+        win = jnp.logical_and(col >= jlo[:, None], col <= idx)
+        masked = jnp.where(win, best, INF)
+        score = jnp.min(masked, axis=1)
+        end_j = jnp.argmin(masked, axis=1).astype(jnp.int32)
+        end_r = jnp.take_along_axis(bestr, end_j[:, None], axis=1)[:, 0]
+        return score, end_r, end_j
+
+    return fn
+
+
+def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
+                                lengths, costs, aln_type,
+                                engine: str = "auto"):
+    """(scores, end_ranks, end_offsets) for an ends-free span (one-piece).
+
+    The end state is each read's optimal permitted (rank, offset) — the
+    anchor for the native corridor backtrace
+    (``NativeAligner.align_anchored``); ties resolve to the lowest
+    offset, then the first (lowest) rank.
+    """
+    assert not getattr(costs, "is_two_piece", False)
+    free_start, end_ok, jlo = ends_free_device_params(
+        flat, aln_type, lengths, dg.n_nodes_padded)
+    if engine in ("auto", "pallas") and jax.default_backend() != "cpu":
+        from ..ops.pallas_fill import (
+            B_BLK,
+            _check_prefetch_fits,
+            pallas_bounded_with_ends,
+            pallas_bounded_with_ends_big,
+        )
+
+        key = ("bounded_ends", dg.window, dg.symbols.shape[0],
+               qshift.shape[0], qshift.shape[1], free_start,
+               costs.gap_open, costs.gap_extend, costs.mismatch)
+        if key not in _PALLAS_FAILED:
+            try:
+                try:
+                    _check_prefetch_fits(dg, 1)
+                    fill = pallas_bounded_with_ends
+                except ValueError:
+                    fill = pallas_bounded_with_ends_big
+                B = qshift.shape[0]
+                pad = (-B) % B_BLK
+                qp, lp, jl = qshift, lengths, jlo
+                if pad:
+                    qp = jnp.concatenate(
+                        [qshift, jnp.zeros((pad, qshift.shape[1]),
+                                           qshift.dtype)])
+                    lp = jnp.concatenate(
+                        [lengths, jnp.zeros((pad,), lengths.dtype)])
+                    jl = jnp.concatenate(
+                        [jlo, jnp.ones((pad,), jl.dtype)])
+                s, er, ej = fill(dg, qp, lp, costs, free_start, end_ok, jl)
+                return s[:B], er[:B], ej[:B]
+            except Exception:
+                if engine == "pallas":
+                    raise
+                _PALLAS_FAILED.add(key)
+    fn = _scores_exec_bounded_ends(dg.window, costs.gap_open,
+                                   costs.gap_extend, costs.mismatch,
+                                   free_start)
+    return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
+              dg.end_rank, end_ok, qshift, lengths, jlo)
+
+
 def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
                              lengths, costs, aln_type,
                              engine: str = "auto") -> jnp.ndarray:

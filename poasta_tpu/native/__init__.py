@@ -130,6 +130,19 @@ def _load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.poasta_align_anchored.restype = ctypes.c_int64
+        lib.poasta_align_anchored.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -224,6 +237,44 @@ class NativeAligner:
             for i in range(count)
         ]
         return int(out_score[0]), alignment, tuple(int(s) for s in out_stats)
+
+    def align_anchored(self, seq: bytes, costs, end_node: int,
+                       end_offset: int, score: int,
+                       free_start: bool = True):
+        """End-anchored ends-free corridor alignment (one-piece).
+
+        ``(end_node, end_offset, score)`` come from the device fill
+        (:func:`poasta_tpu.aligner.wavefront.dp_fill_ends_free_with_ends`);
+        the fill covers only a corridor around the anchored diagonal, so
+        per-read work scales with the read's own span and score instead
+        of the whole graph.  Returns (score, alignment); raises
+        RuntimeError when the corridor cannot be verified (caller falls
+        back to the dense or exact path).
+        """
+        assert not getattr(costs, "is_two_piece", False)
+        q = np.frombuffer(bytes(seq), dtype=np.uint8)
+        cap = 4 * (len(seq) + 64) + 256
+        rpos = np.empty(cap, dtype=np.int32)
+        qpos = np.empty(cap, dtype=np.int32)
+        out_score = np.zeros(1, dtype=np.int64)
+        count = self._lib.poasta_align_anchored(
+            self._handle,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(seq), int(end_node), int(end_offset),
+            costs.mismatch, costs.gap_open, costs.gap_extend,
+            1 if free_start else 0, int(score),
+            _i32ptr(rpos), _i32ptr(qpos), cap,
+            out_score.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if count < 0:
+            raise RuntimeError(f"anchored alignment failed ({count})")
+        from ..aligner.alignment import AlignedPair
+
+        return int(out_score[0]), [
+            AlignedPair(None if rpos[i] < 0 else int(rpos[i]),
+                        None if qpos[i] < 0 else int(qpos[i]))
+            for i in range(count)
+        ]
 
     def align_banded(self, seq: bytes, costs, ub=None, max_retries: int = 8):
         """Banded dense fill + backtrace: returns (score, alignment).

@@ -1220,4 +1220,246 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
   return count;
 }
 
+int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
+                              int32_t end_node, int64_t end_j,
+                              int32_t mismatch, int32_t gap_open,
+                              int32_t gap_extend, int32_t free_start,
+                              int64_t expected_score, int32_t* out_rpos,
+                              int32_t* out_qpos, int64_t cap,
+                              int64_t* out_score) {
+  // End-anchored corridor alignment (one-piece): the device fill has
+  // already computed the read's optimal ends-free score AND its end
+  // state (end_node, end_j); this fills only the sub-DAG that can reach
+  // the anchor within the path-length budget D = end_j + K + 1 edges
+  // (found by a bounded reverse BFS; topo-index proxies are unsound on
+  // fused graphs, where a path's index span exceeds its edge count).
+  // Per visited node the offset window is
+  //   [end_j - maxpath(v->anchor) - K,  end_j - mindist(v->anchor) + K]
+  // with K = (S - open)/extend: insertions/deletions after (v, j) on an
+  // optimal path cost <= S.  Exactness: the computed anchor score must
+  // EQUAL the device score; a mismatch widens K and retries (defense).
+  auto& eng = *static_cast<Engine*>(ptr);
+  const Graph& g = eng.g;
+  ensure_banded_meta(eng);
+  const int32_t o = gap_open, e = gap_extend, x = mismatch;
+  constexpr int32_t INF = 1 << 28;
+  const int64_t S = expected_score;
+
+  std::vector<int32_t> tpos(g.n);
+  for (int32_t rt = 0; rt < g.n; ++rt) tpos[eng.topo[rt]] = rt;
+
+  for (int attempt = 0; attempt < 3; ++attempt) {
+    const int64_t K =
+        ((S >= o + e) ? (S - o) / e : 0) * (int64_t(1) << attempt) +
+        attempt;
+    const int64_t D = end_j + K + 1;
+
+    // bounded reverse BFS from the anchor over predecessor edges
+    std::vector<int64_t> dist_r(g.n, -1);
+    std::deque<int32_t> q;
+    dist_r[end_node] = 0;
+    q.push_back(end_node);
+    std::vector<int32_t> nodes;  // visited, any order
+    nodes.push_back(end_node);
+    while (!q.empty()) {
+      int32_t v = q.front();
+      q.pop_front();
+      if (dist_r[v] >= D) continue;
+      for (int32_t p : g.preds[v])
+        if (dist_r[p] < 0) {
+          dist_r[p] = dist_r[v] + 1;
+          nodes.push_back(p);
+          q.push_back(p);
+        }
+    }
+    std::sort(nodes.begin(), nodes.end(),
+              [&](int32_t a, int32_t b) { return tpos[a] < tpos[b]; });
+    const int32_t nr = (int32_t)nodes.size();
+
+    // longest path to the anchor within the sub-DAG (upper bound on
+    // query consumed after v), reverse topo order; capped at D
+    std::vector<int64_t> mp(g.n, -1);
+    std::vector<int32_t> lidx(g.n, -1);
+    for (int32_t i = 0; i < nr; ++i) lidx[nodes[i]] = i;
+    for (int32_t i = nr - 1; i >= 0; --i) {
+      int32_t v = nodes[i];
+      if (v == end_node) {
+        mp[v] = 0;
+        continue;
+      }
+      int64_t best = -1;
+      for (int32_t s : g.succs[v])
+        if (lidx[s] >= 0 && mp[s] >= 0) best = std::max(best, mp[s] + 1);
+      mp[v] = best < 0 ? -1 : std::min(best, D);
+    }
+
+    std::vector<int64_t> lo(nr), hi(nr), base(nr + 1, 0);
+    for (int32_t i = 0; i < nr; ++i) {
+      int32_t nd = nodes[i];
+      if (mp[nd] < 0) {  // cannot reach anchor (pred-only artifact)
+        lo[i] = 1;
+        hi[i] = 0;
+      } else {
+        lo[i] = std::max<int64_t>(0, end_j - mp[nd] - K);
+        hi[i] = std::min<int64_t>(std::min<int64_t>(n, end_j),
+                                  end_j - dist_r[nd] + K);
+      }
+      base[i + 1] = base[i] + std::max<int64_t>(0, hi[i] - lo[i] + 1);
+    }
+    const int64_t total = base[nr];
+    std::vector<int32_t> Mb(total, INF), Ib(total, INF), Db(total, INF);
+
+    auto stored = [&](int32_t nd, int64_t j) -> bool {
+      int32_t i = lidx[nd];
+      return i >= 0 && j >= lo[i] && j <= hi[i];
+    };
+    auto gM = [&](int32_t nd, int64_t j) -> int32_t {
+      return stored(nd, j) ? Mb[base[lidx[nd]] + (j - lo[lidx[nd]])] : INF;
+    };
+    auto gI = [&](int32_t nd, int64_t j) -> int32_t {
+      return stored(nd, j) ? Ib[base[lidx[nd]] + (j - lo[lidx[nd]])] : INF;
+    };
+    auto gD = [&](int32_t nd, int64_t j) -> int32_t {
+      return stored(nd, j) ? Db[base[lidx[nd]] + (j - lo[lidx[nd]])] : INF;
+    };
+
+    for (int32_t i = 0; i < nr; ++i) {
+      int32_t nd = nodes[i];
+      if (hi[i] < lo[i]) continue;
+      bool is_end_nd = nd == g.end_node;
+      bool origin = (free_start && !is_end_nd) || nd == g.start_node;
+      int32_t prevA = INF, prevI = INF;
+      for (int64_t j = lo[i]; j <= hi[i]; ++j) {
+        int32_t min_pm = INF, min_pd = INF, diag_src = INF;
+        for (int32_t p : g.preds[nd]) {
+          min_pm = std::min(min_pm, gM(p, j));
+          min_pd = std::min(min_pd, gD(p, j));
+          if (j >= 1) diag_src = std::min(diag_src, gM(p, j - 1));
+        }
+        int32_t Dv = std::min(
+            std::min((int64_t)min_pm + o + e, (int64_t)min_pd + e),
+            (int64_t)INF);
+        int32_t match =
+            (j >= 1 && g.symbol_equal(nd, seq[j - 1])) ? 0 : x;
+        int32_t diag = (j >= 1 && diag_src < INF) ? diag_src + match : INF;
+        int32_t A = std::min(diag, Dv);
+        if (origin && j == 0) A = 0;
+        int32_t Iv = std::min(
+            std::min((int64_t)prevA + o + e, (int64_t)prevI + e),
+            (int64_t)INF);
+        int32_t Mv = std::min(A, Iv);
+        if (is_end_nd) {
+          Mv = min_pm;
+          Iv = INF;
+          Dv = INF;
+        }
+        int64_t ix = base[i] + (j - lo[i]);
+        Mb[ix] = Mv;
+        Ib[ix] = Iv;
+        Db[ix] = Dv;
+        prevA = A;
+        prevI = Iv;
+      }
+    }
+
+    int64_t got = gM(end_node, end_j);
+    if (got != S) continue;  // corridor too tight (defensive): widen
+    out_score[0] = got;
+
+    auto preds_oldest = [&](int32_t nd) {
+      return std::vector<int32_t>(g.preds[nd].rbegin(), g.preds[nd].rend());
+    };
+    int32_t node = end_node;
+    int64_t j = end_j;
+    int state = M;
+    if (node == g.end_node) {  // virtual end: hop to the carrying pred
+      int32_t nn = -1;
+      for (int32_t p : preds_oldest(g.end_node))
+        if (gM(p, j) == got) {
+          nn = p;
+          break;
+        }
+      if (nn < 0) return -3;
+      node = nn;
+    }
+    std::vector<std::pair<int32_t, int32_t>> pairs;
+    while (true) {
+      int32_t cur = state == M   ? gM(node, j)
+                    : state == D ? gD(node, j)
+                                 : gI(node, j);
+      bool origin_nd =
+          (free_start && node != g.end_node) || node == g.start_node;
+      if (state == M && j == 0 && cur == 0 && origin_nd) break;
+      int32_t bt_node = -1;
+      int64_t bt_j = 0;
+      int bt_state = M;
+      if (state == M) {
+        if (j > 0) {
+          int32_t want = g.symbol_equal(node, seq[j - 1]) ? cur : cur - x;
+          for (int32_t p : preds_oldest(node))
+            if (gM(p, j - 1) == want) {
+              bt_node = p;
+              bt_j = j - 1;
+              bt_state = M;
+              break;
+            }
+        }
+        if (bt_node < 0 && gD(node, j) == cur) {
+          bt_node = node; bt_j = j; bt_state = D;
+        }
+        if (bt_node < 0 && gI(node, j) == cur) {
+          bt_node = node; bt_j = j; bt_state = I;
+        }
+      } else if (state == D) {
+        for (int32_t p : preds_oldest(node))
+          if (gM(p, j) == cur - o - e) {
+            bt_node = p; bt_j = j; bt_state = M;
+            break;
+          }
+        if (bt_node < 0)
+          for (int32_t p : preds_oldest(node))
+            if (gD(p, j) == cur - e) {
+              bt_node = p; bt_j = j; bt_state = D;
+              break;
+            }
+      } else {  // I
+        if (j > 0) {
+          if (gM(node, j - 1) == cur - o - e) {
+            bt_node = node; bt_j = j - 1; bt_state = M;
+          } else if (gI(node, j - 1) == cur - e) {
+            bt_node = node; bt_j = j - 1; bt_state = I;
+          }
+        }
+      }
+      if (bt_node < 0) break;
+      if (state == M && bt_state != M) {
+        node = bt_node;
+        j = bt_j;
+        state = bt_state;
+        continue;
+      }
+      if (state == M)
+        pairs.push_back({node, (int32_t)(j - 1)});
+      else if (state == I)
+        pairs.push_back({-1, (int32_t)(j - 1)});
+      else
+        pairs.push_back({node, -1});
+      if (bt_node == g.start_node) break;
+      node = bt_node;
+      j = bt_j;
+      state = bt_state;
+    }
+    std::reverse(pairs.begin(), pairs.end());
+    if ((int64_t)pairs.size() > cap) return -2;
+    int64_t count = 0;
+    for (auto& [rp, qp] : pairs) {
+      out_rpos[count] = rp;
+      out_qpos[count] = qp;
+      ++count;
+    }
+    return count;
+  }
+  return -4;  // corridor never verified: caller falls back
+}
+
 }  // extern "C"

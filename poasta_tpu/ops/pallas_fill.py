@@ -544,6 +544,176 @@ def pallas_fill_scores_bounded(dg, qshift, lengths, costs,
               dg.write_slots, end_ok, dg.meta, qshift, lengths, jlo)
 
 
+def _fill_kernel_bounded_ends(
+    # scalar prefetch
+    symbols_ref, pred_slots_ref, pred_valid_ref, wslot_ref, end_ok_ref,
+    meta_ref,
+    # inputs
+    qshift_ref,       # (B_BLK, L) VMEM
+    # outputs
+    end_row_ref,      # (B_BLK, L) — min M over permitted ranks
+    rank_row_ref,     # (B_BLK, L) int32 — first rank achieving it
+    # scratch
+    m_ring, d_ring, best_ref,
+    *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
+    free_start: bool,
+):
+    """:func:`_fill_kernel_bounded` + per-(read, offset) best-end-rank
+    tracking (the anchor for the native corridor backtrace)."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    inf = INF16 if dtype == jnp.int16 else INF
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    best_ref[:] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    rank_row_ref[:] = jnp.zeros((B_BLK, L), jnp.int32)
+
+    qshift = qshift_ref[:]
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
+    ej = (e * col32).astype(dtype)
+    zero_at_0 = jnp.where(col32 == 0, jnp.int32(0),
+                          jnp.int32(inf)).astype(dtype)
+    masks = _ge_masks(col32, L)
+
+    def body(r, _):
+        sym = symbols_ref[r]
+        slot0 = pred_slots_ref[r * P]
+        min_pm = m_ring[slot0]
+        min_pd = d_ring[slot0]
+        for p in range(1, P):
+            slot = pred_slots_ref[r * P + p]
+            valid = pred_valid_ref[r * P + p]
+            rm = m_ring[slot]
+            rd = d_ring[slot]
+            keep = valid == 1
+            min_pm = jnp.minimum(min_pm, jnp.where(keep, rm, inf))
+            min_pd = jnp.minimum(min_pd, jnp.where(keep, rd, inf))
+
+        D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+        match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
+        diag = diag_src + match_cost
+
+        A = jnp.minimum(diag, D)
+        if free_start:
+            A = jnp.where(r == end_rank, A, jnp.minimum(A, zero_at_0))
+        else:
+            A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
+
+        t = A - ej
+        pref = _prefix_min_rows(t, L, dtype(inf), col32, masks)
+        pref_m1 = _roll_lanes(pref, 1)
+        pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o) + ej, dtype(inf))
+
+        M = jnp.minimum(A, I)
+        is_end = r == end_rank
+        M = jnp.where(is_end, min_pm, M)
+        D_out = jnp.where(is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
+
+        @pl.when(end_ok_ref[r] == 1)
+        def _():
+            improved = M < best_ref[:]
+            best_ref[:] = jnp.where(improved, M, best_ref[:])
+            rank_row_ref[:] = jnp.where(improved, r, rank_row_ref[:])
+
+        @pl.when(is_end)
+        def _():
+            end_row_ref[:] = best_ref[:]
+
+        slot = wslot_ref[r]
+        m_ring[slot] = M
+        d_ring[slot] = D_out
+        return 0
+
+    jax.lax.fori_loop(0, n_nodes, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_exec_bounded_ends(nblocks: int, W: int, P: int, L: int, o: int,
+                              e: int, x: int, B_BLK: int = 64,
+                              use_int16: bool = False,
+                              free_start: bool = False):
+    dtype = jnp.int16 if use_int16 else jnp.int32
+    kernel = functools.partial(_fill_kernel_bounded_ends, W=W, P=P, L=L,
+                               o=o, e=e, x=x, B_BLK=B_BLK, dtype=dtype,
+                               free_start=free_start)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((B_BLK, L), dtype),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
+            jax.ShapeDtypeStruct((nblocks * B_BLK, L), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, wslots, end_ok, meta, qshift,
+           lengths, jlo):
+        end_row, rank_row = call(symbols, pred_slots, pred_valid, wslots,
+                                 end_ok, meta, qshift)
+        end_row = end_row.astype(jnp.int32)
+        if use_int16:
+            end_row = jnp.where(end_row >= INF16, jnp.int32(INF), end_row)
+        col = jnp.arange(end_row.shape[1], dtype=jnp.int32)[None, :]
+        li = lengths.astype(jnp.int32)[:, None]
+        win = jnp.logical_and(col >= jlo.astype(jnp.int32)[:, None],
+                              col <= li)
+        masked = jnp.where(win, end_row, INF)
+        score = jnp.min(masked, axis=1)
+        end_j = jnp.argmin(masked, axis=1).astype(jnp.int32)
+        end_r = jnp.take_along_axis(rank_row, end_j[:, None], axis=1)[:, 0]
+        return score, end_r, end_j
+
+    return fn
+
+
+def pallas_bounded_with_ends(dg, qshift, lengths, costs, free_start,
+                             end_ok, jlo):
+    """(scores, end_ranks, end_offsets) via the Pallas bounded kernel."""
+    _check_prefetch_fits(dg, 1)
+    B, L = qshift.shape
+    assert B % B_BLK == 0
+    dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
+                        costs.gap_extend, costs.mismatch)
+    use_int16 = dtype == jnp.int16
+    # rings + io + best + rank row
+    blk = pick_b_blk(dg.window, L, L, 2 if use_int16 else 4, n_rings=4)
+    while B % blk:
+        blk //= 2
+    P = int(dg.pred_slots.shape[1])
+    fn = _pallas_exec_bounded_ends(B // blk, dg.window, P, L,
+                                   costs.gap_open, costs.gap_extend,
+                                   costs.mismatch, B_BLK=blk,
+                                   use_int16=use_int16,
+                                   free_start=free_start)
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              dg.write_slots, end_ok, dg.meta, qshift, lengths, jlo)
+
+
 BIG_CHUNK = 1024  # ranks per SMEM chunk; chunk slices must be 1024-aligned
 
 
@@ -771,6 +941,202 @@ def pallas_fill_scores_bounded_big(dg, qshift, lengths, costs,
                                   costs.mismatch, B_BLK=blk,
                                   use_int16=use_int16,
                                   free_start=free_start)
+    return fn(tab, meta, qshift, lengths, jlo)
+
+
+def _fill_kernel_bounded_big_ends(
+    meta_ref,
+    tab_hbm, qshift_ref,
+    end_row_ref, rank_row_ref,
+    m_ring, d_ring, best_ref, tab_s, sems,
+    *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
+    free_start: bool,
+):
+    """:func:`_fill_kernel_bounded_big` + best-end-rank tracking."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    R = 3 + 2 * P
+    inf = INF16 if dtype == jnp.int16 else INF
+    C = BIG_CHUNK
+    CW = C * R
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    best_ref[:] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    rank_row_ref[:] = jnp.zeros((B_BLK, L), jnp.int32)
+
+    qshift = qshift_ref[:]
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
+    ej = (e * col32).astype(dtype)
+    zero_at_0 = jnp.where(col32 == 0, jnp.int32(0),
+                          jnp.int32(inf)).astype(dtype)
+    masks = _ge_masks(col32, L)
+
+    n_chunks = (n_nodes + C - 1) // C
+
+    def dma(k, buf):
+        return pltpu.make_async_copy(
+            tab_hbm.at[pl.ds(k * CW, CW)],
+            tab_s.at[pl.ds(buf * CW, CW)],
+            sems.at[buf])
+
+    dma(0, 0).start()
+
+    def chunk_body(k, _):
+        buf = jax.lax.rem(k, 2)
+        dma(k, buf).wait()
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        base0 = buf * CW
+
+        def body(i, _):
+            r = k * C + i
+            rec = base0 + i * R
+            sym = tab_s[rec]
+            wslot = tab_s[rec + 1]
+            endok = tab_s[rec + 2]
+
+            slot0 = tab_s[rec + 3]
+            min_pm = m_ring[slot0]
+            min_pd = d_ring[slot0]
+            for p in range(1, P):
+                slot = tab_s[rec + 3 + p]
+                valid = tab_s[rec + 3 + P + p]
+                rm = m_ring[slot]
+                rd = d_ring[slot]
+                keep = valid == 1
+                min_pm = jnp.minimum(min_pm, jnp.where(keep, rm, inf))
+                min_pd = jnp.minimum(min_pd, jnp.where(keep, rd, inf))
+
+            D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
+            diag_src = _roll_lanes(min_pm, 1)
+            diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+            match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                                   jnp.int32(x)).astype(dtype)
+            diag = diag_src + match_cost
+
+            A = jnp.minimum(diag, D)
+            if free_start:
+                A = jnp.where(r == end_rank, A, jnp.minimum(A, zero_at_0))
+            else:
+                A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
+
+            t = A - ej
+            pref = _prefix_min_rows(t, L, dtype(inf), col32, masks)
+            pref_m1 = _roll_lanes(pref, 1)
+            pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
+            I = jnp.minimum(pref_m1 + dtype(o) + ej, dtype(inf))
+
+            M = jnp.minimum(A, I)
+            is_end = r == end_rank
+            M = jnp.where(is_end, min_pm, M)
+            D_out = jnp.where(is_end, dtype(inf),
+                              jnp.minimum(D, dtype(inf)))
+
+            @pl.when(endok == 1)
+            def _():
+                improved = M < best_ref[:]
+                best_ref[:] = jnp.where(improved, M, best_ref[:])
+                rank_row_ref[:] = jnp.where(improved, r, rank_row_ref[:])
+
+            @pl.when(is_end)
+            def _():
+                end_row_ref[:] = best_ref[:]
+
+            m_ring[wslot] = M
+            d_ring[wslot] = D_out
+            return 0
+
+        n_here = jnp.minimum(C, n_nodes - k * C)
+        jax.lax.fori_loop(0, n_here, body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_exec_bounded_big_ends(nblocks: int, W: int, P: int, L: int,
+                                  o: int, e: int, x: int, B_BLK: int = 64,
+                                  use_int16: bool = False,
+                                  free_start: bool = False):
+    dtype = jnp.int16 if use_int16 else jnp.int32
+    kernel = functools.partial(_fill_kernel_bounded_big_ends, W=W, P=P,
+                               L=L, o=o, e=e, x=x, B_BLK=B_BLK,
+                               dtype=dtype, free_start=free_start)
+    R = 3 + 2 * P
+    CW = BIG_CHUNK * R
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((B_BLK, L), dtype),
+            pltpu.SMEM((2 * CW,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
+            jax.ShapeDtypeStruct((nblocks * B_BLK, L), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(tab, meta, qshift, lengths, jlo):
+        end_row, rank_row = call(meta, tab, qshift)
+        end_row = end_row.astype(jnp.int32)
+        if use_int16:
+            end_row = jnp.where(end_row >= INF16, jnp.int32(INF), end_row)
+        col = jnp.arange(end_row.shape[1], dtype=jnp.int32)[None, :]
+        li = lengths.astype(jnp.int32)[:, None]
+        win = jnp.logical_and(col >= jlo.astype(jnp.int32)[:, None],
+                              col <= li)
+        masked = jnp.where(win, end_row, INF)
+        score = jnp.min(masked, axis=1)
+        end_j = jnp.argmin(masked, axis=1).astype(jnp.int32)
+        end_r = jnp.take_along_axis(rank_row, end_j[:, None], axis=1)[:, 0]
+        return score, end_r, end_j
+
+    return fn
+
+
+def pallas_bounded_with_ends_big(dg, qshift, lengths, costs, free_start,
+                                 end_ok, jlo):
+    """(scores, end_ranks, end_offsets) via the big-graph kernel."""
+    B, L = qshift.shape
+    assert B % B_BLK == 0
+    P = int(dg.pred_slots.shape[1])
+    dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
+                        costs.gap_extend, costs.mismatch)
+    use_int16 = dtype == jnp.int16
+    blk = pick_b_blk(dg.window, L, L, 2 if use_int16 else 4, n_rings=4)
+    while B % blk:
+        blk //= 2
+    tab, meta = _big_rank_table(dg, end_ok)
+    fn = _pallas_exec_bounded_big_ends(B // blk, dg.window, P, L,
+                                       costs.gap_open, costs.gap_extend,
+                                       costs.mismatch, B_BLK=blk,
+                                       use_int16=use_int16,
+                                       free_start=free_start)
     return fn(tab, meta, qshift, lengths, jlo)
 
 

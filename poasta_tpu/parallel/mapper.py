@@ -441,13 +441,18 @@ class BatchMapper:
         return out
 
     def _align_batch_ends_free(self, queries, qshift, lengths, two_piece):
-        """Ends-free scores + alignments over dense tables.
+        """Ends-free scores + alignments.
 
-        The native banded backtrace is global-only, so ends-free
-        alignment runs the dense path regardless of table size (scores
-        alone scale further via score_batch)."""
+        Production path: the device fill returns each read's optimal
+        score AND end state (rank, offset); the native engine fills only
+        an end-anchored corridor around that read's own locus and
+        backtraces — per-read work scales with span x score, so this
+        serves pangenome-scale semi-global mapping (tables-free).  Falls
+        back to dense tables + host backtrace when the native engine is
+        unavailable (small shapes only)."""
         from ..aligner.wavefront import (
             backtrace_dense_ends_free,
+            dp_fill_ends_free_with_ends,
             dp_fill_full,
             ends_free_device_params,
         )
@@ -456,6 +461,52 @@ class BatchMapper:
             raise NotImplementedError(
                 "two-piece ends-free alignment is exact-engine-only "
                 "(PoastaAligner); device ends-free covers scores"
+            )
+        free_start = self.aln_type.graph_free_begin[0] == "unbounded"
+        # anchored corridor needs the native engine; with a bounded graph
+        # begin the origin is the global start node, which the anchored
+        # fill also handles (origin only at the start node)
+        try:
+            from ..native import NativeAligner
+
+            if getattr(self, "_native", None) is None:
+                self._native = NativeAligner(self.graph)
+            native = self._native
+        except Exception:
+            native = None
+        if native is not None:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            sc, er, ej = dp_fill_ends_free_with_ends(
+                self.dg, self.flat, qshift, lengths, self.costs,
+                self.aln_type)
+            sc = np.asarray(sc)
+            er = np.asarray(er)
+            ej = np.asarray(ej)
+            node_of_rank = self.flat.node_of_rank
+
+            def one(args):
+                b, q = args
+                if sc[b] >= INF:
+                    raise RuntimeError(
+                        "ends-free alignment: unsatisfiable bounds"
+                    )
+                return native.align_anchored(
+                    q, self.costs, int(node_of_rank[er[b]]), int(ej[b]),
+                    int(sc[b]), free_start=free_start)
+
+            workers = min(len(queries), os.cpu_count() or 4)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                return list(pool.map(one, enumerate(queries)))
+
+        table_bytes = (self.dg.n_nodes_padded * int(qshift.shape[0])
+                       * int(qshift.shape[1]) * 12)
+        if table_bytes > 4 * self.DENSE_TABLE_BUDGET:
+            raise RuntimeError(
+                "ends-free alignment needs the native engine for this "
+                "shape (dense tables would need "
+                f"{table_bytes >> 20} MiB)"
             )
         fs, end_ok, jlo = ends_free_device_params(
             self.flat, self.aln_type, lengths, self.dg.n_nodes_padded)

@@ -234,3 +234,78 @@ def test_banded_ends_free_engages_bands_on_trimmed_reads():
     assert bs.stats["tiers"] >= 1, "should band, not full-fill"
     full_cells = flat.n_nodes * int(qshift.shape[1]) * len(reads)
     assert bs.stats["cells_filled"] < full_cells / 1.5
+
+
+def test_anchored_alignments_match_device_scores():
+    """Production ends-free alignment path: the device reports each
+    read's optimal end state; the native engine fills only an
+    end-anchored corridor and backtraces.  Pinned: anchored score ==
+    device score, alignment cost == score, full query span for
+    semi-global (qry included(0))."""
+    from poasta_tpu.aligner.wavefront import (
+        alignment_cost,
+        dp_fill_ends_free_with_ends,
+    )
+    from poasta_tpu.native import NativeAligner
+
+    rng = random.Random(21)
+    glen = 500
+    base = "".join(rng.choice("ACGT") for _ in range(glen))
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * glen)
+    for i in range(1, 3):
+        s = _mutate(rng, base, 0.05).encode()
+        _, aln, _ = NativeAligner(g).align(s, COSTS)
+        g.add_alignment_with_weights(f"s{i}", s, aln, [1] * len(s))
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    na = NativeAligner(g)
+    reads = []
+    for _ in range(8):
+        a = rng.randrange(0, 200)
+        b = rng.randrange(a + 60, glen)
+        reads.append(_mutate(rng, base[a:b], 0.03).encode())
+    qshift, lengths = pack_queries(reads)
+    cfg = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+    sc, er, ej = dp_fill_ends_free_with_ends(dg, flat, qshift, lengths,
+                                             COSTS, cfg)
+    sc = np.asarray(sc)
+    er = np.asarray(er)
+    ej = np.asarray(ej)
+    for b, read in enumerate(reads):
+        score, aln = na.align_anchored(
+            read, COSTS, int(flat.node_of_rank[er[b]]), int(ej[b]),
+            int(sc[b]))
+        assert score == sc[b]
+        assert alignment_cost(g, read, aln, COSTS) == score
+        qs = [p.qpos for p in aln if p.qpos is not None]
+        assert qs and qs[0] == 0 and qs[-1] == len(read) - 1
+
+
+def test_batchmapper_ends_free_anchored_path():
+    """BatchMapper(aln_type=...) serves ends-free alignments through the
+    anchored path when the native engine is present."""
+    from poasta_tpu.aligner.wavefront import alignment_cost
+    from poasta_tpu.native import NativeAligner
+    from poasta_tpu.parallel import BatchMapper
+
+    rng = random.Random(31)
+    glen = 600
+    base = "".join(rng.choice("ACGT") for _ in range(glen))
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * glen)
+    s = _mutate(rng, base, 0.04).encode()
+    _, aln, _ = NativeAligner(g).align(s, COSTS)
+    g.add_alignment_with_weights("s1", s, aln, [1] * len(s))
+    reads = []
+    for _ in range(6):
+        a = rng.randrange(0, 250)
+        b = rng.randrange(a + 80, glen)
+        reads.append(_mutate(rng, base[a:b], 0.02).encode())
+    cfg = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+    mapper = BatchMapper(g, COSTS, aln_type=cfg)
+    out = mapper.align_batch(reads)
+    ref = np.asarray(mapper.score_batch(reads))
+    for b, (score, alignment) in enumerate(out):
+        assert score == ref[b]
+        assert alignment_cost(g, reads[b], alignment, COSTS) == score
