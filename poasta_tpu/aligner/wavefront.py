@@ -369,6 +369,9 @@ def _scores_exec_2p(window: int, o1: int, e1: int, e2: int, x: int,
     return fn
 
 
+_END_OK_CACHE: dict = {}  # (id(flat), bound, Np) -> (flat ref, mask)
+
+
 def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
                             n_nodes_padded: int, two_piece: bool = False):
     """Lower an ``EndsFree`` span to device arrays for the bounded fills.
@@ -394,6 +397,22 @@ def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
     assert isinstance(aln_type, EndsFree)
     free_start = aln_type.graph_free_begin[0] == "unbounded"
 
+    # end_ok is cached per (flat, bound): downstream caches key device
+    # tables by the mask's identity (e.g. _big_rank_table), so a fresh
+    # array per call would defeat them and re-upload multi-MB tables
+    ck = (id(flat), aln_type.graph_free_end, n_nodes_padded)
+    ent = _END_OK_CACHE.get(ck)
+    if ent is not None and ent[0] is flat:
+        li = lengths.astype(jnp.int32)
+        qkind, qval = aln_type.qry_free_end
+        if qkind == "unbounded":
+            jlo = li if two_piece else jnp.minimum(li, 1)
+        elif qkind == "included":
+            jlo = jnp.maximum(li - qval, 0)
+        else:
+            jlo = jnp.maximum(li - qval + 1, 0)
+        return free_start, ent[1], jlo
+
     n = flat.n_nodes
     # Every rank's eligibility follows its own min distance to the end,
     # with NO node exclusions — the reference's is_end has none: the
@@ -410,6 +429,10 @@ def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
         ok = (de < gval).astype(np.int32)
     end_ok = np.zeros(n_nodes_padded, dtype=np.int32)
     end_ok[:n] = ok
+    end_ok_dev = jnp.asarray(end_ok)
+    _END_OK_CACHE[ck] = (flat, end_ok_dev)
+    while len(_END_OK_CACHE) > 8:
+        _END_OK_CACHE.pop(next(iter(_END_OK_CACHE)))
 
     li = lengths.astype(jnp.int32)
     qkind, qval = aln_type.qry_free_end
@@ -424,7 +447,7 @@ def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
         jlo = jnp.maximum(li - qval, 0)
     else:
         jlo = jnp.maximum(li - qval + 1, 0)
-    return free_start, jnp.asarray(end_ok), jlo
+    return free_start, end_ok_dev, jlo
 
 
 @functools.lru_cache(maxsize=None)
@@ -584,7 +607,10 @@ def _scores_exec_bounded_ends(window: int, o: int, e: int, x: int,
         win = jnp.logical_and(col >= jlo[:, None], col <= idx)
         masked = jnp.where(win, best, INF)
         score = jnp.min(masked, axis=1)
-        end_j = jnp.argmin(masked, axis=1).astype(jnp.int32)
+        # ties resolve to the LARGEST offset (the dense backtrace's
+        # convention), then the lowest rank
+        end_j = (L - 1 - jnp.argmin(masked[:, ::-1], axis=1)).astype(
+            jnp.int32)
         end_r = jnp.take_along_axis(bestr, end_j[:, None], axis=1)[:, 0]
         return score, end_r, end_j
 
@@ -622,17 +648,7 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                     fill = pallas_bounded_with_ends
                 except ValueError:
                     fill = pallas_bounded_with_ends_big
-                B = qshift.shape[0]
-                pad = (-B) % B_BLK
-                qp, lp, jl = qshift, lengths, jlo
-                if pad:
-                    qp = jnp.concatenate(
-                        [qshift, jnp.zeros((pad, qshift.shape[1]),
-                                           qshift.dtype)])
-                    lp = jnp.concatenate(
-                        [lengths, jnp.zeros((pad,), lengths.dtype)])
-                    jl = jnp.concatenate(
-                        [jlo, jnp.ones((pad,), jl.dtype)])
+                B, qp, lp, jl = _pad_batch(qshift, lengths, jlo)
                 s, er, ej = fill(dg, qp, lp, costs, free_start, end_ok, jl)
                 return s[:B], er[:B], ej[:B]
             except Exception:
@@ -680,17 +696,7 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
                     except ValueError:
                         fill = pallas_fill_scores_bounded_big
 
-                    B = qshift.shape[0]
-                    pad = (-B) % B_BLK
-                    qp, lp, jl = qshift, lengths, jlo
-                    if pad:
-                        qp = jnp.concatenate(
-                            [qshift, jnp.zeros((pad, qshift.shape[1]),
-                                               qshift.dtype)])
-                        lp = jnp.concatenate(
-                            [lengths, jnp.zeros((pad,), lengths.dtype)])
-                        jl = jnp.concatenate(
-                            [jlo, jnp.ones((pad,), jlo.dtype)])
+                    B, qp, lp, jl = _pad_batch(qshift, lengths, jlo)
                     return fill(
                         dg, qp, lp, costs, free_start, end_ok, jl)[:B]
                 except Exception:
@@ -708,6 +714,25 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
                                   free_start)
     return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
               dg.end_rank, end_ok, qshift, lengths, jlo)
+
+
+def _pad_batch(qshift, lengths, jlo=None, block=None):
+    """Pad a batch to a kernel-block multiple (shared by every pallas
+    dispatch site; jlo pads with 1 so padded rows have an empty-ish
+    window)."""
+    from ..ops.pallas_fill import B_BLK
+
+    blk = block or B_BLK
+    B = qshift.shape[0]
+    pad = (-B) % blk
+    if pad:
+        qshift = jnp.concatenate(
+            [qshift, jnp.zeros((pad, qshift.shape[1]), qshift.dtype)])
+        lengths = jnp.concatenate(
+            [lengths, jnp.zeros((pad,), lengths.dtype)])
+        if jlo is not None:
+            jlo = jnp.concatenate([jlo, jnp.ones((pad,), jlo.dtype)])
+    return B, qshift, lengths, jlo
 
 
 _PALLAS_FAILED: set = set()
@@ -760,7 +785,9 @@ def _big_end_mask(dg, free_end: bool):
         return ent[1]
     eo = np.zeros(dg.n_nodes_padded, dtype=np.int32)
     if free_end:
-        eo[: dg.n_nodes] = 1
+        # real ranks + virtual end; rank 0 excluded to match the
+        # unbounded free-end semantics of _scores_exec / _fill_kernel
+        eo[1: dg.n_nodes] = 1
     else:
         eo[dg.end_rank_i] = 1
     mask = jnp.asarray(eo)
@@ -818,15 +845,7 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                 except ValueError:
                     needs_big = True
                 if needs_big:
-                    B = qshift.shape[0]
-                    pad = (-B) % B_BLK
-                    qp, lp = qshift, lengths
-                    if pad:
-                        qp = jnp.concatenate(
-                            [qshift, jnp.zeros((pad, qshift.shape[1]),
-                                               qshift.dtype)])
-                        lp = jnp.concatenate(
-                            [lengths, jnp.zeros((pad,), lengths.dtype)])
+                    B, qp, lp, _ = _pad_batch(qshift, lengths)
                     end_ok = _big_end_mask(dg, free_end)
                     jlo = lp.astype(jnp.int32)
                     return pallas_fill_scores_bounded_big(
@@ -1054,7 +1073,7 @@ def backtrace_dense_ends_free(flat: FlatGraph, M: np.ndarray, I: np.ndarray,
         # global origin, or (under a free graph begin) any real rank's
         # j=0 seed.  The entry cell consumes no query char, so nothing
         # more is emitted.
-        if state == "M" and j == 0 and cur == 0:
+        if state == "M" and j == 0 and cur == 0 and (free_start or r == 0):
             break
         step = None
         if state == "M":

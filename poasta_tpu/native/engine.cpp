@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <mutex>
 #include <queue>
 #include <unordered_map>
 #include <vector>
@@ -470,11 +471,13 @@ struct Engine {
 
   // banded-fill metadata, built lazily on first poasta_align_banded call
   bool banded_ready = false;
+  std::mutex meta_mu;  // callers run concurrently with the GIL released
   std::vector<int32_t> topo;       // rank -> node id (start first, end last)
   std::vector<int64_t> ds_min, ds_max;  // min/max edge dist from start, by node
 };
 
 static void ensure_banded_meta(Engine& eng) {
+  std::lock_guard<std::mutex> lk(eng.meta_mu);
   if (eng.banded_ready) return;
   const Graph& g = eng.g;
   // Kahn toposort

@@ -400,6 +400,8 @@ class BatchMapper:
         """
         from ..aligner.wavefront import backtrace_dense, dp_fill_full, pack_queries
 
+        if not queries:
+            return []
         if prescored is not None and prescored[0] is queries:
             # reuse the packed batch from prescore(): re-packing would put
             # another full host->device upload on the serving path
@@ -492,11 +494,25 @@ class BatchMapper:
                     raise RuntimeError(
                         "ends-free alignment: unsatisfiable bounds"
                     )
-                return native.align_anchored(
-                    q, self.costs, int(node_of_rank[er[b]]), int(ej[b]),
-                    int(sc[b]), free_start=free_start)
+                try:
+                    return native.align_anchored(
+                        q, self.costs, int(node_of_rank[er[b]]),
+                        int(ej[b]), int(sc[b]), free_start=free_start)
+                except RuntimeError:
+                    # corridor never verified (defensive; should not
+                    # happen — the window bounds are proven): per-read
+                    # fallback to the exact engine rather than aborting
+                    # the batch.  NB the exact engine reproduces the
+                    # reference's greedy-extension quirk and may return
+                    # a higher (sub-optimal) score.
+                    from ..aligner.engine import PoastaAligner
 
-            workers = min(len(queries), os.cpu_count() or 4)
+                    res = PoastaAligner(self.costs, self.aln_type,
+                                        heuristic="dijkstra").align(
+                                            self.graph, q)
+                    return res.score, res.alignment
+
+            workers = max(1, min(len(queries), os.cpu_count() or 4))
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 return list(pool.map(one, enumerate(queries)))
 
@@ -629,6 +645,6 @@ class BatchMapper:
                 return score, aln
             args = list(zip(queries, scores))
 
-        workers = min(len(queries), os.cpu_count() or 4)
+        workers = max(1, min(len(queries), os.cpu_count() or 4))
         with ThreadPoolExecutor(max_workers=workers) as pool:
             return list(pool.map(one, args))

@@ -224,6 +224,27 @@ def main():
     ref_g = np.asarray(dp_fill_scores(dgb, qb, lb, costs, engine="xla"))
     assert (got_g == ref_g).all()
     print("OK")
+    print("  end-anchor tracking + native corridor backtrace ...", end=" ",
+          flush=True)
+    from poasta_tpu.aligner.wavefront import (
+        alignment_cost,
+        dp_fill_ends_free_with_ends,
+    )
+
+    sc_b, er_b, ej_b = dp_fill_ends_free_with_ends(dgb, flatb, qb, lb,
+                                                   costs, cfgb)
+    sc_b = np.asarray(sc_b)
+    er_b = np.asarray(er_b)
+    ej_b = np.asarray(ej_b)
+    assert (sc_b == ref_b).all()
+    nab = NativeAligner(gb)
+    for b in (0, 17, 63):
+        score, aln = nab.align_anchored(
+            big_reads[b], costs, int(flatb.node_of_rank[er_b[b]]),
+            int(ej_b[b]), int(sc_b[b]))
+        assert score == sc_b[b]
+        assert alignment_cost(gb, big_reads[b], aln, costs) == score
+    print("OK")
 
     if "--soak" in sys.argv:
         at = sys.argv.index("--soak")
