@@ -172,6 +172,34 @@ def main():
     extras["mixed_len_drift_cells_ratio"] = round(raw_sh / max(raw_s, 1), 2)
     extras["mixed_len_drift_speedup"] = round(el_sh / el_s, 2)
 
+    # --- pangenome semi-global config (big kernel + anchored path) ----
+    try:
+        from poasta_tpu.aligner.costs import EndsFree, UNBOUNDED, included
+        from poasta_tpu.parallel import BatchMapper
+
+        rng = random.Random(17)
+        N = 50_000
+        pbase = "".join(rng.choice("ACGT") for _ in range(N))
+        gp = POAGraph()
+        gp.add_alignment_with_weights("s0", pbase.encode(), None, [1] * N)
+        for v in range(0, N - 3, 500):
+            gp.add_edge(v, v + 3, 0, 1)
+        gp.post_process()
+        preads = []
+        for _ in range(64):
+            a = rng.randrange(0, N - 5000)
+            preads.append(_mutate(rng, pbase[a:a + 5000], 0.015).encode())
+        cfgp = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+        pmap = BatchMapper(gp, costs, aln_type=cfgp)
+        pmap.align_batch(preads)  # warm
+        t0 = time.perf_counter()
+        pout = pmap.align_batch(preads)
+        el_p = time.perf_counter() - t0
+        extras["pangenome_semiglobal_reads_per_sec"] = round(64 / el_p, 2)
+        extras["pangenome_graph_nodes"] = N
+    except Exception as exc:  # never fail the bench on the extra config
+        extras["pangenome_semiglobal_error"] = str(exc)[:120]
+
     print(json.dumps({
         "metric": "poa_affine_fill_cells_per_sec_per_chip",
         "value": round(cells_per_sec),

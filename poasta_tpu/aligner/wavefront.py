@@ -673,28 +673,33 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
     two_piece = getattr(costs, "is_two_piece", False)
     free_start, end_ok, jlo = ends_free_device_params(
         flat, aln_type, lengths, dg.n_nodes_padded, two_piece=two_piece)
-    if engine in ("auto", "pallas") and not two_piece:
+    if engine in ("auto", "pallas"):
         from ..ops.pallas_fill import (
             _check_prefetch_fits,
             pallas_fill_scores_bounded,
+            pallas_fill_scores_bounded_2p,
             pallas_fill_scores_bounded_big,
         )
 
-        key = ("bounded", dg.window, dg.symbols.shape[0], qshift.shape[0],
-               qshift.shape[1], free_start, costs.gap_open,
-               costs.gap_extend, costs.mismatch)
+        key = ("bounded", two_piece, dg.window, dg.symbols.shape[0],
+               qshift.shape[0], qshift.shape[1], free_start,
+               costs.gap_open, costs.gap_extend, costs.mismatch)
         if jax.default_backend() != "cpu" or engine == "pallas":
             if key not in _PALLAS_FAILED:
                 try:
-                    from ..ops.pallas_fill import B_BLK
-
                     # graphs past the scalar-prefetch SMEM budget stream
-                    # their rank tables from HBM instead (big variant)
-                    try:
+                    # their rank tables from HBM instead (big variant;
+                    # one-piece only — two-piece big graphs fall through
+                    # to the XLA body)
+                    if two_piece:
                         _check_prefetch_fits(dg, 1)
-                        fill = pallas_fill_scores_bounded
-                    except ValueError:
-                        fill = pallas_fill_scores_bounded_big
+                        fill = pallas_fill_scores_bounded_2p
+                    else:
+                        try:
+                            _check_prefetch_fits(dg, 1)
+                            fill = pallas_fill_scores_bounded
+                        except ValueError:
+                            fill = pallas_fill_scores_bounded_big
 
                     B, qp, lp, jl = _pad_batch(qshift, lengths, jlo)
                     return fill(

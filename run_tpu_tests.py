@@ -188,6 +188,19 @@ def main():
             assert int(got[b]) == want, (b, int(got[b]), want)
         print("OK")
 
+    print("  pallas bounded 2p fill == XLA 5-layer ...", end=" ",
+          flush=True)
+    from poasta_tpu.aligner import GapAffine2Piece
+
+    costs2p = GapAffine2Piece(4, 2, 6, 1, 24)
+    cfg2 = EndsFree(UNBOUNDED, included(25), UNBOUNDED, included(30))
+    got2 = np.asarray(dp_fill_scores_ends_free(
+        dg, flat, qe, le, costs2p, cfg2, engine="pallas"))
+    ref2 = np.asarray(dp_fill_scores_ends_free(
+        dg, flat, qe, le, costs2p, cfg2, engine="xla"))
+    assert (got2 == ref2).all(), (got2[:8], ref2[:8])
+    print("OK")
+
     print("  pallas banded ends-free ...", end=" ", flush=True)
     cfg = EndsFree(UNBOUNDED, included(40), UNBOUNDED, included(40))
     oracle_ef = np.asarray(dp_fill_scores_ends_free(
