@@ -551,7 +551,7 @@ def _scores_exec_bounded(window: int, o: int, e: int, x: int,
 
 @functools.lru_cache(maxsize=None)
 def _scores_exec_bounded_ends(window: int, o: int, e: int, x: int,
-                              free_start: bool):
+                              free_start: bool, vary_axes: tuple = ()):
     """Bounded ends-free scores + best end state (XLA body, one-piece).
 
     Like :func:`_scores_exec_bounded` but also tracks, per (read,
@@ -568,6 +568,10 @@ def _scores_exec_bounded_ends(window: int, o: int, e: int, x: int,
         ring0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
         best0 = jnp.full((B, L), INF, dtype=jnp.int32)
         bestr0 = jnp.zeros((B, L), dtype=jnp.int32)
+        if vary_axes:
+            ring0 = jax.lax.pcast(ring0, vary_axes, to="varying")
+            best0 = jax.lax.pcast(best0, vary_axes, to="varying")
+            bestr0 = jax.lax.pcast(bestr0, vary_axes, to="varying")
         idx = lengths.astype(jnp.int32)[:, None]
 
         def step(carry, xs):
@@ -617,9 +621,53 @@ def _scores_exec_bounded_ends(window: int, o: int, e: int, x: int,
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_bounded_ends(window, o, e, x, free_start, mesh, use_pallas,
+                          shard_shape):
+    """shard_map of the bounded-ends body over the mesh's dp axis.
+
+    Graph arrays + end_ok replicate; the batch (qshift/lengths/jlo)
+    shards over dp.  On accelerator backends each shard runs the Pallas
+    bounded-ends kernel; otherwise the XLA body with varying carries.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    if use_pallas:
+        from ..ops.pallas_fill import _pallas_exec_bounded_ends, pick_b_blk
+
+        B_shard, L, W, P = shard_shape
+        blk = pick_b_blk(W, L, L, 4, n_rings=4)
+        while B_shard % blk:
+            blk //= 2
+        inner = _pallas_exec_bounded_ends(B_shard // blk, W, P, L, o, e, x,
+                                          B_BLK=blk,
+                                          free_start=free_start)
+
+        def body(symbols, pred_slots, pred_valid, write_slots, end_ok,
+                 meta, qshift, lengths, jlo):
+            return inner(symbols, pred_slots, pred_valid, write_slots,
+                         end_ok, meta, qshift, lengths, jlo)
+
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(PS(),) * 6 + (PS("dp", None), PS("dp"), PS("dp")),
+            out_specs=(PS("dp"), PS("dp"), PS("dp")),
+            # pallas_call outputs carry no vma annotation; skip the check
+            check_vma=False,
+        ))
+
+    body = _scores_exec_bounded_ends(window, o, e, x, free_start,
+                                     vary_axes=("dp",))
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(PS(),) * 6 + (PS("dp", None), PS("dp"), PS("dp")),
+        out_specs=(PS("dp"), PS("dp"), PS("dp")),
+    ))
+
+
 def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                                 lengths, costs, aln_type,
-                                engine: str = "auto"):
+                                engine: str = "auto", mesh=None):
     """(scores, end_ranks, end_offsets) for an ends-free span (one-piece).
 
     The end state is each read's optimal permitted (rank, offset) — the
@@ -630,6 +678,31 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
     assert not getattr(costs, "is_two_piece", False)
     free_start, end_ok, jlo = ends_free_device_params(
         flat, aln_type, lengths, dg.n_nodes_padded)
+    if mesh is not None:
+        dp = mesh.shape.get("dp", 1)
+        B, L = int(qshift.shape[0]), int(qshift.shape[1])
+        if B % dp == 0:
+            use_pallas = False
+            if jax.default_backend() != "cpu" and (B // dp) % 64 == 0:
+                try:
+                    from ..ops.pallas_fill import _check_prefetch_fits
+
+                    _check_prefetch_fits(dg, 1)
+                    use_pallas = True
+                except ValueError:
+                    use_pallas = False
+            fn = _sharded_bounded_ends(
+                dg.window, costs.gap_open, costs.gap_extend,
+                costs.mismatch, free_start, mesh, use_pallas,
+                (B // dp, L, dg.window, int(dg.pred_slots.shape[1])))
+            if use_pallas:
+                return fn(dg.symbols, dg.pred_slots_flat,
+                          dg.pred_valid_flat, dg.write_slots, end_ok,
+                          dg.meta, qshift, lengths, jlo)
+            return fn(dg.symbols, dg.pred_slots, dg.pred_valid,
+                      dg.write_slots, dg.end_rank, end_ok, qshift,
+                      lengths, jlo)
+        # batch doesn't divide: single-device path below
     if engine in ("auto", "pallas") and jax.default_backend() != "cpu":
         from ..ops.pallas_fill import (
             B_BLK,

@@ -123,12 +123,6 @@ def align_subcommand(args):
                     f"batch size {batch_size}",
                     file=sys.stderr,
                 )
-        if aln_type is not None and mesh is not None:
-            # ends-free batch mapping is single-device for now
-            print("INFO: -m {} disables the device mesh (single-device "
-                  "ends-free path)".format(args.alignment_span),
-                  file=sys.stderr)
-            mesh = None
         mapper = BatchMapper(graph, costs, mesh=mesh, batch_size=batch_size,
                              aln_type=aln_type)
         # Super-batches are sorted by read length before splitting into

@@ -339,10 +339,6 @@ class BatchMapper:
         self.batch_size = batch_size
         self.aln_type = aln_type
         self.ends_free = isinstance(aln_type, EndsFree)
-        if self.ends_free and mesh is not None:
-            raise NotImplementedError(
-                "ends-free batch mapping does not shard over a mesh yet"
-            )
         self._score_fn = None
 
     def score_batch(self, queries) -> np.ndarray:
@@ -351,6 +347,14 @@ class BatchMapper:
 
         qshift, lengths = pack_queries(queries)
         if self.ends_free:
+            from ..aligner.wavefront import dp_fill_ends_free_with_ends
+
+            if self.mesh is not None and not getattr(
+                    self.costs, "is_two_piece", False):
+                sc, _, _ = dp_fill_ends_free_with_ends(
+                    self.dg, self.flat, qshift, lengths, self.costs,
+                    self.aln_type, mesh=self.mesh)
+                return np.asarray(sc)
             # banded ends-free when profitable, else the bounded full fill
             if getattr(self, "_ef_scorer", None) is None:
                 self._ef_scorer = BandedScorer(self.flat, self.costs,
@@ -482,7 +486,7 @@ class BatchMapper:
 
             sc, er, ej = dp_fill_ends_free_with_ends(
                 self.dg, self.flat, qshift, lengths, self.costs,
-                self.aln_type)
+                self.aln_type, mesh=self.mesh)
             sc = np.asarray(sc)
             er = np.asarray(er)
             ej = np.asarray(ej)

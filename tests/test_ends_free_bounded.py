@@ -309,3 +309,44 @@ def test_batchmapper_ends_free_anchored_path():
     for b, (score, alignment) in enumerate(out):
         assert score == ref[b]
         assert alignment_cost(g, reads[b], alignment, COSTS) == score
+
+
+def test_sharded_ends_free_matches_single_device():
+    """dp-sharded ends-free fill (scores + end anchors) equals the
+    single-device path on the virtual CPU mesh; BatchMapper ends-free
+    alignments are mesh-invariant."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual CPU mesh")
+    from poasta_tpu.aligner.wavefront import dp_fill_ends_free_with_ends
+    from poasta_tpu.native import NativeAligner
+    from poasta_tpu.parallel import BatchMapper, make_mesh
+
+    rng = random.Random(6)
+    base = "".join(rng.choice("ACGT") for _ in range(500))
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * 500)
+    s = _mutate(rng, base, 0.05).encode()
+    _, aln, _ = NativeAligner(g).align(s, COSTS)
+    g.add_alignment_with_weights("s1", s, aln, [1] * len(s))
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    reads = []
+    for _ in range(8):
+        a = rng.randrange(0, 200)
+        b = rng.randrange(a + 80, 500)
+        reads.append(_mutate(rng, base[a:b], 0.02).encode())
+    qshift, lengths = pack_queries(reads)
+    cfg = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+    mesh = make_mesh(devices=jax.devices()[:4], dp=4, sp=1)
+    s1, r1, j1 = (np.asarray(a) for a in dp_fill_ends_free_with_ends(
+        dg, flat, qshift, lengths, COSTS, cfg))
+    s2, r2, j2 = (np.asarray(a) for a in dp_fill_ends_free_with_ends(
+        dg, flat, qshift, lengths, COSTS, cfg, mesh=mesh))
+    assert (s1 == s2).all() and (r1 == r2).all() and (j1 == j2).all()
+
+    out_mesh = BatchMapper(g, COSTS, mesh=mesh,
+                           aln_type=cfg).align_batch(reads)
+    out_one = BatchMapper(g, COSTS, aln_type=cfg).align_batch(reads)
+    assert out_mesh == out_one
