@@ -2173,6 +2173,201 @@ def pallas_banded_scores_drift(dg, qpad, lengths, costs, prep, n_min: int):
               jnp.asarray(n_min, dtype=jnp.int32), prep["w_end"])
 
 
+def _banded_kernel_drift_2p(
+    # scalar prefetch
+    symbols_ref, pred_slots_ref, pred_valid_ref, pred_wstart_ref,
+    wstart_ref, wslot_ref, s_ref, s_prev_ref, meta_ref,
+    # inputs
+    qshift_ref,       # (B_BLK, MQ+L) VMEM
+    nbs_ref,          # (B_BLK, 128) VMEM
+    # outputs
+    end_row_ref,      # (B_BLK, Wb) VMEM
+    # scratch
+    m_ring, d1_ring, d2_ring, q_cur,
+    *, W: int, P: int, Wb: int, MARGIN: int, MQ: int, S: int, o1: int,
+    e1: int, e2: int, x: int, B_BLK: int, dtype,
+):
+    """Two-piece drifting-window banded fill (Pallas twin of
+    :func:`poasta_tpu.aligner.banded._banded_exec_drift_2p`)."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    TOT = 2 * MARGIN + Wb
+    inf = INF16 if dtype == jnp.int16 else INF
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+        d1_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+        d2_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+    q_cur[:] = qshift_ref[:]
+
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
+    masks = _ge_masks(col32, Wb)
+    nbs_col = nbs_ref[:][:, :1]
+
+    def body(r, _):
+        sym = symbols_ref[r]
+        w_r = wstart_ref[r]
+        s_r = s_ref[r]
+        s_p = s_prev_ref[r]
+        sig_now_col = ((nbs_col * s_r) // S) * 128
+        sig_prev_col = ((nbs_col * s_p) // S) * 128
+
+        @pl.when(s_r > s_p)
+        def _():
+            stepped = sig_now_col > sig_prev_col
+            qroll = jnp.concatenate(
+                [q_cur[:, 128:],
+                 jnp.zeros((B_BLK, 128), q_cur.dtype)], axis=1)
+            q_cur[:] = jnp.where(stepped, qroll, q_cur[:])
+            for ring in (m_ring, d1_ring, d2_ring):
+                for w in range(W):
+                    rw = ring[w]
+                    ring[w] = jnp.where(
+                        stepped,
+                        jnp.concatenate(
+                            [rw[:, 128:],
+                             jnp.full((B_BLK, 128), inf, dtype)], axis=1),
+                        rw)
+
+        j32 = col32 + w_r + sig_now_col
+
+        def pred_window(ring, p):
+            slot = pred_slots_ref[r * P + p]
+            w_p = pred_wstart_ref[r * P + p]
+            delta = jnp.clip(w_r - w_p, -MARGIN, MARGIN)
+            start = pl.multiple_of(MARGIN + delta, 128)
+            return ring[slot, :, pl.ds(start, Wb)]
+
+        min_pm = pred_window(m_ring, 0)
+        min_pd1 = pred_window(d1_ring, 0)
+        min_pd2 = pred_window(d2_ring, 0)
+        for p in range(1, P):
+            valid = pred_valid_ref[r * P + p]
+            keep = valid == 1
+            min_pm = jnp.minimum(min_pm,
+                                 jnp.where(keep, pred_window(m_ring, p),
+                                           inf))
+            min_pd1 = jnp.minimum(min_pd1,
+                                  jnp.where(keep, pred_window(d1_ring, p),
+                                            inf))
+            min_pd2 = jnp.minimum(min_pd2,
+                                  jnp.where(keep, pred_window(d2_ring, p),
+                                            inf))
+
+        D1 = jnp.minimum(jnp.minimum(min_pm + dtype(o1 + e1),
+                                     min_pd1 + dtype(e1)), dtype(inf))
+        D2 = jnp.minimum(jnp.minimum(min_pd1, min_pd2) + dtype(e2),
+                         dtype(inf))
+
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+        qstart = pl.multiple_of(w_r + MQ, 128)
+        qwin = q_cur[:, pl.ds(qstart, Wb)]
+        match_cost = jnp.where(qwin == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
+        diag = diag_src + match_cost
+
+        A = jnp.minimum(diag, jnp.minimum(D1, D2))
+        zero_at_origin = jnp.where(j32 == 0, jnp.int32(0),
+                                   jnp.int32(inf)).astype(dtype)
+        A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
+
+        I1, I2 = _coupled_insertion_rows(A, Wb, inf, masks, o1, e1, e2,
+                                         dtype)
+        M = jnp.minimum(A, jnp.minimum(I1, I2))
+        is_end = r == end_rank
+        M = jnp.where(is_end, min_pm, M)
+
+        @pl.when(is_end)
+        def _():
+            end_row_ref[:] = min_pm
+
+        slot = wslot_ref[r]
+        m_ring[slot, :, MARGIN:MARGIN + Wb] = M
+        d1_ring[slot, :, MARGIN:MARGIN + Wb] = jnp.where(
+            is_end, dtype(inf), D1)
+        d2_ring[slot, :, MARGIN:MARGIN + Wb] = jnp.where(
+            is_end, dtype(inf), D2)
+        return 0
+
+    jax.lax.fori_loop(0, n_nodes, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_exec_drift_2p(nblocks: int, W: int, P: int, Wb: int,
+                          MARGIN: int, MQ: int, S: int, L: int, o1: int,
+                          e1: int, e2: int, x: int, B_BLK: int = 64):
+    dtype = jnp.int32
+    kernel = functools.partial(_banded_kernel_drift_2p, W=W, P=P, Wb=Wb,
+                               MARGIN=MARGIN, MQ=MQ, S=S, o1=o1, e1=e1,
+                               e2=e2, x=x, B_BLK=B_BLK, dtype=dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B_BLK, MQ + L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B_BLK, Wb), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((B_BLK, MQ + L), jnp.int32),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, pred_wstarts, wstarts, wslots,
+           s_ranks, s_prev, meta, qpad, lengths, n_min_s, w_end):
+        lengths_i = lengths.astype(jnp.int32)
+        nbs = jnp.maximum(lengths_i - n_min_s + 64, 0) // 128
+        nbs2d = jnp.broadcast_to(nbs[:, None], (nbs.shape[0], 128))
+        end_row = call(symbols, pred_slots, pred_valid, pred_wstarts,
+                       wstarts, wslots, s_ranks, s_prev, meta, qpad,
+                       nbs2d.astype(jnp.int32))
+        idx_loc = lengths_i - w_end - 128 * nbs
+        in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
+        idx_c = jnp.clip(idx_loc, 0, Wb - 1)[:, None]
+        at = jnp.take_along_axis(end_row, idx_c,
+                                 axis=1)[:, 0].astype(jnp.int32)
+        return jnp.where(in_range, at, jnp.int32(INF))
+
+    return fn
+
+
+def pallas_banded_scores_drift_2p(dg, qpad, lengths, costs, prep,
+                                  n_min: int):
+    """Two-piece drifting-window banded scores via the Pallas kernel."""
+    _check_prefetch_fits(dg, 4)
+    B, LQ = qpad.shape
+    assert B % B_BLK == 0
+    P = int(dg.pred_slots.shape[1])
+    margin, width, mq, S = (prep["margin"], prep["width"], prep["mq"],
+                            prep["S"])
+    L = LQ - mq
+    blk = pick_b_blk(dg.window, 2 * margin + width, LQ, 4, n_rings=3)
+    while B % blk:
+        blk //= 2
+    fn = _banded_exec_drift_2p(B // blk, dg.window, P, width, margin, mq,
+                               S, L, costs.gap_open, costs.gap_extend,
+                               costs.gap_extend2, costs.mismatch,
+                               B_BLK=blk)
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
+              prep["s_ranks"], prep["s_prev"], dg.meta, qpad, lengths,
+              jnp.asarray(n_min, dtype=jnp.int32), prep["w_end"])
+
+
 def _banded_kernel_2p(
     # scalar prefetch
     symbols_ref, pred_slots_ref, pred_valid_ref, pred_wstart_ref,

@@ -175,3 +175,32 @@ def test_drift_disabled_when_graph_shorter_than_spread():
     bs = BandedScorer(flat, COSTS, dg=dg)
     got = np.asarray(bs.scores(qshift, lengths))
     assert (got == oracle).all(), (got, oracle)
+
+
+def test_two_piece_drift_scores_exact():
+    """Two-piece drifting windows stay exact on mixed-length SV batches
+    (cells savings depend on extend2 — 2p bands are inherently wide —
+    but exactness must hold unconditionally)."""
+    from poasta_tpu.aligner import GapAffine2Piece
+    from poasta_tpu.native import NativeAligner
+
+    costs2 = GapAffine2Piece(4, 2, 6, 1, 24)
+    rng = random.Random(9)
+    base = "".join(rng.choice("ACGT") for _ in range(2500))
+    variant = base[:500] + base[2000:]
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * len(base))
+    _, aln, _ = NativeAligner(g).align(variant.encode(), COSTS)
+    g.add_alignment_with_weights("s1", variant.encode(), aln,
+                                 [1] * len(variant))
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    reads = [_mutate(rng, base if i % 2 else variant, 0.02).encode()
+             for i in range(16)]
+    qshift, lengths = pack_queries(reads)
+    oracle = np.asarray(dp_fill_scores(dg, qshift, lengths, costs2))
+    bs = BandedScorer(flat, costs2, dg=dg)
+    assert (np.asarray(bs.scores(qshift, lengths)) == oracle).all()
+    bs.reset_stats()
+    assert (np.asarray(bs.scores(qshift, lengths)) == oracle).all()
+    assert bs.stats["fullfill_fallbacks"] == 0
