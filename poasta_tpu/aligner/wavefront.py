@@ -452,7 +452,8 @@ def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
 
 @functools.lru_cache(maxsize=None)
 def _scores_exec_bounded(window: int, o: int, e: int, x: int,
-                         free_start: bool, two_piece_params=None):
+                         free_start: bool, two_piece_params=None,
+                         vary_axes: tuple = ()):
     """Bounded ends-free scores kernel (XLA body).
 
     Bound *values* ride in as arrays (``end_ok`` per rank, ``jlo`` per
@@ -468,6 +469,9 @@ def _scores_exec_bounded(window: int, o: int, e: int, x: int,
         Np = symbols.shape[0]
         ring0 = jnp.full((B, window, L), INF, dtype=jnp.int32)
         best0 = jnp.full((B, L), INF, dtype=jnp.int32)
+        if vary_axes:
+            ring0 = jax.lax.pcast(ring0, vary_axes, to="varying")
+            best0 = jax.lax.pcast(best0, vary_axes, to="varying")
         idx = lengths.astype(jnp.int32)[:, None]
 
         if two_piece_params is None:
@@ -622,6 +626,38 @@ def _scores_exec_bounded_ends(window: int, o: int, e: int, x: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _sharded_bounded_scores(window, o, e, x, free_start, mesh, use_pallas,
+                            shard_shape, two_piece_params=None):
+    """shard_map of the bounded (scores-only) body over dp — the serving
+    scorer path; no end-anchor tracking overhead."""
+    from jax.sharding import PartitionSpec as PS
+
+    if use_pallas and two_piece_params is None:
+        from ..ops.pallas_fill import _pallas_exec_bounded, pick_b_blk
+
+        B_shard, L, W, P = shard_shape
+        blk = pick_b_blk(W, L, L, 4, n_rings=3)
+        while B_shard % blk:
+            blk //= 2
+        inner = _pallas_exec_bounded(B_shard // blk, W, P, L, o, e, x,
+                                     B_BLK=blk, free_start=free_start)
+        return jax.jit(jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(PS(),) * 6 + (PS("dp", None), PS("dp"), PS("dp")),
+            out_specs=PS("dp"),
+            check_vma=False,
+        ))
+
+    body = _scores_exec_bounded(window, o, e, x, free_start,
+                                two_piece_params, vary_axes=("dp",))
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(PS(),) * 6 + (PS("dp", None), PS("dp"), PS("dp")),
+        out_specs=PS("dp"),
+    ))
+
+
+@functools.lru_cache(maxsize=None)
 def _sharded_bounded_ends(window, o, e, x, free_start, mesh, use_pallas,
                           shard_shape):
     """shard_map of the bounded-ends body over the mesh's dp axis.
@@ -683,7 +719,9 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
         B, L = int(qshift.shape[0]), int(qshift.shape[1])
         if B % dp == 0:
             use_pallas = False
-            if jax.default_backend() != "cpu" and (B // dp) % 64 == 0:
+            if (engine in ("auto", "pallas")
+                    and jax.default_backend() != "cpu"
+                    and (B // dp) % 64 == 0):
                 try:
                     from ..ops.pallas_fill import _check_prefetch_fits
 
@@ -691,14 +729,22 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                     use_pallas = True
                 except ValueError:
                     use_pallas = False
+            shape = (B // dp, L, dg.window, int(dg.pred_slots.shape[1]))
+            if use_pallas:
+                try:
+                    fn = _sharded_bounded_ends(
+                        dg.window, costs.gap_open, costs.gap_extend,
+                        costs.mismatch, free_start, mesh, True, shape)
+                    return fn(dg.symbols, dg.pred_slots_flat,
+                              dg.pred_valid_flat, dg.write_slots, end_ok,
+                              dg.meta, qshift, lengths, jlo)
+                except Exception:
+                    if engine == "pallas":
+                        raise
+                    # compile failure (VMEM at long L): XLA shard body
             fn = _sharded_bounded_ends(
                 dg.window, costs.gap_open, costs.gap_extend,
-                costs.mismatch, free_start, mesh, use_pallas,
-                (B // dp, L, dg.window, int(dg.pred_slots.shape[1])))
-            if use_pallas:
-                return fn(dg.symbols, dg.pred_slots_flat,
-                          dg.pred_valid_flat, dg.write_slots, end_ok,
-                          dg.meta, qshift, lengths, jlo)
+                costs.mismatch, free_start, mesh, False, shape)
             return fn(dg.symbols, dg.pred_slots, dg.pred_valid,
                       dg.write_slots, dg.end_rank, end_ok, qshift,
                       lengths, jlo)
@@ -737,7 +783,7 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
 
 def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
                              lengths, costs, aln_type,
-                             engine: str = "auto") -> jnp.ndarray:
+                             engine: str = "auto", mesh=None) -> jnp.ndarray:
     """(B,) optimal ends-free scores with Included/Excluded/Unbounded
     bounds on the graph/query free ends (reference:
     ``gap_affine.rs:150-248``).  ``qry_free_begin`` is parsed-but-ignored,
@@ -746,6 +792,42 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
     two_piece = getattr(costs, "is_two_piece", False)
     free_start, end_ok, jlo = ends_free_device_params(
         flat, aln_type, lengths, dg.n_nodes_padded, two_piece=two_piece)
+    if mesh is not None:
+        dp = mesh.shape.get("dp", 1)
+        B, L = int(qshift.shape[0]), int(qshift.shape[1])
+        if B % dp == 0:
+            tp_params = ((costs.gap_open2, costs.gap_extend2)
+                         if two_piece else None)
+            use_pallas = (engine in ("auto", "pallas")
+                          and not two_piece
+                          and jax.default_backend() != "cpu"
+                          and (B // dp) % 64 == 0)
+            if use_pallas:
+                try:
+                    from ..ops.pallas_fill import _check_prefetch_fits
+
+                    _check_prefetch_fits(dg, 1)
+                except ValueError:
+                    use_pallas = False
+            shape = (B // dp, L, dg.window, int(dg.pred_slots.shape[1]))
+            if use_pallas:
+                try:
+                    fn = _sharded_bounded_scores(
+                        dg.window, costs.gap_open, costs.gap_extend,
+                        costs.mismatch, free_start, mesh, True, shape)
+                    return fn(dg.symbols, dg.pred_slots_flat,
+                              dg.pred_valid_flat, dg.write_slots, end_ok,
+                              dg.meta, qshift, lengths, jlo)
+                except Exception:
+                    if engine == "pallas":
+                        raise
+            fn = _sharded_bounded_scores(
+                dg.window, costs.gap_open, costs.gap_extend,
+                costs.mismatch, free_start, mesh, False, shape,
+                two_piece_params=tp_params)
+            return fn(dg.symbols, dg.pred_slots, dg.pred_valid,
+                      dg.write_slots, dg.end_rank, end_ok, qshift,
+                      lengths, jlo)
     if engine in ("auto", "pallas"):
         from ..ops.pallas_fill import (
             _check_prefetch_fits,
@@ -756,7 +838,9 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
 
         key = ("bounded", two_piece, dg.window, dg.symbols.shape[0],
                qshift.shape[0], qshift.shape[1], free_start,
-               costs.gap_open, costs.gap_extend, costs.mismatch)
+               costs.gap_open, costs.gap_extend, costs.mismatch,
+               getattr(costs, "gap_open2", 0),
+               getattr(costs, "gap_extend2", 0))
         if jax.default_backend() != "cpu" or engine == "pallas":
             if key not in _PALLAS_FAILED:
                 try:

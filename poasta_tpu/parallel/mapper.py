@@ -325,9 +325,10 @@ class BatchMapper:
                  batch_size: int = 64, aln_type=None):
         """``aln_type``: None/Global for global alignment; an ``EndsFree``
         span (bounded or unbounded) scores via the ends-free device
-        fills and backtraces over dense tables
-        (:func:`backtrace_dense_ends_free`).  Ends-free currently runs
-        single-device (no mesh) and dense-table alignment only."""
+        fills (dp-sharded over ``mesh`` when set) and aligns through the
+        end-anchored native corridor path
+        (:meth:`poasta_tpu.native.NativeAligner.align_anchored`), with a
+        dense-table host backtrace as the small-shape fallback."""
         from ..aligner.costs import EndsFree
         from ..graphs.flat import FlatGraph
 
@@ -349,12 +350,12 @@ class BatchMapper:
         if self.ends_free:
             from ..aligner.wavefront import dp_fill_ends_free_with_ends
 
-            if self.mesh is not None and not getattr(
-                    self.costs, "is_two_piece", False):
-                sc, _, _ = dp_fill_ends_free_with_ends(
+            if self.mesh is not None:
+                from ..aligner.wavefront import dp_fill_scores_ends_free
+
+                return np.asarray(dp_fill_scores_ends_free(
                     self.dg, self.flat, qshift, lengths, self.costs,
-                    self.aln_type, mesh=self.mesh)
-                return np.asarray(sc)
+                    self.aln_type, mesh=self.mesh))
             # banded ends-free when profitable, else the bounded full fill
             if getattr(self, "_ef_scorer", None) is None:
                 self._ef_scorer = BandedScorer(self.flat, self.costs,

@@ -146,6 +146,21 @@ def main():
         "pallas drift kernel fell back to the XLA body on this toolchain"
     print("OK")
 
+    print("drifting-window banded fill (pallas, two-piece):")
+    print("  pallas 2p drift scores == full fill ...", end=" ", flush=True)
+    from poasta_tpu.aligner import GapAffine2Piece as _G2P
+
+    c2p = _G2P(4, 2, 6, 1, 24)
+    oracle2p = np.asarray(dp_fill_scores(dg2, q2, l2, c2p))
+    bs2p = BandedScorer(flat2, c2p, dg=dg2)
+    got2p = np.asarray(bs2p.scores(q2, l2))
+    assert (got2p == oracle2p).all(), (got2p[:6], oracle2p[:6])
+    assert not [k for k in bs2p._prep_cache
+                if isinstance(k, tuple) and k
+                and str(k[0]).startswith("nodrift")], \
+        "2p drift pallas kernel fell back on this toolchain"
+    print("OK")
+
     print("bounded ends-free pallas kernels:")
     from poasta_tpu.aligner.costs import (
         EndsFree,
