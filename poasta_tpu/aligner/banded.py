@@ -1103,19 +1103,40 @@ class BandedScorer:
                             self._qpad.pop(next(iter(self._qpad)))
             if use_pallas:
                 from ..ops.pallas_fill import (
+                    _check_prefetch_fits,
                     pallas_banded_scores,
                     pallas_banded_scores_2p,
+                    pallas_banded_scores_big,
                     pallas_banded_scores_ef,
                     prepare_banded,
+                    prepare_banded_big,
                 )
 
-                pkey = key + ("prep",)
+                # graphs past the scalar-prefetch SMEM budget stream the
+                # rank+window tables from HBM (big variant; one-piece
+                # global only — other configs fall to the XLA body)
+                use_big = False
+                if not self.ends_free and not two_piece:
+                    try:
+                        _check_prefetch_fits(self.dg, 1 + int(
+                            self.dg.pred_slots.shape[1]))
+                    except ValueError:
+                        use_big = True
+
+                pkey = key + ("prep", use_big)
                 prep = self._prep_cache.get(pkey)
                 if prep is None:
-                    prep = prepare_banded(self.dg, costs, wstart, width,
-                                          int(q_in.shape[1]))
+                    builder = prepare_banded_big if use_big \
+                        else prepare_banded
+                    prep = builder(self.dg, costs, wstart, width,
+                                   int(q_in.shape[1]))
                     self._prep_cache[pkey] = prep
                 try:
+                    if use_big:
+                        return np.asarray(
+                            pallas_banded_scores_big(self.dg, q_in,
+                                                     lengths, costs, prep)
+                        )
                     if self.ends_free:
                         fs, end_ok, jlo = self._ef_params(lengths)
                         return np.asarray(

@@ -1659,6 +1659,240 @@ def _banded_exec(nblocks: int, W: int, P: int, Wb: int, MARGIN: int, L: int,
     return fn
 
 
+def _banded_kernel_big(
+    # scalar prefetch
+    meta_ref,         # (4,): [n_real_ranks, end_rank, _, _]
+    # inputs
+    tab_hbm,          # (Np*R,) int32 HBM: [sym, wslot, wstart,
+                      #  pred_slot*P, pred_valid*P, pred_wstart*P]
+    qshift_ref,       # (B_BLK, L) VMEM
+    # outputs
+    end_row_ref,      # (B_BLK, Wb) VMEM
+    # scratch
+    m_ring, d_ring, tab_s, sems,
+    *, W: int, P: int, Wb: int, MARGIN: int, o: int, e: int, x: int,
+    B_BLK: int, dtype,
+):
+    """Banded fill for graphs past the scalar-prefetch SMEM budget:
+    per-rank records (incl. the window tables) stream HBM->SMEM in
+    double-buffered BIG_CHUNK slices, like :func:`_fill_kernel_bounded_big`
+    but with the banded ring/window mechanics of :func:`_banded_kernel`."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    R = 3 + 3 * P
+    TOT = 2 * MARGIN + Wb
+    inf = INF16 if dtype == jnp.int16 else INF
+    C = BIG_CHUNK
+    CW = C * R
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+        d_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
+    masks = _ge_masks(col32, Wb)
+
+    n_chunks = (n_nodes + C - 1) // C
+
+    def dma(k, buf):
+        return pltpu.make_async_copy(
+            tab_hbm.at[pl.ds(k * CW, CW)],
+            tab_s.at[pl.ds(buf * CW, CW)],
+            sems.at[buf])
+
+    dma(0, 0).start()
+
+    def chunk_body(k, _):
+        buf = jax.lax.rem(k, 2)
+        dma(k, buf).wait()
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        base0 = buf * CW
+
+        def body(i, _):
+            r = k * C + i
+            rec = base0 + i * R
+            sym = tab_s[rec]
+            wslot = tab_s[rec + 1]
+            w_r = tab_s[rec + 2]
+            j32 = col32 + w_r
+
+            slot0 = tab_s[rec + 3]
+            delta0 = jnp.clip(w_r - tab_s[rec + 3 + 2 * P], -MARGIN,
+                              MARGIN)
+            start0 = pl.multiple_of(MARGIN + delta0, 128)
+            min_pm = m_ring[slot0, :, pl.ds(start0, Wb)]
+            min_pd = d_ring[slot0, :, pl.ds(start0, Wb)]
+            for p in range(1, P):
+                slot = tab_s[rec + 3 + p]
+                valid = tab_s[rec + 3 + P + p]
+                w_p = tab_s[rec + 3 + 2 * P + p]
+                delta = jnp.clip(w_r - w_p, -MARGIN, MARGIN)
+                start = pl.multiple_of(MARGIN + delta, 128)
+                am = m_ring[slot, :, pl.ds(start, Wb)]
+                ad = d_ring[slot, :, pl.ds(start, Wb)]
+                keep = valid == 1
+                min_pm = jnp.minimum(min_pm, jnp.where(keep, am, inf))
+                min_pd = jnp.minimum(min_pd, jnp.where(keep, ad, inf))
+
+            D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
+
+            diag_src = _roll_lanes(min_pm, 1)
+            diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+            qstart = pl.multiple_of(w_r, 128)
+            qwin = qshift_ref[:, pl.ds(qstart, Wb)]
+            match_cost = jnp.where(qwin == sym, jnp.int32(0),
+                                   jnp.int32(x)).astype(dtype)
+            diag = diag_src + match_cost
+
+            A = jnp.minimum(diag, D)
+            zero_at_origin = jnp.where(j32 == 0, jnp.int32(0),
+                                       jnp.int32(inf)).astype(dtype)
+            A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
+
+            ejg = (e * j32).astype(dtype)
+            t = A - ejg
+            pref = _prefix_min_rows(t, Wb, dtype(inf), col32, masks)
+            pref_m1 = _roll_lanes(pref, 1)
+            pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
+            I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
+
+            M = jnp.minimum(A, I)
+            is_end = r == end_rank
+            M = jnp.where(is_end, min_pm, M)
+
+            @pl.when(is_end)
+            def _():
+                end_row_ref[:] = min_pm
+
+            m_ring[wslot, :, MARGIN:MARGIN + Wb] = M
+            d_ring[wslot, :, MARGIN:MARGIN + Wb] = jnp.where(
+                is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
+            return 0
+
+        n_here = jnp.minimum(C, n_nodes - k * C)
+        jax.lax.fori_loop(0, n_here, body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_exec_big(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
+                     L: int, o: int, e: int, x: int, B_BLK: int = 64,
+                     use_int16: bool = False):
+    dtype = jnp.int16 if use_int16 else jnp.int32
+    kernel = functools.partial(_banded_kernel_big, W=W, P=P, Wb=Wb,
+                               MARGIN=MARGIN, o=o, e=e, x=x, B_BLK=B_BLK,
+                               dtype=dtype)
+    R = 3 + 3 * P
+    CW = BIG_CHUNK * R
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B_BLK, Wb), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.SMEM((2 * CW,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(tab, meta, qshift, lengths, w_end):
+        end_row = call(meta, tab, qshift)
+        idx_loc = lengths.astype(jnp.int32) - w_end
+        in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
+        idx_c = jnp.clip(idx_loc, 0, Wb - 1)[:, None]
+        at = jnp.take_along_axis(end_row, idx_c,
+                                 axis=1)[:, 0].astype(jnp.int32)
+        if use_int16:
+            at = jnp.where(at >= INF16, jnp.int32(INF), at)
+        return jnp.where(in_range, at, jnp.int32(INF))
+
+    return fn
+
+
+def prepare_banded_big(dg, costs, wstarts_np, width: int, L: int):
+    """Banded prep for the big-graph kernel: the per-rank records
+    (symbols, ring slots, window starts, predecessor data) pack into one
+    interleaved HBM table streamed by the kernel.  Cached by the caller
+    like :func:`prepare_banded`."""
+    import numpy as np
+
+    Np = dg.n_nodes_padded
+    P = int(dg.pred_slots.shape[1])
+    R = 3 + 3 * P
+    ws = np.zeros(Np, dtype=np.int32)
+    ws[: wstarts_np.shape[0]] = wstarts_np
+    pw = np.take(ws, dg.pred_ranks_np, axis=0).astype(np.int32)
+
+    n = min(wstarts_np.shape[0], dg.pred_ranks_np.shape[0])
+    pr = dg.pred_ranks_np[:n]
+    valid = dg.pred_valid_np[:n]
+    deltas = [0]
+    for i in range(pr.shape[1]):
+        d = np.abs(ws[:n] - ws[pr[:, i]])
+        deltas.append(int(np.where(valid[:, i], d, 0).max()) if n else 0)
+    margin = ((max(deltas) + 127) // 128) * 128
+    margin = max(margin, 128)
+
+    Np_pad = ((Np + BIG_CHUNK - 1) // BIG_CHUNK) * BIG_CHUNK
+    tab = np.zeros((Np_pad, R), dtype=np.int32)
+    tab[:Np, 0] = np.asarray(dg.symbols)
+    tab[:Np, 1] = np.asarray(dg.write_slots)
+    tab[:Np, 2] = ws
+    tab[:Np, 3:3 + P] = np.asarray(dg.pred_slots)
+    tab[:Np, 3 + P:3 + 2 * P] = np.asarray(dg.pred_valid).astype(np.int32)
+    tab[:Np, 3 + 2 * P:3 + 3 * P] = pw
+
+    return {
+        "margin": margin,
+        "width": width,
+        "L": L,
+        "big_tab": jnp.asarray(tab.reshape(-1)),
+        "meta": jnp.asarray([dg.n_nodes, dg.n_nodes - 1, R, 0],
+                            dtype=jnp.int32),
+        "w_end": jnp.asarray(int(ws[dg.end_rank_i]), dtype=jnp.int32),
+    }
+
+
+def pallas_banded_scores_big(dg, qshift, lengths, costs, prep):
+    """Banded global scores for graphs past the scalar-prefetch budget."""
+    B, L = qshift.shape
+    assert B % B_BLK == 0
+    P = int(dg.pred_slots.shape[1])
+    margin, width = prep["margin"], prep["width"]
+    dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
+                        costs.gap_extend, costs.mismatch)
+    use_int16 = dtype == jnp.int16
+    blk = pick_b_blk(dg.window, 2 * margin + width, L,
+                     2 if use_int16 else 4)
+    while B % blk:
+        blk //= 2
+    fn = _banded_exec_big(B // blk, dg.window, P, width, margin, L,
+                          costs.gap_open, costs.gap_extend, costs.mismatch,
+                          B_BLK=blk, use_int16=use_int16)
+    return fn(prep["big_tab"], prep["meta"], qshift, lengths,
+              prep["w_end"])
+
+
 def prepare_banded(dg, costs, wstarts_np, width: int, L: int):
     """Precompute the banded kernel's device arrays + margin for a window
     layout.  Callers cache the result: uploading the window tables per

@@ -146,6 +146,31 @@ def main():
         "pallas drift kernel fell back to the XLA body on this toolchain"
     print("OK")
 
+    print("  big-banded kernel == standard banded (same windows) ...",
+          end=" ", flush=True)
+    from poasta_tpu.aligner.banded import band_windows
+    from poasta_tpu.ops.pallas_fill import (
+        pallas_banded_scores,
+        pallas_banded_scores_big,
+        prepare_banded,
+        prepare_banded_big,
+    )
+
+    ws_s, wd_s, _, _ = band_windows(flat2, int(np.asarray(l2).min()),
+                                    int(np.asarray(l2).max()), costs,
+                                    800)
+    ws_s = (ws_s // 128) * 128
+    wd_s += 128
+    Lq = int(q2.shape[1])
+    prep_s = prepare_banded(dg2, costs, ws_s, wd_s, Lq)
+    prep_b = prepare_banded_big(dg2, costs, ws_s, wd_s, Lq)
+    a_std = np.asarray(pallas_banded_scores(dg2, q2, l2, costs,
+                                            prep=prep_s))
+    a_big = np.asarray(pallas_banded_scores_big(dg2, q2, l2, costs,
+                                                prep_b))
+    assert (a_std == a_big).all(), (a_std[:6], a_big[:6])
+    print("OK")
+
     print("drifting-window banded fill (pallas, two-piece):")
     print("  pallas 2p drift scores == full fill ...", end=" ", flush=True)
     from poasta_tpu.aligner import GapAffine2Piece as _G2P
