@@ -202,6 +202,10 @@ def build_parser():
     sub = p.add_subparsers(dest="command")
 
     a = sub.add_parser("align", help="Align reads to a graph, output GAF")
+    # -v works in either position (lasagna -v align / lasagna align -v);
+    # SUPPRESS so the subparser's default can't clobber the top-level one
+    a.add_argument("-v", "--verbose", action="count",
+                   default=argparse.SUPPRESS)
     a.add_argument("graph")
     a.add_argument("sequences")
     a.add_argument("-j", "--num-threads", dest="batch_size", type=int, default=64,
