@@ -350,3 +350,28 @@ def test_sharded_ends_free_matches_single_device():
                            aln_type=cfg).align_batch(reads)
     out_one = BatchMapper(g, COSTS, aln_type=cfg).align_batch(reads)
     assert out_mesh == out_one
+
+
+@pytest.mark.parametrize("seed", [61, 62, 63, 64])
+def test_anchored_alignments_bounded_configs(seed):
+    """The anchored corridor path under BOUNDED free-end configs: the
+    device's permitted end anchor feeds the native corridor, and the
+    emitted alignment's cost equals the device score."""
+    from poasta_tpu.aligner.wavefront import alignment_cost
+    from poasta_tpu.parallel import BatchMapper
+
+    g, reads, rng = _graph_and_reads(seed, glen=300, n_reads=6)
+    cfg = EndsFree(UNBOUNDED,
+                   included(rng.randrange(5, 40)),
+                   UNBOUNDED if rng.random() < 0.5 else included(3),
+                   excluded(rng.randrange(10, 50)))
+    mapper = BatchMapper(g, COSTS, aln_type=cfg)
+    try:
+        out = mapper.align_batch(reads)
+    except RuntimeError as exc:
+        assert "unsatisfiable" in str(exc)
+        return
+    ref = np.asarray(mapper.score_batch(reads))
+    for b, (score, alignment) in enumerate(out):
+        assert score == ref[b], (b, score, ref[b])
+        assert alignment_cost(g, reads[b], alignment, COSTS) == score
