@@ -204,3 +204,56 @@ def test_two_piece_drift_scores_exact():
     bs.reset_stats()
     assert (np.asarray(bs.scores(qshift, lengths)) == oracle).all()
     assert bs.stats["fullfill_fallbacks"] == 0
+
+
+@pytest.mark.parametrize("seed", [1001, 1005, 1009, 1013])
+def test_randomized_costs_banding_exact(seed):
+    """Banding (drift + bounded ends-free) stays exact under randomized
+    cost parameters — the window K formulas must hold for any (x, e, o),
+    not just the defaults."""
+    from poasta_tpu.aligner.costs import (
+        EndsFree,
+        UNBOUNDED,
+        excluded,
+        included,
+    )
+    from poasta_tpu.aligner.wavefront import dp_fill_scores_ends_free
+    from poasta_tpu.native import NativeAligner
+
+    rng = random.Random(seed)
+    x = rng.randrange(1, 9)
+    e = rng.randrange(1, 5)
+    o = rng.randrange(0, 12)
+    costs = GapAffine(x, e, o)
+    glen = rng.randrange(300, 900)
+    base = "".join(rng.choice("ACGT") for _ in range(glen))
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * glen)
+    s = _mutate(rng, base, 0.05).encode()
+    _, aln, _ = NativeAligner(g).align(s, costs)
+    g.add_alignment_with_weights("s1", s, aln, [1] * len(s))
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    reads = []
+    for _ in range(8):
+        a = rng.randrange(0, glen // 3)
+        b = rng.randrange(a + 50, glen)
+        reads.append(_mutate(rng, base[a:b], 0.03).encode())
+    qshift, lengths = pack_queries(reads)
+
+    oracle = np.asarray(dp_fill_scores(dg, qshift, lengths, costs))
+    got = np.asarray(BandedScorer(flat, costs, dg=dg).scores(
+        qshift, lengths))
+    assert (got == oracle).all()
+
+    cfg = EndsFree(
+        UNBOUNDED,
+        included(rng.randrange(0, 40)) if rng.random() < 0.5 else UNBOUNDED,
+        UNBOUNDED,
+        excluded(rng.randrange(1, 40)) if rng.random() < 0.5 else UNBOUNDED,
+    )
+    oracle_e = np.asarray(dp_fill_scores_ends_free(
+        dg, flat, qshift, lengths, costs, cfg))
+    got_e = np.asarray(BandedScorer(flat, costs, dg=dg,
+                                    aln_type=cfg).scores(qshift, lengths))
+    assert (got_e == oracle_e).all()
