@@ -751,7 +751,6 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
         # batch doesn't divide: single-device path below
     if engine in ("auto", "pallas") and jax.default_backend() != "cpu":
         from ..ops.pallas_fill import (
-            B_BLK,
             _check_prefetch_fits,
             pallas_bounded_with_ends,
             pallas_bounded_with_ends_big,
@@ -996,7 +995,6 @@ def dp_fill_scores(dg: DeviceGraph, qshift: jnp.ndarray, lengths: jnp.ndarray,
                 and ("big", *key) not in _PALLAS_FAILED):
             try:
                 from ..ops.pallas_fill import (
-                    B_BLK,
                     _check_prefetch_fits,
                     pallas_fill_scores_bounded_big,
                 )

@@ -126,7 +126,6 @@ def align_subcommand(args):
     from ..graphs import POAGraph
     from ..io import read_fasta
     from ..utils.debug import DebugOutputWriter
-    from ..utils.errors import PoastaError
 
     debug_sink = DebugOutputWriter(args.debug_output) if args.debug_output else None
     aligner = _make_aligner(args, debug_sink=debug_sink)

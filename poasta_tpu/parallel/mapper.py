@@ -265,8 +265,6 @@ def _make_dp_pallas_score_fn(dg, costs, mesh, free_start, free_end):
     The caller (make_sharded_score_fn) checks batch divisibility per call
     and falls back to the XLA body when this path can't run.
     """
-    from jax.sharding import PartitionSpec as PS
-
     from ..ops import pallas_fill as pf
 
     dp = mesh.shape.get("dp", 1)
@@ -330,7 +328,6 @@ class BatchMapper:
         (:meth:`poasta_tpu.native.NativeAligner.align_anchored`), with a
         dense-table host backtrace as the small-shape fallback."""
         from ..aligner.costs import EndsFree
-        from ..graphs.flat import FlatGraph
 
         self.graph = graph
         self.flat = graph.flatten()
@@ -348,8 +345,6 @@ class BatchMapper:
 
         qshift, lengths = pack_queries(queries)
         if self.ends_free:
-            from ..aligner.wavefront import dp_fill_ends_free_with_ends
-
             if self.mesh is not None:
                 from ..aligner.wavefront import dp_fill_scores_ends_free
 
