@@ -708,8 +708,9 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
 
     The end state is each read's optimal permitted (rank, offset) — the
     anchor for the native corridor backtrace
-    (``NativeAligner.align_anchored``); ties resolve to the lowest
-    offset, then the first (lowest) rank.
+    (``NativeAligner.align_anchored``); ties resolve to the LARGEST
+    offset, then the lowest rank (the same convention as the kernels and
+    ``backtrace_dense_ends_free``).
     """
     assert not getattr(costs, "is_two_piece", False)
     free_start, end_ok, jlo = ends_free_device_params(
