@@ -555,13 +555,15 @@ def _scores_exec_bounded(window: int, o: int, e: int, x: int,
 
 @functools.lru_cache(maxsize=None)
 def _scores_exec_bounded_ends(window: int, o: int, e: int, x: int,
-                              free_start: bool, vary_axes: tuple = ()):
-    """Bounded ends-free scores + best end state (XLA body, one-piece).
+                              free_start: bool, vary_axes: tuple = (),
+                              two_piece_params=None):
+    """Bounded ends-free scores + best end state (XLA body).
 
     Like :func:`_scores_exec_bounded` but also tracks, per (read,
     offset), the first rank achieving the best permitted M value, so the
     caller learns each read's optimal end state (rank, offset) without
     materializing tables — the anchor for the native corridor backtrace.
+    ``two_piece_params``: (o2, e2) switches to the 5-layer recurrence.
     """
 
     @jax.jit
@@ -577,6 +579,58 @@ def _scores_exec_bounded_ends(window: int, o: int, e: int, x: int,
             best0 = jax.lax.pcast(best0, vary_axes, to="varying")
             bestr0 = jax.lax.pcast(bestr0, vary_axes, to="varying")
         idx = lengths.astype(jnp.int32)[:, None]
+
+        if two_piece_params is not None:
+            from ..ops.dp_rows_2p import row_update_2p
+
+            _, e2 = two_piece_params
+
+            def step2(carry, xs):
+                M_ring, D1_ring, D2_ring, best, bestr = carry
+                rank, sym, slots, valid, wslot, ok = xs
+                pred_M = jnp.take(M_ring, slots, axis=1)
+                pred_D1 = jnp.take(D1_ring, slots, axis=1)
+                pred_D2 = jnp.take(D2_ring, slots, axis=1)
+                match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                                       jnp.int32(x))
+                is_start = rank == 0
+                is_end = rank == end_rank
+                is_real = jnp.logical_and(rank > 0, rank < end_rank)
+                M, I1, I2, D1, D2 = row_update_2p(
+                    pred_M, pred_D1, pred_D2, valid, match_cost, o, e, e2,
+                    is_start_row=is_start,
+                    free_start=jnp.logical_and(is_real, free_start),
+                )
+                mask = valid.reshape(1, -1, 1)
+                min_pm = jnp.min(jnp.where(mask, pred_M, INF), axis=1)
+                M = jnp.where(is_end, min_pm, M)
+                D1 = jnp.where(is_end, INF, D1)
+                D2 = jnp.where(is_end, INF, D2)
+                M_ring = jax.lax.dynamic_update_index_in_dim(
+                    M_ring, M, wslot, 1)
+                D1_ring = jax.lax.dynamic_update_index_in_dim(
+                    D1_ring, D1, wslot, 1)
+                D2_ring = jax.lax.dynamic_update_index_in_dim(
+                    D2_ring, D2, wslot, 1)
+                improved = jnp.logical_and(ok == 1, M < best)
+                best = jnp.where(improved, M, best)
+                bestr = jnp.where(improved, rank, bestr)
+                return (M_ring, D1_ring, D2_ring, best, bestr), None
+
+            ranks = jnp.arange(Np, dtype=jnp.int32)
+            xs = (ranks, symbols, pred_slots, pred_valid, write_slots,
+                  end_ok)
+            (_, _, _, best, bestr), _ = jax.lax.scan(
+                step2, (ring0, ring0, ring0, best0, bestr0), xs)
+            col = jnp.arange(L, dtype=jnp.int32)[None, :]
+            win = jnp.logical_and(col >= jlo[:, None], col <= idx)
+            masked = jnp.where(win, best, INF)
+            score = jnp.min(masked, axis=1)
+            # ties resolve to the LARGEST offset, then the lowest rank
+            end_j = (L - 1 - jnp.argmin(masked[:, ::-1], axis=1)).astype(
+                jnp.int32)
+            end_r = jnp.take_along_axis(bestr, end_j[:, None], axis=1)[:, 0]
+            return score, end_r, end_j
 
         def step(carry, xs):
             M_ring, D_ring, best, bestr = carry
@@ -659,7 +713,7 @@ def _sharded_bounded_scores(window, o, e, x, free_start, mesh, use_pallas,
 
 @functools.lru_cache(maxsize=None)
 def _sharded_bounded_ends(window, o, e, x, free_start, mesh, use_pallas,
-                          shard_shape):
+                          shard_shape, two_piece_params=None):
     """shard_map of the bounded-ends body over the mesh's dp axis.
 
     Graph arrays + end_ok replicate; the batch (qshift/lengths/jlo)
@@ -693,7 +747,8 @@ def _sharded_bounded_ends(window, o, e, x, free_start, mesh, use_pallas,
         ))
 
     body = _scores_exec_bounded_ends(window, o, e, x, free_start,
-                                     vary_axes=("dp",))
+                                     vary_axes=("dp",),
+                                     two_piece_params=two_piece_params)
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(PS(),) * 6 + (PS("dp", None), PS("dp"), PS("dp")),
@@ -711,16 +766,22 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
     (``NativeAligner.align_anchored``); ties resolve to the LARGEST
     offset, then the lowest rank (the same convention as the kernels and
     ``backtrace_dense_ends_free``).
+
+    Two-piece costs run the 5-layer XLA body (single-device or
+    dp-sharded); the Pallas with-ends kernels are one-piece.
     """
-    assert not getattr(costs, "is_two_piece", False)
+    two_piece = getattr(costs, "is_two_piece", False)
+    tp_params = ((costs.gap_open2, costs.gap_extend2) if two_piece
+                 else None)
     free_start, end_ok, jlo = ends_free_device_params(
-        flat, aln_type, lengths, dg.n_nodes_padded)
+        flat, aln_type, lengths, dg.n_nodes_padded, two_piece=two_piece)
     if mesh is not None:
         dp = mesh.shape.get("dp", 1)
         B, L = int(qshift.shape[0]), int(qshift.shape[1])
         if B % dp == 0:
             use_pallas = False
             if (engine in ("auto", "pallas")
+                    and not two_piece
                     and jax.default_backend() != "cpu"
                     and (B // dp) % 64 == 0):
                 try:
@@ -745,12 +806,14 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                     # compile failure (VMEM at long L): XLA shard body
             fn = _sharded_bounded_ends(
                 dg.window, costs.gap_open, costs.gap_extend,
-                costs.mismatch, free_start, mesh, False, shape)
+                costs.mismatch, free_start, mesh, False, shape,
+                two_piece_params=tp_params)
             return fn(dg.symbols, dg.pred_slots, dg.pred_valid,
                       dg.write_slots, dg.end_rank, end_ok, qshift,
                       lengths, jlo)
         # batch doesn't divide: single-device path below
-    if engine in ("auto", "pallas") and jax.default_backend() != "cpu":
+    if (engine in ("auto", "pallas") and not two_piece
+            and jax.default_backend() != "cpu"):
         from ..ops.pallas_fill import (
             _check_prefetch_fits,
             pallas_bounded_with_ends,
@@ -776,7 +839,7 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                 _PALLAS_FAILED.add(key)
     fn = _scores_exec_bounded_ends(dg.window, costs.gap_open,
                                    costs.gap_extend, costs.mismatch,
-                                   free_start)
+                                   free_start, two_piece_params=tp_params)
     return fn(dg.symbols, dg.pred_slots, dg.pred_valid, dg.write_slots,
               dg.end_rank, end_ok, qshift, lengths, jlo)
 
@@ -1291,7 +1354,17 @@ def backtrace_dense_ends_free(flat: FlatGraph, M: np.ndarray, I: np.ndarray,
 
 
 def alignment_cost(graph, query: bytes, alignment: Alignment, costs: GapAffine) -> int:
-    """Recompute an alignment's gap-affine cost (validation helper)."""
+    """Recompute an alignment's gap-affine cost (validation helper).
+
+    Two-piece models follow the engines' state machine (I->I2 / D->D2 at
+    ``gap_extend2``, reference ``gap_affine_2piece.rs:362-408``): a run's
+    first char costs open+extend, each further char the cheaper of the
+    two extends.
+    """
+    o, e = costs.gap_open, costs.gap_extend
+    cont = e
+    if getattr(costs, "is_two_piece", False):
+        cont = min(e, costs.gap_extend2)
     total = 0
     prev_state = "M"
     for pair in alignment:
@@ -1299,9 +1372,9 @@ def alignment_cost(graph, query: bytes, alignment: Alignment, costs: GapAffine) 
             total += 0 if graph.is_symbol_equal(pair.rpos, query[pair.qpos]) else costs.mismatch
             prev_state = "M"
         elif pair.is_insertion():  # graph node skipped: deletion state
-            total += costs.gap_extend + (costs.gap_open if prev_state != "D" else 0)
+            total += (o + e) if prev_state != "D" else cont
             prev_state = "D"
         else:  # query char unaligned: insertion state
-            total += costs.gap_extend + (costs.gap_open if prev_state != "I" else 0)
+            total += (o + e) if prev_state != "I" else cont
             prev_state = "I"
     return total

@@ -137,10 +137,15 @@ def _load():
             ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.poasta_last_anchored_stats.restype = None
+        lib.poasta_last_anchored_stats.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
@@ -149,6 +154,19 @@ def _load():
 
 def _i32ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _pairs(rpos: np.ndarray, qpos: np.ndarray, count: int):
+    """Materialize AlignedPairs from the engine's (-1 = None) arrays.
+
+    ``tolist()`` + zip beats per-index numpy scalar access ~5x on the
+    multi-thousand-pair alignments the serving path emits."""
+    from ..aligner.alignment import AlignedPair
+
+    rl = rpos[:count].tolist()
+    ql = qpos[:count].tolist()
+    return [AlignedPair(r if r >= 0 else None, q if q >= 0 else None)
+            for r, q in zip(rl, ql)]
 
 
 class NativeAligner:
@@ -202,8 +220,6 @@ class NativeAligner:
     def align(self, seq: bytes, costs, heuristic: str = "mingap",
               enable_pruning: bool = True):
         """Returns (score, alignment, (queued, visited, pruned))."""
-        from ..aligner.alignment import AlignedPair
-
         n = len(seq)
         cap = 4 * (n + self._n) + 16
         out_rpos = np.zeros(cap, dtype=np.int32)
@@ -229,19 +245,13 @@ class NativeAligner:
         )
         if count < 0:
             raise RuntimeError(f"native alignment failed (code {count})")
-        alignment = [
-            AlignedPair(
-                int(out_rpos[i]) if out_rpos[i] >= 0 else None,
-                int(out_qpos[i]) if out_qpos[i] >= 0 else None,
-            )
-            for i in range(count)
-        ]
+        alignment = _pairs(out_rpos, out_qpos, count)
         return int(out_score[0]), alignment, tuple(int(s) for s in out_stats)
 
     def align_anchored(self, seq: bytes, costs, end_node: int,
                        end_offset: int, score: int,
                        free_start: bool = True):
-        """End-anchored ends-free corridor alignment (one-piece).
+        """End-anchored ends-free corridor alignment (one- or two-piece).
 
         ``(end_node, end_offset, score)`` come from the device fill
         (:func:`poasta_tpu.aligner.wavefront.dp_fill_ends_free_with_ends`);
@@ -251,7 +261,7 @@ class NativeAligner:
         RuntimeError when the corridor cannot be verified (caller falls
         back to the dense or exact path).
         """
-        assert not getattr(costs, "is_two_piece", False)
+        two_piece = getattr(costs, "is_two_piece", False)
         q = np.frombuffer(bytes(seq), dtype=np.uint8)
         cap = 4 * (len(seq) + 64) + 256
         rpos = np.empty(cap, dtype=np.int32)
@@ -262,19 +272,26 @@ class NativeAligner:
             q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             len(seq), int(end_node), int(end_offset),
             costs.mismatch, costs.gap_open, costs.gap_extend,
+            costs.gap_extend2 if two_piece else 0,
+            1 if two_piece else 0,
             1 if free_start else 0, int(score),
             _i32ptr(rpos), _i32ptr(qpos), cap,
             out_score.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         if count < 0:
             raise RuntimeError(f"anchored alignment failed ({count})")
-        from ..aligner.alignment import AlignedPair
+        return int(out_score[0]), _pairs(rpos, qpos, count)
 
-        return int(out_score[0]), [
-            AlignedPair(None if rpos[i] < 0 else int(rpos[i]),
-                        None if qpos[i] < 0 else int(qpos[i]))
-            for i in range(count)
-        ]
+    def last_anchored_stats(self) -> dict:
+        """Phase breakdown of this thread's last ``align_anchored`` call:
+        corridor/fill/backtrace ns plus corridor node/cell counts and
+        attempts (the serving path's host-side profiling counters)."""
+        out = np.zeros(6, dtype=np.int64)
+        self._lib.poasta_last_anchored_stats(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        keys = ("corridor_ns", "fill_ns", "backtrace_ns",
+                "corridor_nodes", "corridor_cells", "attempts")
+        return dict(zip(keys, (int(v) for v in out)))
 
     def align_banded(self, seq: bytes, costs, ub=None, max_retries: int = 8):
         """Banded dense fill + backtrace: returns (score, alignment).
@@ -286,8 +303,6 @@ class NativeAligner:
         ``ub`` >= the known optimal score (e.g. from the device scorer)
         to make the first attempt both tight and final.
         """
-        from ..aligner.alignment import AlignedPair
-
         n = len(seq)
         cap = 4 * (n + self._n) + 16
         out_rpos = np.zeros(cap, dtype=np.int32)
@@ -322,14 +337,7 @@ class NativeAligner:
                 continue
             if count < 0:
                 raise RuntimeError(f"native banded alignment failed ({count})")
-            alignment = [
-                AlignedPair(
-                    int(out_rpos[i]) if out_rpos[i] >= 0 else None,
-                    int(out_qpos[i]) if out_qpos[i] >= 0 else None,
-                )
-                for i in range(count)
-            ]
-            return int(out_score[0]), alignment
+            return int(out_score[0]), _pairs(out_rpos, out_qpos, count)
         raise RuntimeError("native banded alignment did not converge")
 
 

@@ -13,6 +13,7 @@
 // Binding: ctypes (see poasta_tpu/native/__init__.py).
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -1223,38 +1224,73 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
   return count;
 }
 
+// Last-call phase breakdown of poasta_align_anchored (serving-path
+// profiling): {corridor_ns, fill_ns, backtrace_ns, corridor_nodes,
+// corridor_cells, attempts}.  Thread-local: each pool worker reads its
+// own calls' stats.
+static thread_local int64_t g_anchor_stats[6];
+
+void poasta_last_anchored_stats(int64_t* out6) {
+  for (int i = 0; i < 6; ++i) out6[i] = g_anchor_stats[i];
+}
+
 int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
                               int32_t end_node, int64_t end_j,
                               int32_t mismatch, int32_t gap_open,
-                              int32_t gap_extend, int32_t free_start,
+                              int32_t gap_extend, int32_t gap_extend2,
+                              int32_t two_piece, int32_t free_start,
                               int64_t expected_score, int32_t* out_rpos,
                               int32_t* out_qpos, int64_t cap,
                               int64_t* out_score) {
-  // End-anchored corridor alignment (one-piece): the device fill has
-  // already computed the read's optimal ends-free score AND its end
+  // End-anchored corridor alignment (one- or two-piece): the device fill
+  // has already computed the read's optimal ends-free score AND its end
   // state (end_node, end_j); this fills only the sub-DAG that can reach
   // the anchor within the path-length budget D = end_j + K + 1 edges
   // (found by a bounded reverse BFS; topo-index proxies are unsound on
   // fused graphs, where a path's index span exceeds its edge count).
   // Per visited node the offset window is
-  //   [end_j - maxpath(v->anchor) - K,  end_j - mindist(v->anchor) + K]
-  // with K = (S - open)/extend: insertions/deletions after (v, j) on an
-  // optimal path cost <= S.  Exactness: the computed anchor score must
-  // EQUAL the device score; a mismatch widens K and retries (defense).
+  //   [end_j - maxpath(v->anchor) - K,  end_j - mindist(v->anchor) + K].
+  //
+  // K ladder: K_full = (S - open)/cheapest-extend bounds any single gap
+  // on an <=S path, so a K_full corridor is PROVEN sufficient — but the
+  // typical read's true diagonal drift is far smaller than its score
+  // implies (score is mostly mismatches + many short gaps, not one long
+  // one).  Attempts therefore start at K_full/16 and widen 4x; a
+  // verified narrow attempt (anchor score == device score) is exact by
+  // DP monotonicity — restricting the corridor can only raise scores,
+  // so equality certifies an optimal in-corridor path.  Failed narrow
+  // attempts cost <=1/3 extra work in the worst case (geometric sum).
   auto& eng = *static_cast<Engine*>(ptr);
   const Graph& g = eng.g;
   ensure_banded_meta(eng);
   const int32_t o = gap_open, e = gap_extend, x = mismatch;
+  const int32_t e2 = gap_extend2;
+  const bool tp = two_piece != 0;
   constexpr int32_t INF = 1 << 28;
   const int64_t S = expected_score;
 
   std::vector<int32_t> tpos(g.n);
   for (int32_t rt = 0; rt < g.n; ++rt) tpos[eng.topo[rt]] = rt;
 
-  for (int attempt = 0; attempt < 3; ++attempt) {
-    const int64_t K =
-        ((S >= o + e) ? (S - o) / e : 0) * (int64_t(1) << attempt) +
-        attempt;
+  for (int i = 0; i < 6; ++i) g_anchor_stats[i] = 0;
+  using Clock = std::chrono::steady_clock;
+  auto ns_since = [](Clock::time_point t0) {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+               Clock::now() - t0)
+        .count();
+  };
+
+  const int64_t cheap_e = tp ? std::min(e, e2) : e;
+  const int64_t K_full = (S >= o + cheap_e) ? (S - o) / cheap_e : 0;
+  std::vector<int64_t> ladder;
+  for (int64_t k = std::max<int64_t>(16, K_full / 16); k < K_full; k *= 4)
+    ladder.push_back(k);
+  ladder.push_back(K_full);           // proven-sufficient window
+  ladder.push_back(2 * K_full + 64);  // defensive (should never trigger)
+
+  for (int attempt = 0; attempt < (int)ladder.size(); ++attempt) {
+    auto t_corridor = Clock::now();
+    const int64_t K = ladder[attempt];
     const int64_t D = end_j + K + 1;
 
     // bounded reverse BFS from the anchor over predecessor edges
@@ -1310,7 +1346,17 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
       base[i + 1] = base[i] + std::max<int64_t>(0, hi[i] - lo[i] + 1);
     }
     const int64_t total = base[nr];
+    g_anchor_stats[0] += ns_since(t_corridor);
+    g_anchor_stats[3] += nr;
+    g_anchor_stats[4] += total;
+    g_anchor_stats[5] = attempt + 1;
+    auto t_fill = Clock::now();
     std::vector<int32_t> Mb(total, INF), Ib(total, INF), Db(total, INF);
+    std::vector<int32_t> I2b, D2b;
+    if (tp) {
+      I2b.assign(total, INF);
+      D2b.assign(total, INF);
+    }
 
     auto stored = [&](int32_t nd, int64_t j) -> bool {
       int32_t i = lidx[nd];
@@ -1325,49 +1371,112 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
     auto gD = [&](int32_t nd, int64_t j) -> int32_t {
       return stored(nd, j) ? Db[base[lidx[nd]] + (j - lo[lidx[nd]])] : INF;
     };
+    auto gI2 = [&](int32_t nd, int64_t j) -> int32_t {
+      return (tp && stored(nd, j))
+                 ? I2b[base[lidx[nd]] + (j - lo[lidx[nd]])]
+                 : INF;
+    };
+    auto gD2 = [&](int32_t nd, int64_t j) -> int32_t {
+      return (tp && stored(nd, j))
+                 ? D2b[base[lidx[nd]] + (j - lo[lidx[nd]])]
+                 : INF;
+    };
 
+    // hoisted fill: per-predecessor row pointers and bounds move out of
+    // the j loop (same restructure as the banded fill above; the lambda
+    // accessors stay for the backtrace, whose work is O(path) only)
+    struct PredRow {
+      const int32_t* M;
+      const int32_t* D;
+      const int32_t* D2;
+      int64_t lo, hi;
+    };
+    std::vector<PredRow> prows;
     for (int32_t i = 0; i < nr; ++i) {
       int32_t nd = nodes[i];
       if (hi[i] < lo[i]) continue;
-      bool is_end_nd = nd == g.end_node;
-      bool origin = (free_start && !is_end_nd) || nd == g.start_node;
-      int32_t prevA = INF, prevI = INF;
+      const bool is_end_nd = nd == g.end_node;
+      const bool origin = (free_start && !is_end_nd) || nd == g.start_node;
+      const int32_t sym = g.symbols[nd];
+      prows.clear();
+      for (int32_t p : g.preds[nd]) {
+        int32_t pi = lidx[p];
+        if (pi < 0 || hi[pi] < lo[pi]) continue;
+        PredRow pr;
+        pr.lo = lo[pi];
+        pr.hi = hi[pi];
+        const int64_t b = base[pi] - lo[pi];
+        pr.M = Mb.data() + b;
+        pr.D = Db.data() + b;
+        pr.D2 = tp ? D2b.data() + b : nullptr;
+        prows.push_back(pr);
+      }
+      const size_t np = prows.size();
+      const int64_t bI = base[i] - lo[i];
+      int32_t* Mrow = Mb.data() + bI;
+      int32_t* Irow = Ib.data() + bI;
+      int32_t* Drow = Db.data() + bI;
+      int32_t* I2row = tp ? I2b.data() + bI : nullptr;
+      int32_t* D2row = tp ? D2b.data() + bI : nullptr;
+      int32_t prevA = INF, prevI = INF, prevI2 = INF;
       for (int64_t j = lo[i]; j <= hi[i]; ++j) {
-        int32_t min_pm = INF, min_pd = INF, diag_src = INF;
-        for (int32_t p : g.preds[nd]) {
-          min_pm = std::min(min_pm, gM(p, j));
-          min_pd = std::min(min_pd, gD(p, j));
-          if (j >= 1) diag_src = std::min(diag_src, gM(p, j - 1));
+        int32_t min_pm = INF, min_pd = INF, min_pd2 = INF, diag_src = INF;
+        for (size_t k = 0; k < np; ++k) {
+          const PredRow& pr = prows[k];
+          if (j >= pr.lo && j <= pr.hi) {
+            min_pm = std::min(min_pm, pr.M[j]);
+            min_pd = std::min(min_pd, pr.D[j]);
+            if (tp) min_pd2 = std::min(min_pd2, pr.D2[j]);
+          }
+          if (j - 1 >= pr.lo && j - 1 <= pr.hi)
+            diag_src = std::min(diag_src, pr.M[j - 1]);
         }
         int32_t Dv = std::min(
             std::min((int64_t)min_pm + o + e, (int64_t)min_pd + e),
             (int64_t)INF);
+        int32_t D2v = INF;
+        if (tp)
+          D2v =
+              std::min((int64_t)std::min(min_pd, min_pd2) + e2, (int64_t)INF);
         int32_t match =
-            (j >= 1 && g.symbol_equal(nd, seq[j - 1])) ? 0 : x;
+            (j >= 1 && (is_end_nd || sym == (int32_t)seq[j - 1])) ? 0 : x;
         int32_t diag = (j >= 1 && diag_src < INF) ? diag_src + match : INF;
-        int32_t A = std::min(diag, Dv);
+        int32_t A = std::min(diag, std::min(Dv, D2v));
         if (origin && j == 0) A = 0;
         int32_t Iv = std::min(
             std::min((int64_t)prevA + o + e, (int64_t)prevI + e),
             (int64_t)INF);
-        int32_t Mv = std::min(A, Iv);
+        int32_t I2v = INF;
+        if (tp) {
+          Iv = (int32_t)std::min((int64_t)Iv, (int64_t)prevI2 + o + e);
+          I2v = std::min((int64_t)std::min(prevI, prevI2) + e2, (int64_t)INF);
+        }
+        int32_t Mv = std::min(A, std::min(Iv, I2v));
         if (is_end_nd) {
           Mv = min_pm;
           Iv = INF;
           Dv = INF;
+          I2v = INF;
+          D2v = INF;
         }
-        int64_t ix = base[i] + (j - lo[i]);
-        Mb[ix] = Mv;
-        Ib[ix] = Iv;
-        Db[ix] = Dv;
+        Mrow[j] = Mv;
+        Irow[j] = Iv;
+        Drow[j] = Dv;
+        if (tp) {
+          I2row[j] = I2v;
+          D2row[j] = D2v;
+        }
         prevA = A;
         prevI = Iv;
+        prevI2 = I2v;
       }
     }
 
     int64_t got = gM(end_node, end_j);
+    g_anchor_stats[1] += ns_since(t_fill);
     if (got != S) continue;  // corridor too tight (defensive): widen
     out_score[0] = got;
+    auto t_bt = Clock::now();
 
     auto preds_oldest = [&](int32_t nd) {
       return std::vector<int32_t>(g.preds[nd].rbegin(), g.preds[nd].rend());
@@ -1387,9 +1496,11 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
     }
     std::vector<std::pair<int32_t, int32_t>> pairs;
     while (true) {
-      int32_t cur = state == M   ? gM(node, j)
-                    : state == D ? gD(node, j)
-                                 : gI(node, j);
+      int32_t cur = state == M    ? gM(node, j)
+                    : state == D  ? gD(node, j)
+                    : state == I  ? gI(node, j)
+                    : state == D2 ? gD2(node, j)
+                                  : gI2(node, j);
       bool origin_nd =
           (free_start && node != g.end_node) || node == g.start_node;
       if (state == M && j == 0 && cur == 0 && origin_nd) break;
@@ -1410,8 +1521,14 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
         if (bt_node < 0 && gD(node, j) == cur) {
           bt_node = node; bt_j = j; bt_state = D;
         }
+        if (tp && bt_node < 0 && gD2(node, j) == cur) {
+          bt_node = node; bt_j = j; bt_state = D2;
+        }
         if (bt_node < 0 && gI(node, j) == cur) {
           bt_node = node; bt_j = j; bt_state = I;
+        }
+        if (tp && bt_node < 0 && gI2(node, j) == cur) {
+          bt_node = node; bt_j = j; bt_state = I2;
         }
       } else if (state == D) {
         for (int32_t p : preds_oldest(node))
@@ -1425,12 +1542,34 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
               bt_node = p; bt_j = j; bt_state = D;
               break;
             }
-      } else {  // I
+      } else if (state == D2) {
+        for (int32_t p : preds_oldest(node))
+          if (gD(p, j) == cur - e2) {
+            bt_node = p; bt_j = j; bt_state = D;
+            break;
+          }
+        if (bt_node < 0)
+          for (int32_t p : preds_oldest(node))
+            if (gD2(p, j) == cur - e2) {
+              bt_node = p; bt_j = j; bt_state = D2;
+              break;
+            }
+      } else if (state == I) {
         if (j > 0) {
           if (gM(node, j - 1) == cur - o - e) {
             bt_node = node; bt_j = j - 1; bt_state = M;
           } else if (gI(node, j - 1) == cur - e) {
             bt_node = node; bt_j = j - 1; bt_state = I;
+          } else if (tp && gI2(node, j - 1) == cur - o - e) {
+            bt_node = node; bt_j = j - 1; bt_state = I2;
+          }
+        }
+      } else {  // I2
+        if (j > 0) {
+          if (gI(node, j - 1) == cur - e2) {
+            bt_node = node; bt_j = j - 1; bt_state = I;
+          } else if (gI2(node, j - 1) == cur - e2) {
+            bt_node = node; bt_j = j - 1; bt_state = I2;
           }
         }
       }
@@ -1443,7 +1582,7 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
       }
       if (state == M)
         pairs.push_back({node, (int32_t)(j - 1)});
-      else if (state == I)
+      else if (state == I || state == I2)
         pairs.push_back({-1, (int32_t)(j - 1)});
       else
         pairs.push_back({node, -1});
@@ -1460,6 +1599,7 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
       out_qpos[count] = qp;
       ++count;
     }
+    g_anchor_stats[2] += ns_since(t_bt);
     return count;
   }
   return -4;  // corridor never verified: caller falls back

@@ -459,11 +459,6 @@ class BatchMapper:
             ends_free_device_params,
         )
 
-        if two_piece:
-            raise NotImplementedError(
-                "two-piece ends-free alignment is exact-engine-only "
-                "(PoastaAligner); device ends-free covers scores"
-            )
         free_start = self.aln_type.graph_free_begin[0] == "unbounded"
         # anchored corridor needs the native engine; with a bounded graph
         # begin the origin is the global start node, which the anchored
@@ -515,6 +510,20 @@ class BatchMapper:
             workers = max(1, min(len(queries), os.cpu_count() or 4))
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 return list(pool.map(one, enumerate(queries)))
+
+        if two_piece:
+            # the dense-table fallback below is one-piece math; without
+            # the native engine, two-piece ends-free alignments run the
+            # exact engine per read (correct, slow — small shapes only)
+            from ..aligner.engine import PoastaAligner
+
+            aligner = PoastaAligner(self.costs, self.aln_type,
+                                    heuristic="dijkstra")
+            out = []
+            for q in queries:
+                res = aligner.align(self.graph, q)
+                out.append((res.score, res.alignment))
+            return out
 
         table_bytes = (self.dg.n_nodes_padded * int(qshift.shape[0])
                        * int(qshift.shape[1]) * 12)

@@ -298,6 +298,23 @@ def main():
         assert score == sc_b[b]
         assert alignment_cost(gb, big_reads[b], aln, costs) == score
     print("OK")
+    print("  two-piece end anchors + 2p native corridor ...", end=" ",
+          flush=True)
+    from poasta_tpu.aligner.costs import GapAffine2Piece
+
+    costs2p = GapAffine2Piece(4, 2, 8, 1, 24)
+    sc2, er2, ej2 = (np.asarray(a) for a in dp_fill_ends_free_with_ends(
+        dgb, flatb, qb, lb, costs2p, cfgb))
+    ref2 = np.asarray(dp_fill_scores_ends_free(dgb, flatb, qb, lb,
+                                               costs2p, cfgb))
+    assert (sc2 == ref2).all(), (sc2[:8], ref2[:8])
+    for b in (3, 29, 55):
+        score, aln = nab.align_anchored(
+            big_reads[b], costs2p, int(flatb.node_of_rank[er2[b]]),
+            int(ej2[b]), int(sc2[b]))
+        assert score == sc2[b]
+        assert alignment_cost(gb, big_reads[b], aln, costs2p) == score
+    print("OK")
 
     if "--soak" in sys.argv:
         at = sys.argv.index("--soak")
