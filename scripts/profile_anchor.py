@@ -13,6 +13,10 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
+from poasta_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def _mutate(rng, s, d):
     out = []
