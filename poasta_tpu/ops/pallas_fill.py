@@ -1662,21 +1662,29 @@ def _banded_exec(nblocks: int, W: int, P: int, Wb: int, MARGIN: int, L: int,
 def _banded_kernel_big(
     # scalar prefetch
     meta_ref,         # (4,): [n_real_ranks, end_rank, _, _]
+    qbase_ref,        # (n_chunks,) int32: per-chunk q-segment base lane
     # inputs
     tab_hbm,          # (Np*R,) int32 HBM: [sym, wslot, wstart,
                       #  pred_slot*P, pred_valid*P, pred_wstart*P]
-    qshift_ref,       # (B_BLK, L) VMEM
+    qshift_hbm,       # (nblocks*B_BLK, L) int32 HBM
     # outputs
     end_row_ref,      # (B_BLK, Wb) VMEM
     # scratch
-    m_ring, d_ring, tab_s, sems,
-    *, W: int, P: int, Wb: int, MARGIN: int, o: int, e: int, x: int,
-    B_BLK: int, dtype,
+    m_ring, d_ring, tab_s, q_seg, sems,
+    *, W: int, P: int, Wb: int, MARGIN: int, QSEG: int, o: int, e: int,
+    x: int, B_BLK: int, dtype,
 ):
     """Banded fill for graphs past the scalar-prefetch SMEM budget:
     per-rank records (incl. the window tables) stream HBM->SMEM in
     double-buffered BIG_CHUNK slices, like :func:`_fill_kernel_bounded_big`
-    but with the banded ring/window mechanics of :func:`_banded_kernel`."""
+    but with the banded ring/window mechanics of :func:`_banded_kernel`.
+
+    The query also streams: only a sliding (B_BLK, QSEG) segment is
+    VMEM-resident, double-buffered per rank chunk from a host-computed
+    per-chunk base lane (qbase).  At long L the full (B_BLK, L) q block
+    was the VMEM hog (e.g. 5.2 MiB at 40 kb reads and B_BLK=32, forcing
+    tiny blocks + spills); the segment bounds VMEM by the band's span
+    per BIG_CHUNK ranks instead of the read length."""
     n_nodes = meta_ref[0]
     end_rank = meta_ref[1]
     R = 3 + 3 * P
@@ -1684,6 +1692,7 @@ def _banded_kernel_big(
     inf = INF16 if dtype == jnp.int16 else INF
     C = BIG_CHUNK
     CW = C * R
+    i_blk = pl.program_id(0)
 
     for w in range(W):
         m_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
@@ -1700,16 +1709,27 @@ def _banded_kernel_big(
             tab_s.at[pl.ds(buf * CW, CW)],
             sems.at[buf])
 
+    def qdma(k, buf):
+        qb = pl.multiple_of(qbase_ref[k], 128)
+        return pltpu.make_async_copy(
+            qshift_hbm.at[pl.ds(i_blk * B_BLK, B_BLK), pl.ds(qb, QSEG)],
+            q_seg.at[buf],
+            sems.at[2 + buf])
+
     dma(0, 0).start()
+    qdma(0, 0).start()
 
     def chunk_body(k, _):
         buf = jax.lax.rem(k, 2)
         dma(k, buf).wait()
+        qdma(k, buf).wait()
 
         @pl.when(k + 1 < n_chunks)
         def _():
             dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+            qdma(k + 1, jax.lax.rem(k + 1, 2)).start()
 
+        qb_k = pl.multiple_of(qbase_ref[k], 128)
         base0 = buf * CW
 
         def body(i, _):
@@ -1742,8 +1762,8 @@ def _banded_kernel_big(
 
             diag_src = _roll_lanes(min_pm, 1)
             diag_src = jnp.where(masks[1], diag_src, dtype(inf))
-            qstart = pl.multiple_of(w_r, 128)
-            qwin = qshift_ref[:, pl.ds(qstart, Wb)]
+            qstart = pl.multiple_of(w_r - qb_k, 128)
+            qwin = q_seg[buf, :, pl.ds(qstart, Wb)]
             match_cost = jnp.where(qwin == sym, jnp.int32(0),
                                    jnp.int32(x)).astype(dtype)
             diag = diag_src + match_cost
@@ -1782,21 +1802,20 @@ def _banded_kernel_big(
 
 @functools.lru_cache(maxsize=None)
 def _banded_exec_big(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
-                     L: int, o: int, e: int, x: int, B_BLK: int = 64,
-                     use_int16: bool = False):
+                     L: int, QSEG: int, o: int, e: int, x: int,
+                     B_BLK: int = 64, use_int16: bool = False):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_banded_kernel_big, W=W, P=P, Wb=Wb,
-                               MARGIN=MARGIN, o=o, e=e, x=x, B_BLK=B_BLK,
-                               dtype=dtype)
+                               MARGIN=MARGIN, QSEG=QSEG, o=o, e=e, x=x,
+                               B_BLK=B_BLK, dtype=dtype)
     R = 3 + 3 * P
     CW = BIG_CHUNK * R
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (B_BLK, Wb), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -1805,7 +1824,8 @@ def _banded_exec_big(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
             pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
             pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
             pltpu.SMEM((2 * CW,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, B_BLK, QSEG), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     call = pl.pallas_call(
@@ -1815,8 +1835,8 @@ def _banded_exec_big(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
     )
 
     @jax.jit
-    def fn(tab, meta, qshift, lengths, w_end):
-        end_row = call(meta, tab, qshift)
+    def fn(tab, meta, qbase, qshift, lengths, w_end):
+        end_row = call(meta, qbase, tab, qshift)
         idx_loc = lengths.astype(jnp.int32) - w_end
         in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
         idx_c = jnp.clip(idx_loc, 0, Wb - 1)[:, None]
@@ -1862,6 +1882,23 @@ def prepare_banded_big(dg, costs, wstarts_np, width: int, L: int):
     tab[:Np, 3 + P:3 + 2 * P] = np.asarray(dg.pred_valid).astype(np.int32)
     tab[:Np, 3 + 2 * P:3 + 3 * P] = pw
 
+    # sliding q segment: per-chunk base lane + one static segment size
+    # covering every chunk's window span (the kernel DMAs (B_BLK, QSEG)
+    # instead of holding the whole (B_BLK, L) q block in VMEM)
+    n_chunks = max((int(dg.n_nodes) + BIG_CHUNK - 1) // BIG_CHUNK, 1)
+    qb = np.zeros(n_chunks, dtype=np.int32)
+    span = width
+    for k in range(n_chunks):
+        wchunk = ws[k * BIG_CHUNK: min((k + 1) * BIG_CHUNK,
+                                       int(dg.n_nodes))]
+        if wchunk.size == 0:
+            continue
+        lo = int(wchunk.min()) // 128 * 128
+        qb[k] = lo
+        span = max(span, int(wchunk.max()) + width - lo)
+    qseg = min(((span + 127) // 128) * 128, L)
+    qb = np.minimum(qb, max(L - qseg, 0)).astype(np.int32)
+
     return {
         "margin": margin,
         "width": width,
@@ -1869,6 +1906,8 @@ def prepare_banded_big(dg, costs, wstarts_np, width: int, L: int):
         "big_tab": jnp.asarray(tab.reshape(-1)),
         "meta": jnp.asarray([dg.n_nodes, dg.n_nodes - 1, R, 0],
                             dtype=jnp.int32),
+        "qbase": jnp.asarray(qb),
+        "qseg": qseg,
         "w_end": jnp.asarray(int(ws[dg.end_rank_i]), dtype=jnp.int32),
     }
 
@@ -1882,15 +1921,19 @@ def pallas_banded_scores_big(dg, qshift, lengths, costs, prep):
     dtype = score_dtype(dg.n_nodes_padded, L, costs.gap_open,
                         costs.gap_extend, costs.mismatch)
     use_int16 = dtype == jnp.int16
-    blk = pick_b_blk(dg.window, 2 * margin + width, L,
+    qseg = prep["qseg"]
+    # VMEM: rings + the double-buffered (B_BLK, QSEG) sliding q segment
+    # (the segment replaced the full (B_BLK, L) q block round 3 — at
+    # 40 kb reads that block alone forced B_BLK down to 32)
+    blk = pick_b_blk(dg.window, 2 * margin + width, qseg,
                      2 if use_int16 else 4)
     while B % blk:
         blk //= 2
-    fn = _banded_exec_big(B // blk, dg.window, P, width, margin, L,
+    fn = _banded_exec_big(B // blk, dg.window, P, width, margin, L, qseg,
                           costs.gap_open, costs.gap_extend, costs.mismatch,
                           B_BLK=blk, use_int16=use_int16)
-    return fn(prep["big_tab"], prep["meta"], qshift, lengths,
-              prep["w_end"])
+    return fn(prep["big_tab"], prep["meta"], prep["qbase"], qshift,
+              lengths, prep["w_end"])
 
 
 def prepare_banded(dg, costs, wstarts_np, width: int, L: int):
