@@ -88,7 +88,11 @@ def _emit(graph, output_type: str, out_path):
         save_graph,
     )
 
-    if output_type == "poasta":
+    if output_type in ("poasta", "poasta-rs"):
+        if output_type == "poasta-rs":
+            # Extension over the reference surface: emit the *reference's*
+            # bincode layout so graphs built here resume in the Rust binary.
+            from ..io.bincode import dump_rust_poasta as save_graph  # noqa: F811
         if out_path is None and sys.stdout.isatty():
             print(
                 "WARNING: not writing binary graph data to terminal standard output!",
@@ -304,7 +308,7 @@ def build_parser():
     a.add_argument("-I", "--graph", default=None)
     a.add_argument("-o", "--output", default=None)
     a.add_argument("-O", "--output-type", dest="output_type", default=None,
-                   choices=["poasta", "fasta", "gfa", "gfav1", "dot"])
+                   choices=["poasta", "poasta-rs", "fasta", "gfa", "gfav1", "dot"])
     a.add_argument("-d", "--debug-output", dest="debug_output", default=None)
     a.add_argument("-m", "--alignment-span", dest="alignment_span", default="global",
                    choices=["global", "semi-global", "ends-free"])
@@ -331,7 +335,7 @@ def build_parser():
     v.add_argument("graph")
     v.add_argument("-o", "--output", default=None)
     v.add_argument("-O", "--output-type", dest="output_type", required=True,
-                   choices=["poasta", "fasta", "gfa", "gfav1", "dot"])
+                   choices=["poasta", "poasta-rs", "fasta", "gfa", "gfav1", "dot"])
 
     s = sub.add_parser("stats", help="Print graph statistics")
     s.add_argument("graph")

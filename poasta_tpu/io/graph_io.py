@@ -56,16 +56,12 @@ def load_graph(inp: IO[bytes]) -> POAGraph:
         # The Rust reference's .poasta files are bincode: a u32 LE variant
         # index (0..=3, the POAGraphWithIx arm — reference
         # ``io/graph.rs:24-34``, ``graphs/poa.rs:482-489``) leads the
-        # stream, so the first 4 bytes decode to a tiny integer.  Detect
-        # that and say so instead of a generic magic failure.
+        # stream, so the first 4 bytes decode to a tiny integer.  Parse
+        # those through the bincode interop layer.
         if len(magic) >= 4 and int.from_bytes(magic[:4], "little") < 4:
-            raise ValueError(
-                "this looks like a Rust-poasta bincode graph file; the "
-                "TPU port uses its own versioned .poasta container and "
-                "cannot read bincode. Re-export the graph from the "
-                "reference binary as FASTA MSA ('poasta view -O fasta') "
-                "or GFA and import that instead"
-            )
+            from .bincode import load_rust_poasta
+
+            return load_rust_poasta(magic + inp.read())
         raise ValueError("not a poasta-tpu graph file")
     version = inp.read(1)[0]
     if version != VERSION:
