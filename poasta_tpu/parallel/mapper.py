@@ -473,14 +473,20 @@ class BatchMapper:
             native = None
         if native is not None:
             import os
+            import time
             from concurrent.futures import ThreadPoolExecutor
 
+            t0 = time.perf_counter()
             sc, er, ej = dp_fill_ends_free_with_ends(
                 self.dg, self.flat, qshift, lengths, self.costs,
                 self.aln_type, mesh=self.mesh)
             sc = np.asarray(sc)
             er = np.asarray(er)
             ej = np.asarray(ej)
+            stats = self.last_ends_free_stats = {
+                "device_s": time.perf_counter() - t0,
+                "anchored_ok": 0, "exact_fallback": 0, "host_s": 0.0,
+            }
             node_of_rank = self.flat.node_of_rank
 
             def one(args):
@@ -490,9 +496,11 @@ class BatchMapper:
                         "ends-free alignment: unsatisfiable bounds"
                     )
                 try:
-                    return native.align_anchored(
+                    out = native.align_anchored(
                         q, self.costs, int(node_of_rank[er[b]]),
                         int(ej[b]), int(sc[b]), free_start=free_start)
+                    stats["anchored_ok"] += 1
+                    return out
                 except RuntimeError:
                     # corridor never verified (defensive; should not
                     # happen — the window bounds are proven): per-read
@@ -502,14 +510,18 @@ class BatchMapper:
                     # a higher (sub-optimal) score.
                     from ..aligner.engine import PoastaAligner
 
+                    stats["exact_fallback"] += 1
                     res = PoastaAligner(self.costs, self.aln_type,
                                         heuristic="dijkstra").align(
                                             self.graph, q)
                     return res.score, res.alignment
 
             workers = max(1, min(len(queries), os.cpu_count() or 4))
+            t0 = time.perf_counter()
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                return list(pool.map(one, enumerate(queries)))
+                out = list(pool.map(one, enumerate(queries)))
+            stats["host_s"] = time.perf_counter() - t0
+            return out
 
         if two_piece:
             # the dense-table fallback below is one-piece math; without
