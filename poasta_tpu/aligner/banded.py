@@ -1378,6 +1378,39 @@ class BandedScorer:
             finite = sub[~done][sub[~done] < INF]
             grown = max(ub * 2, ub + 256)
             ub = min(int(finite.max()), grown) if finite.size else grown * 2
+            # Per-read ub seeds: each unresolved read's own banded score
+            # is a valid ub for it (bands only remove paths, so a wider
+            # band can only lower its score below the seed and verify).
+            # When the tail's score spread is wide, refilling everyone at
+            # max-score width wastes the narrow reads' cells — model the
+            # cost of stopping this tier at a score quantile (narrow bulk
+            # verifies now, wide residue pays one more fill) vs one
+            # max-width fill, including per-fill dispatch overhead, and
+            # take the cheaper ladder.  Needs >=2 attempts of headroom so
+            # the residue still verifies inside the retry budget.
+            if (finite.size >= 4 and attempt + 3 <= max_retries
+                    and not use_mesh):
+                fs = np.sort(finite.astype(np.int64))
+                cand_q = int(fs[int(len(fs) * 0.75)])
+                top = int(fs[-1])
+                if cand_q > ub // 2 and cand_q < top:
+                    def _w(u):
+                        return band_windows(self.flat, cur_n_min, cur_n_max,
+                                            costs, u,
+                                            aln_type=self.aln_type)[1]
+
+                    n_above = int((fs > cand_q).sum())
+                    t_all = (_pad_to_pow2_blocks(len(rem)) if use_pallas
+                             else len(rem))
+                    t_abv = (_pad_to_pow2_blocks(n_above) if use_pallas
+                             else n_above)
+                    nn = max(self.flat.n_nodes, 1)
+                    ov = self.TIER_OVERHEAD_CELLS / nn
+                    cost_max = _w(min(top, grown)) * t_all + ov
+                    cost_q = (_w(cand_q) * t_all + ov
+                              + _w(min(top, grown * 2)) * t_abv + ov)
+                    if cost_q < cost_max:
+                        ub = cand_q
             if use_mesh:
                 # whole-batch retry (no subset gathers under the mesh)
                 continue

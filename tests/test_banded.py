@@ -229,3 +229,33 @@ def test_suffix_queries_on_band_edge():
         bs = BandedScorer(flat, COSTS)
         got = int(np.asarray(bs.scores(qs, ln, ub=s_true))[0])
         assert got == s_true, (cut, got, s_true)
+
+
+def test_quantile_retry_heterogeneous_exact():
+    """Per-read ub seeding: a heterogeneous tail may split the retry at a
+    score quantile (narrow bulk verifies early, wide residue refills);
+    scores must stay exact either way, across several spreads."""
+    for seed, glen, spread in ((11, 400, 0.3), (12, 600, 0.25), (13, 500, 0.2)):
+        rng = random.Random(seed)
+        base = "".join(rng.choice("ACGT") for _ in range(glen))
+        g = POAGraph()
+        g.add_alignment_with_weights("s0", base.encode(), None, [1] * glen)
+        reads = []
+        for i in range(16):
+            rate = 0.01 + spread * (i / 15) ** 2  # heavy-tailed divergence
+            out = []
+            for ch in base:
+                r = rng.random()
+                if r < rate / 3:
+                    continue
+                out.append(rng.choice("ACGT") if r < rate else ch)
+            reads.append(("".join(out) or "A").encode())
+        flat = g.flatten()
+        dg = DeviceGraph.build(flat)
+        qshift, lengths = pack_queries(reads)
+        ref = np.asarray(dp_fill_scores(dg, qshift, lengths, COSTS,
+                                        engine="xla"))
+        sc = BandedScorer(flat, COSTS)
+        sc.TIER_OVERHEAD_CELLS = 0  # always allow the split on tiny graphs
+        out = sc.scores(qshift, lengths, ub=8, max_retries=8)
+        assert (out == ref).all()
