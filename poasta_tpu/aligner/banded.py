@@ -143,7 +143,7 @@ def drift_steps_for(n_min: int, n_max: int) -> int:
 
 
 def band_windows_drift(flat: FlatGraph, n_min: int, n_max: int,
-                       costs: GapAffine, ub: int, S: int):
+                       costs: GapAffine, ub: int, S: int, aln_type=None):
     """Per-rank window starts + width + step schedule for drifted windows.
 
     Each read's window is the shared per-rank layout shifted right by its
@@ -162,6 +162,13 @@ def band_windows_drift(flat: FlatGraph, n_min: int, n_max: int,
     read.  Windows, width, and the schedule depend only on
     (n_min, n_max, ub) — the prep stays cacheable.
 
+    ``aln_type``: an ``EndsFree`` span relaxes the same bound terms as in
+    :func:`band_windows` (free query suffix qv, free graph-end distance
+    gv).  Free graph *begin* is not supported here: drift's savings
+    mechanism needs diagonal-anchored corridors, and a free begin makes
+    them corner-anchored (measured in scripts/drift_endsfree_probe.py) —
+    callers route those spans through the shared-window kernels.
+
     Returns (wstart (N,) int32 multiples of 128, width multiple of 128,
     s_ranks (N,) int32).
     """
@@ -169,6 +176,9 @@ def band_windows_drift(flat: FlatGraph, n_min: int, n_max: int,
     if getattr(costs, "is_two_piece", False):
         e = costs.gap_extend2
     K = max((ub - o) // e, 0) if ub >= o + e else 0
+    free_start, qv, gv = _free_allowances(aln_type)
+    assert not free_start, \
+        "drift windows do not support free graph begin (corner-anchored)"
     N = flat.n_nodes
 
     ds_min = flat.min_dist_from_start.astype(np.int64)
@@ -196,12 +206,12 @@ def band_windows_drift(flat: FlatGraph, n_min: int, n_max: int,
     lo_g = np.maximum.reduce([
         -sig,
         ds_min[None, :] - K - sig,
-        (n_rep[:, None] - de_max[None, :] + 1) - K - sig,
+        (n_rep[:, None] - qv - de_max[None, :] + 1) - K - sig,
     ])
     hi_g = np.minimum.reduce([
         n_rep[:, None] - sig,
         ds_max[None, :] + K - sig,
-        (n_rep[:, None] - de_min[None, :] + 1) + K - sig,
+        (n_rep[:, None] - np.maximum(de_min[None, :] - gv, 0) + 1) + K - sig,
     ])
     valid = (lo_g - hi_g) <= 192
     BIG = 1 << 40
@@ -683,6 +693,138 @@ def _banded_exec_drift(window: int, Wb: int, P: int, o: int, e: int, x: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _banded_exec_drift_ef(window: int, Wb: int, P: int, o: int, e: int,
+                          x: int, S: int, vary_axes: tuple = ()):
+    """Drifting-window banded scores kernel for *bounded* ends-free spans
+    (XLA body).
+
+    Frame mechanics of :func:`_banded_exec_drift` plus the bounded-span
+    end rules of :func:`_banded_exec_ef`: at every rank whose graph-end
+    bound passes (``end_ok``), the permitted query-end window
+    ``[jlo_b, n_b]`` of the Match row can finish the alignment — tracked
+    as a per-read running min over the drift frame's global offsets
+    ``j = w_r + jloc + sigma_b(r)`` (no (B, L) best row needed).  Free
+    graph *begin* is not supported: those corridors are corner-anchored
+    and drift cannot help them (scripts/drift_endsfree_probe.py); callers
+    route them through the shared-window ends-free kernels.
+
+    Reference semantics: ``gap_affine.rs:150-248`` (bound end tests).
+    """
+
+    @jax.jit
+    def fn(symbols, pred_slots_ranks, pred_valid, wstarts, write_slots,
+           end_rank, end_ok, s_ranks, s_prev_ranks, qpad, lengths, jlo,
+           n_min_s, mq):
+        B = qpad.shape[0]
+        Np = symbols.shape[0]
+        lengths_i = lengths.astype(jnp.int32)
+        jlo_i = jlo.astype(jnp.int32)
+        nbs_i = jnp.maximum(lengths_i - n_min_s + 64, 0) // 128
+
+        M0 = jnp.full((B, window, Wb), INF, dtype=jnp.int32)
+        D0 = jnp.full((B, window, Wb), INF, dtype=jnp.int32)
+        best0 = jnp.full((B,), INF, dtype=jnp.int32)
+        if vary_axes:
+            M0 = jax.lax.pcast(M0, vary_axes, to="varying")
+            D0 = jax.lax.pcast(D0, vary_axes, to="varying")
+            best0 = jax.lax.pcast(best0, vary_axes, to="varying")
+
+        jloc = jnp.arange(Wb, dtype=jnp.int32)
+
+        def step(carry, xs):
+            M_ring, D_ring, qcur, best = carry
+            rank, sym, pred_ranks, valid, w_r, wslot, s_r, s_p, ok = xs
+            sig_now = 128 * ((nbs_i * s_r) // S)  # (B,)
+            sig_prev = 128 * ((nbs_i * s_p) // S)
+            stepped = sig_now > sig_prev
+
+            def roll128(t):
+                return jnp.concatenate(
+                    [t[..., 128:],
+                     jnp.full(t.shape[:-1] + (128,), INF, jnp.int32)],
+                    axis=-1)
+
+            qroll = jnp.concatenate(
+                [qcur[:, 128:], jnp.zeros((B, 128), qcur.dtype)], axis=1)
+            qcur = jnp.where(stepped[:, None], qroll, qcur)
+            M_ring = jnp.where(stepped[:, None, None], roll128(M_ring),
+                               M_ring)
+            D_ring = jnp.where(stepped[:, None, None], roll128(D_ring),
+                               D_ring)
+
+            min_pm = jnp.full((B, Wb), INF, dtype=jnp.int32)
+            min_pd = jnp.full((B, Wb), INF, dtype=jnp.int32)
+            for p in range(P):
+                pr = pred_ranks[p]
+                slot = jnp.take(write_slots, pr)
+                w_p = jnp.take(wstarts, pr)
+                delta = w_r - w_p
+                rowM = jax.lax.dynamic_index_in_dim(M_ring, slot, 1,
+                                                    keepdims=False)
+                rowD = jax.lax.dynamic_index_in_dim(D_ring, slot, 1,
+                                                    keepdims=False)
+                padM = jnp.concatenate(
+                    [jnp.full((B, Wb), INF, jnp.int32), rowM,
+                     jnp.full((B, Wb), INF, jnp.int32)], axis=1)
+                padD = jnp.concatenate(
+                    [jnp.full((B, Wb), INF, jnp.int32), rowD,
+                     jnp.full((B, Wb), INF, jnp.int32)], axis=1)
+                start = jnp.clip(delta + Wb, 0, 2 * Wb)
+                am = jax.lax.dynamic_slice_in_dim(padM, start, Wb, axis=1)
+                ad = jax.lax.dynamic_slice_in_dim(padD, start, Wb, axis=1)
+                keep = valid[p]
+                min_pm = jnp.minimum(min_pm, jnp.where(keep, am, INF))
+                min_pd = jnp.minimum(min_pd, jnp.where(keep, ad, INF))
+
+            D = jnp.minimum(jnp.minimum(min_pm + o + e, min_pd + e), INF)
+
+            diag_src = jnp.concatenate(
+                [jnp.full((B, 1), INF, jnp.int32), min_pm[:, :-1]], axis=1)
+            qwin = jax.lax.dynamic_slice_in_dim(qcur, w_r + mq, Wb, axis=1)
+            match_cost = jnp.where(qwin == sym, jnp.int32(0), jnp.int32(x))
+            diag = jnp.minimum(diag_src + match_cost, INF)
+
+            A = jnp.minimum(diag, D)
+            j32 = w_r + jloc[None, :] + sig_now[:, None]  # (B, Wb) global j
+            # bounded graph begin degenerates to the start node (reference
+            # initial_states, gap_affine.rs:150-168): global origin only
+            is_start = rank == 0
+            origin = jnp.logical_and(is_start, j32 == 0)
+            A = jnp.minimum(A, jnp.where(origin, jnp.int32(0), INF))
+
+            t = A - e * j32
+            pref = jax.lax.cummin(t, axis=1)
+            pref_m1 = jnp.concatenate(
+                [jnp.full((B, 1), INF, jnp.int32), pref[:, :-1]], axis=1)
+            I = jnp.minimum(pref_m1 + o + e * j32, INF)
+            M = jnp.minimum(A, I)
+
+            is_end = rank == end_rank
+            M = jnp.where(is_end, min_pm, M)
+            D = jnp.where(is_end, INF, D)
+
+            M_ring = jax.lax.dynamic_update_index_in_dim(M_ring, M, wslot, 1)
+            D_ring = jax.lax.dynamic_update_index_in_dim(D_ring, D, wslot, 1)
+
+            # bounded-span end test: rank permitted (end_ok) and offset in
+            # the query-end window [jlo, n] may finish the alignment
+            win = jnp.logical_and(j32 >= jlo_i[:, None],
+                                  j32 <= lengths_i[:, None])
+            allowed = jnp.logical_and(win, ok == 1)
+            best = jnp.minimum(best,
+                               jnp.min(jnp.where(allowed, M, INF), axis=1))
+            return (M_ring, D_ring, qcur, best), None
+
+        ranks = jnp.arange(Np, dtype=jnp.int32)
+        xs = (ranks, symbols, pred_slots_ranks, pred_valid, wstarts,
+              write_slots, s_ranks, s_prev_ranks, end_ok)
+        (_, _, _, best), _ = jax.lax.scan(step, (M0, D0, qpad, best0), xs)
+        return best
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
 def _banded_exec_2p(window: int, Wb: int, P: int, o1: int, e1: int, e2: int,
                     x: int, vary_axes: tuple = ()):
     """Two-piece banded scores kernel: rings hold (B, W, Wb) windows for
@@ -917,8 +1059,17 @@ class BandedScorer:
         # windows)
         if S == 0 or S > self.flat.n_nodes - 1:
             return None
+        if self.ends_free:
+            if getattr(costs, "is_two_piece", False):
+                return None  # no 2p drift-ef kernel; caller full-fills
+            if _free_allowances(self.aln_type)[0]:
+                # free graph begin makes the corridors corner-anchored —
+                # drift's shifted-diagonal mechanism cannot narrow them
+                # (measured: scripts/drift_endsfree_probe.py)
+                return None
         use_pallas = (
             not use_mesh
+            and not self.ends_free  # no Pallas drift-ef kernel yet
             and jax.default_backend() != "cpu"
             and int(qshift.shape[0]) % 64 == 0
             and not self._prep_cache.get(("nodriftpallas", n_min, n_max))
@@ -928,14 +1079,16 @@ class BandedScorer:
         cached = self._prep_cache.get(key)
         if cached is None:
             wstart, width, s_ranks = band_windows_drift(
-                self.flat, n_min, n_max, costs, ub, S)
+                self.flat, n_min, n_max, costs, ub, S,
+                aln_type=self.aln_type)
             # the shared layout runs the same kernels at the same per-cell
             # speed; drift only pays when it is genuinely narrower
             shared_width = band_windows(self.flat, n_min, n_max, costs,
-                                        ub)[1] + 128
+                                        ub, aln_type=self.aln_type)[1] + 128
             if width + 128 >= shared_width:
                 width = None
-            mq = int(_round_up(max(0, -int(wstart.min())), 128))                 if width is not None else 0
+            mq = int(_round_up(max(0, -int(wstart.min())), 128)) \
+                if width is not None else 0
             pad = np.zeros(self.dg.n_nodes_padded - wstart.shape[0],
                            dtype=np.int32)
             s_pad = np.zeros_like(pad)
@@ -977,6 +1130,22 @@ class BandedScorer:
                     self._qpad.pop(next(iter(self._qpad)))
 
         two_piece = getattr(costs, "is_two_piece", False)
+        if self.ends_free:
+            # bounded ends-free spans are diagonal-anchored like global
+            # corridors, so drift applies unchanged; only the end rules
+            # differ (XLA body for now — no Pallas drift-ef kernel)
+            fs, end_ok, jlo = self._ef_params(lengths)
+            fn = _banded_exec_drift_ef(self.dg.window, width,
+                                       int(self._pred_ranks.shape[1]),
+                                       costs.gap_open, costs.gap_extend,
+                                       costs.mismatch, S)
+            return np.asarray(
+                fn(self.dg.symbols, self._pred_ranks, self.dg.pred_valid,
+                   wstarts, self.dg.write_slots, self.dg.end_rank, end_ok,
+                   s_ranks_d, s_prev_d, q_in, lengths, jlo,
+                   jnp.asarray(n_min, dtype=jnp.int32),
+                   jnp.asarray(mq, dtype=jnp.int32))
+            )
         if use_pallas:
             from ..ops.pallas_fill import (
                 pallas_banded_scores_drift,
@@ -1245,8 +1414,14 @@ class BandedScorer:
         n_min, n_max = entry[1]
         lengths_np = entry[2]
         two_piece = getattr(costs, "is_two_piece", False)
+        # drift applies to global spans and to bounded ends-free spans
+        # (diagonal-anchored); free graph begins are corner-anchored and
+        # two-piece ends-free has no drift kernel — both fall to shared
+        # windows / the bounded full fill
+        drift_ok = not (self.ends_free and (
+            two_piece or _free_allowances(self.aln_type)[0]))
         drift_eligible = (
-            not self.ends_free
+            drift_ok
             and n_max - n_min >= self.DRIFT_MIN_SPREAD
         )
         if ub is None:
@@ -1308,7 +1483,7 @@ class BandedScorer:
         cur_n_min, cur_n_max = n_min, n_max
         for attempt in range(max_retries):
             sub = None
-            if (not self.ends_free
+            if (drift_ok
                     and cur_n_max - cur_n_min >= self.DRIFT_MIN_SPREAD):
                 # per-read drifting windows: width stops paying the
                 # batch's length spread (VERDICT r1 weak #2); engages

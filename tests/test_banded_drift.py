@@ -206,6 +206,89 @@ def test_two_piece_drift_scores_exact():
     assert bs.stats["fullfill_fallbacks"] == 0
 
 
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_drift_bounded_ends_free_exact(seed):
+    """Drift x bounded ends-free (VERDICT r2 item 6): bounded spans are
+    diagonal-anchored like global corridors (scripts/drift_endsfree_probe.py),
+    so the drifting windows apply unchanged; only the end rules differ.
+    Scores must match the bounded full-fill oracle exactly."""
+    from poasta_tpu.aligner.costs import EndsFree, included, excluded
+    from poasta_tpu.aligner.wavefront import dp_fill_scores_ends_free
+
+    g, reads = _sv_graph_and_reads(seed)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    qshift, lengths = pack_queries(reads)
+    rng = random.Random(seed)
+    cfg = EndsFree(
+        ("unbounded", None),
+        included(rng.randrange(0, 60)),
+        included(0) if seed % 2 else excluded(1),
+        included(rng.randrange(0, 60)) if rng.random() < 0.7
+        else excluded(rng.randrange(1, 60)),
+    )
+    oracle = np.asarray(dp_fill_scores_ends_free(
+        dg, flat, qshift, lengths, COSTS, cfg))
+    bs = BandedScorer(flat, COSTS, dg=dg, aln_type=cfg)
+    got = np.asarray(bs.scores(qshift, lengths))
+    assert (got == oracle).all(), (got, oracle)
+    # warm call stays exact and the drift fill engages (not a full fill)
+    bs.reset_stats()
+    got = np.asarray(bs.scores(qshift, lengths))
+    assert (got == oracle).all()
+    assert bs.stats["tiers"] >= 1, "drift-ef fill should engage"
+
+
+def test_drift_bounded_ends_free_beats_shared_windows():
+    """The point of the combination: cells_filled drops >=2x vs shared
+    windows on a mixed-length batch under a bounded ends-free span."""
+    from poasta_tpu.aligner.costs import EndsFree, included
+    from poasta_tpu.aligner.wavefront import dp_fill_scores_ends_free
+
+    g, reads = _sv_graph_and_reads(21, base_len=5000, del_len=4000,
+                                   n_reads=32, div=0.015)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    qshift, lengths = pack_queries(reads)
+    cfg = EndsFree(("unbounded", None), included(50),
+                   included(0), included(50))
+    oracle = np.asarray(dp_fill_scores_ends_free(
+        dg, flat, qshift, lengths, COSTS, cfg))
+
+    drift = BandedScorer(flat, COSTS, dg=dg, aln_type=cfg)
+    assert (np.asarray(drift.scores(qshift, lengths)) == oracle).all()
+    drift.reset_stats()
+    assert (np.asarray(drift.scores(qshift, lengths)) == oracle).all()
+
+    shared = BandedScorer(flat, COSTS, dg=dg, aln_type=cfg)
+    shared.DRIFT_MIN_SPREAD = 1 << 30  # disable drift
+    assert (np.asarray(shared.scores(qshift, lengths)) == oracle).all()
+    shared.reset_stats()
+    assert (np.asarray(shared.scores(qshift, lengths)) == oracle).all()
+
+    ratio = shared.stats["cells_filled"] / drift.stats["cells_filled"]
+    assert ratio >= 2.0, f"only {ratio:.2f}x fewer cells with drift"
+
+
+def test_drift_declines_free_begin_spans():
+    """Free graph begins make every corridor corner-anchored (measured:
+    scripts/drift_endsfree_probe.py) — drift must decline and route
+    through the shared-window ends-free kernels, staying exact."""
+    from poasta_tpu.aligner.costs import EndsFree, UNBOUNDED, included
+    from poasta_tpu.aligner.wavefront import dp_fill_scores_ends_free
+
+    g, reads = _sv_graph_and_reads(31)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    qshift, lengths = pack_queries(reads)
+    cfg = EndsFree(UNBOUNDED, included(40), UNBOUNDED, included(40))
+    oracle = np.asarray(dp_fill_scores_ends_free(
+        dg, flat, qshift, lengths, COSTS, cfg))
+    bs = BandedScorer(flat, COSTS, dg=dg, aln_type=cfg)
+    got = np.asarray(bs.scores(qshift, lengths))
+    assert (got == oracle).all(), (got, oracle)
+
+
 @pytest.mark.parametrize("seed", [1001, 1005, 1009, 1013])
 def test_randomized_costs_banding_exact(seed):
     """Banding (drift + bounded ends-free) stays exact under randomized
