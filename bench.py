@@ -172,6 +172,24 @@ def main():
     extras["mixed_len_drift_cells_ratio"] = round(raw_sh / max(raw_s, 1), 2)
     extras["mixed_len_drift_speedup"] = round(el_sh / el_s, 2)
 
+    # --- mixed-length bounded ends-free (drift x ef; VERDICT r2 #6) ---
+    try:
+        from poasta_tpu.aligner.costs import EndsFree, included
+
+        cfg_ef = EndsFree(("unbounded", None), included(50), included(0),
+                          included(50))
+        sefd = BandedScorer(fsv, costs, aln_type=cfg_ef)
+        ef_scores, el_e, raw_e = _time_scores(sefd, qs, ls, 2)
+        sefs = BandedScorer(fsv, costs, aln_type=cfg_ef)
+        sefs.DRIFT_MIN_SPREAD = 1 << 30  # shared-window reference
+        efs_scores, el_es, raw_es = _time_scores(sefs, qs, ls, 2)
+        assert (ef_scores == efs_scores).all()
+        extras["ef_mixed_len_reads_per_sec"] = round(1024 / el_e, 2)
+        extras["ef_drift_cells_ratio"] = round(raw_es / max(raw_e, 1), 2)
+        extras["ef_drift_speedup"] = round(el_es / el_e, 2)
+    except Exception as exc:  # never fail the bench on the extra config
+        extras["ef_mixed_len_error"] = str(exc)[:120]
+
     # --- pangenome semi-global config (big kernel + anchored path) ----
     try:
         from poasta_tpu.aligner.costs import EndsFree, UNBOUNDED, included

@@ -1069,7 +1069,6 @@ class BandedScorer:
                 return None
         use_pallas = (
             not use_mesh
-            and not self.ends_free  # no Pallas drift-ef kernel yet
             and jax.default_backend() != "cpu"
             and int(qshift.shape[0]) % 64 == 0
             and not self._prep_cache.get(("nodriftpallas", n_min, n_max))
@@ -1133,8 +1132,35 @@ class BandedScorer:
         if self.ends_free:
             # bounded ends-free spans are diagonal-anchored like global
             # corridors, so drift applies unchanged; only the end rules
-            # differ (XLA body for now — no Pallas drift-ef kernel)
+            # differ
             fs, end_ok, jlo = self._ef_params(lengths)
+            if use_pallas:
+                from ..ops.pallas_fill import (
+                    pallas_banded_scores_drift_ef,
+                    prepare_banded_drift,
+                )
+
+                pkey = key + ("prep",)
+                prep = self._prep_cache.get(pkey)
+                if prep is None:
+                    prep = prepare_banded_drift(
+                        self.dg, costs, host_arrays[0], width,
+                        host_arrays[1], S, int(q_in.shape[1]) - mq)
+                    self._prep_cache[pkey] = prep
+                try:
+                    return np.asarray(pallas_banded_scores_drift_ef(
+                        self.dg, q_in, lengths, costs, prep, n_min,
+                        end_ok, jlo))
+                except Exception:
+                    self._prep_cache[("nodriftpallas", n_min, n_max)] = True
+                    self._prep_cache.pop(key, None)
+                    return None  # decline: see the accelerator rule below
+            if jax.default_backend() != "cpu":
+                # without the Pallas drift-ef kernel, the XLA drift body
+                # would lose to the shared-window Pallas ends-free
+                # kernel's ~15x per-cell advantage on an accelerator —
+                # decline so the shared kernels serve the batch
+                return None
             fn = _banded_exec_drift_ef(self.dg.window, width,
                                        int(self._pred_ranks.shape[1]),
                                        costs.gap_open, costs.gap_extend,

@@ -2450,6 +2450,246 @@ def pallas_banded_scores_drift(dg, qpad, lengths, costs, prep, n_min: int):
               jnp.asarray(n_min, dtype=jnp.int32), prep["w_end"])
 
 
+def _banded_kernel_drift_ef(
+    # scalar prefetch
+    symbols_ref,      # (Np,)
+    pred_slots_ref,   # (Np*P,) ring slots
+    pred_valid_ref,   # (Np*P,)
+    pred_wstart_ref,  # (Np*P,)
+    wstart_ref,       # (Np,) shared FRAME window start (may be negative)
+    wslot_ref,        # (Np,)
+    s_ref,            # (Np,) cumulative drift-step count per rank
+    s_prev_ref,       # (Np,)
+    end_ok_ref,       # (Np,) int32 0/1 — graph-end bound per rank
+    meta_ref,         # (4,)
+    # inputs
+    qshift_ref,       # (B_BLK, MQ+L) VMEM
+    nbs_ref,          # (B_BLK, 128) VMEM — per-read drift units
+    jlo_ref,          # (B_BLK, 128) VMEM — query-end window low bound
+    len_ref,          # (B_BLK, 128) VMEM — query lengths
+    # outputs
+    best_ref,         # (B_BLK, Wb) VMEM — running windowed min (lanes
+    #                   lose positional meaning; caller min-reduces)
+    # scratch
+    m_ring, d_ring,   # (W, B_BLK, 2*MARGIN + Wb)
+    q_cur,            # (B_BLK, MQ+L)
+    *, W: int, P: int, Wb: int, MARGIN: int, MQ: int, S: int, o: int,
+    e: int, x: int, B_BLK: int, dtype,
+):
+    """Drifting-window banded fill for *bounded* ends-free spans.
+
+    Frame mechanics of :func:`_banded_kernel_drift` plus the bounded-span
+    end rules of :func:`_banded_kernel_ef`.  Because each read's global
+    offset ``j = w_r + jloc + sigma_b(r)`` is read-dependent, the
+    permitted end window ``[jlo_b, n_b]`` folds into the scan as an
+    elementwise running min over a (B_BLK, Wb) best tile — no per-rank
+    lane reduction (measured to stall the pipeline) and no (B, L) best
+    row (the frame roll would discard still-valid lanes).  Free graph
+    begin is unsupported by design: those corridors are corner-anchored
+    and drift cannot narrow them (scripts/drift_endsfree_probe.py).
+    """
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    TOT = 2 * MARGIN + Wb
+    inf = INF16 if dtype == jnp.int16 else INF
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+        d_ring[w] = jnp.full((B_BLK, TOT), inf, dtype=dtype)
+    q_cur[:] = qshift_ref[:]
+    best_ref[:] = jnp.full((B_BLK, Wb), inf, dtype=dtype)
+
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
+    masks = _ge_masks(col32, Wb)
+    nbs_col = nbs_ref[:][:, :1]  # (B_BLK, 1) int32
+    jlo_col = jlo_ref[:][:, :1]
+    len_col = len_ref[:][:, :1]
+
+    def body(r, _):
+        sym = symbols_ref[r]
+        w_r = wstart_ref[r]
+        s_r = s_ref[r]
+        s_p = s_prev_ref[r]
+        sig_now_col = ((nbs_col * s_r) // S) * 128  # (B, 1)
+        sig_prev_col = ((nbs_col * s_p) // S) * 128
+
+        @pl.when(s_r > s_p)
+        def _():
+            stepped = sig_now_col > sig_prev_col  # (B, 1)
+            qroll = jnp.concatenate(
+                [q_cur[:, 128:],
+                 jnp.zeros((B_BLK, 128), q_cur.dtype)], axis=1)
+            q_cur[:] = jnp.where(stepped, qroll, q_cur[:])
+            for w in range(W):
+                mw = m_ring[w]
+                dw = d_ring[w]
+                m_ring[w] = jnp.where(
+                    stepped,
+                    jnp.concatenate(
+                        [mw[:, 128:],
+                         jnp.full((B_BLK, 128), inf, dtype)], axis=1),
+                    mw)
+                d_ring[w] = jnp.where(
+                    stepped,
+                    jnp.concatenate(
+                        [dw[:, 128:],
+                         jnp.full((B_BLK, 128), inf, dtype)], axis=1),
+                    dw)
+
+        j32 = col32 + w_r + sig_now_col  # (B, Wb) global offsets
+
+        slot0 = pred_slots_ref[r * P]
+        delta0 = jnp.clip(w_r - pred_wstart_ref[r * P], -MARGIN, MARGIN)
+        start0 = pl.multiple_of(MARGIN + delta0, 128)
+        min_pm = m_ring[slot0, :, pl.ds(start0, Wb)]
+        min_pd = d_ring[slot0, :, pl.ds(start0, Wb)]
+        for p in range(1, P):
+            slot = pred_slots_ref[r * P + p]
+            valid = pred_valid_ref[r * P + p]
+            w_p = pred_wstart_ref[r * P + p]
+            delta = jnp.clip(w_r - w_p, -MARGIN, MARGIN)
+            start = pl.multiple_of(MARGIN + delta, 128)
+            am = m_ring[slot, :, pl.ds(start, Wb)]
+            ad = d_ring[slot, :, pl.ds(start, Wb)]
+            keep = valid == 1
+            min_pm = jnp.minimum(min_pm, jnp.where(keep, am, inf))
+            min_pd = jnp.minimum(min_pd, jnp.where(keep, ad, inf))
+
+        D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
+
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+        qstart = pl.multiple_of(w_r + MQ, 128)
+        qwin = q_cur[:, pl.ds(qstart, Wb)]
+        match_cost = jnp.where(qwin == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
+        diag = diag_src + match_cost
+
+        A = jnp.minimum(diag, D)
+        # bounded graph begin degenerates to the start node (reference
+        # initial_states, gap_affine.rs:150-168): global origin only
+        zero_at_origin = jnp.where(j32 == 0, jnp.int32(0),
+                                   jnp.int32(inf)).astype(dtype)
+        A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
+
+        ejg = (e * j32).astype(dtype)
+        t = A - ejg
+        pref = _prefix_min_rows(t, Wb, dtype(inf), col32, masks)
+        pref_m1 = _roll_lanes(pref, 1)
+        pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
+
+        M = jnp.minimum(A, I)
+        is_end = r == end_rank
+        M = jnp.where(is_end, min_pm, M)
+
+        @pl.when(end_ok_ref[r] == 1)
+        def _():
+            allowed = jnp.logical_and(j32 >= jlo_col, j32 <= len_col)
+            best_ref[:] = jnp.minimum(best_ref[:],
+                                      jnp.where(allowed, M, dtype(inf)))
+
+        slot = wslot_ref[r]
+        m_ring[slot, :, MARGIN:MARGIN + Wb] = M
+        d_ring[slot, :, MARGIN:MARGIN + Wb] = jnp.where(
+            is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
+        return 0
+
+    jax.lax.fori_loop(0, n_nodes, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_exec_drift_ef(nblocks: int, W: int, P: int, Wb: int,
+                          MARGIN: int, MQ: int, S: int, L: int, o: int,
+                          e: int, x: int, B_BLK: int = 64,
+                          use_int16: bool = False):
+    dtype = jnp.int16 if use_int16 else jnp.int32
+    kernel = functools.partial(_banded_kernel_drift_ef, W=W, P=P, Wb=Wb,
+                               MARGIN=MARGIN, MQ=MQ, S=S, o=o, e=e, x=x,
+                               B_BLK=B_BLK, dtype=dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B_BLK, MQ + L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B_BLK, Wb), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+            pltpu.VMEM((B_BLK, MQ + L), jnp.int32),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, pred_wstarts, wstarts, wslots,
+           s_ranks, s_prev, end_ok, meta, qpad, lengths, jlo, n_min_s):
+        lengths_i = lengths.astype(jnp.int32)
+        nbs = jnp.maximum(lengths_i - n_min_s + 64, 0) // 128
+
+        def tile(v):
+            return jnp.broadcast_to(
+                v[:, None], (v.shape[0], 128)).astype(jnp.int32)
+
+        best = call(symbols, pred_slots, pred_valid, pred_wstarts,
+                    wstarts, wslots, s_ranks, s_prev, end_ok, meta, qpad,
+                    tile(nbs), tile(jlo.astype(jnp.int32)),
+                    tile(lengths_i)).astype(jnp.int32)
+        out = jnp.min(best, axis=1)
+        if use_int16:
+            out = jnp.where(out >= INF16, jnp.int32(INF), out)
+        return out
+
+    return fn
+
+
+def pallas_banded_scores_drift_ef(dg, qpad, lengths, costs, prep,
+                                  n_min: int, end_ok, jlo):
+    """Drifting-window banded scores for bounded ends-free spans via the
+    Pallas kernel.  ``qpad`` as in :func:`pallas_banded_scores_drift`;
+    ``end_ok``/``jlo`` from ``ends_free_device_params``."""
+    _check_prefetch_fits(dg, 5)
+    B, LQ = qpad.shape
+    assert B % B_BLK == 0
+    P = int(dg.pred_slots.shape[1])
+    Np = dg.n_nodes_padded
+    margin, width, mq, S = (prep["margin"], prep["width"], prep["mq"],
+                            prep["S"])
+    L = LQ - mq
+
+    dtype = score_dtype(Np, LQ, costs.gap_open, costs.gap_extend,
+                        costs.mismatch)
+    use_int16 = dtype == jnp.int16
+    blk = pick_b_blk(dg.window, 2 * margin + width, LQ,
+                     2 if use_int16 else 4)
+    while B % blk:
+        blk //= 2
+    fn = _banded_exec_drift_ef(B // blk, dg.window, P, width, margin, mq,
+                               S, L, costs.gap_open, costs.gap_extend,
+                               costs.mismatch, B_BLK=blk,
+                               use_int16=use_int16)
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
+              prep["s_ranks"], prep["s_prev"], end_ok, dg.meta, qpad,
+              lengths, jlo, jnp.asarray(n_min, dtype=jnp.int32))
+
+
 def _banded_kernel_drift_2p(
     # scalar prefetch
     symbols_ref, pred_slots_ref, pred_valid_ref, pred_wstart_ref,

@@ -250,6 +250,20 @@ def main():
     assert (got_ef == oracle_ef).all(), (got_ef, oracle_ef)
     print("OK")
 
+    print("  pallas drift x bounded ends-free ...", end=" ", flush=True)
+    cfg_de = EndsFree(UNBOUNDED, included(40), included(0), included(40))
+    oracle_de = np.asarray(dp_fill_scores_ends_free(
+        dg2, flat2, q2, l2, costs, cfg_de))
+    bs_de = BandedScorer(flat2, costs, dg=dg2, aln_type=cfg_de)
+    got_de = np.asarray(bs_de.scores(q2, l2))
+    assert (got_de == oracle_de).all(), (got_de[:6], oracle_de[:6])
+    assert not [k for k in bs_de._prep_cache
+                if isinstance(k, tuple) and k
+                and str(k[0]).startswith("nodrift")], \
+        "drift-ef pallas kernel fell back on this toolchain"
+    assert bs_de.stats["fills"] and not bs_de.stats["fullfill_fallbacks"]
+    print("OK")
+
     print("big-graph kernel (HBM->SMEM chunked rank tables):")
     big_base = "".join(rng.choice("ACGT") for _ in range(60000))
     gb = POAGraph()
