@@ -239,13 +239,66 @@ def band_windows_drift(flat: FlatGraph, n_min: int, n_max: int,
     return wstart.astype(np.int32), width, s_ranks.astype(np.int32)
 
 
+def ins_run_cap(costs, ub: int, width: int) -> int:
+    """Power-of-two cap on insertion-run length for an ≤``ub`` fill, or 0
+    for no cap (cap would not be narrower than the band).
+
+    Any path of total cost ≤ ub spends at most K = (ub-o)//e on one
+    insertion run, so the insertion prefix-min only needs to look back
+    2^ceil(log2 K) lanes instead of the whole band — fewer Hillis–Steele
+    rounds.  Truncation only *removes* candidate predecessors, so banded
+    scores still only over-estimate and the verify-and-retry ladder's
+    exactness argument is unchanged: if the returned score is ≤ ub, the
+    true optimum is ≤ ub, its insertion runs all fit the cap, and the
+    fill saw its whole path.  Two-piece costs are excluded (the coupled
+    scan has two extend rates; callers pass 0).
+    """
+    if getattr(costs, "is_two_piece", False):
+        return 0  # piece-2 extends cheaper: the piece-1 bound is unsound
+    o, e = costs.gap_open, costs.gap_extend
+    if ub < o + e:
+        K = 1
+    else:
+        K = max((ub - o) // e, 1)
+    cap = 1
+    while cap < K:
+        cap <<= 1
+    return cap if cap < width else 0
+
+
+# tests flip this to exercise the truncated prefix-min on CPU, where it
+# is otherwise disabled (lax.cummin beats the roll-rounds there —
+# measured ~2x on the drift suite; the truncation is a TPU op-count win)
+FORCE_TRUNC_ON_CPU = False
+
+
+def _run_cap_for_backend(costs, ub: int, width: int) -> int:
+    if jax.default_backend() == "cpu" and not FORCE_TRUNC_ON_CPU:
+        return 0
+    return ins_run_cap(costs, ub, width)
+
+
+def _prefix_min_trunc(t, max_run: int, B: int):
+    """Inclusive prefix-min over a trailing window of ``max_run`` lanes
+    (power of two) via shift+min doubling; mirrors the Pallas kernels'
+    truncated rounds."""
+    k = 1
+    while k < max_run:
+        shifted = jnp.concatenate(
+            [jnp.full((B, k), INF, jnp.int32), t[:, :-k]], axis=1)
+        t = jnp.minimum(t, shifted)
+        k <<= 1
+    return t
+
+
 @functools.lru_cache(maxsize=None)
 def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int,
-                 vary_axes: tuple = ()):
+                 max_run: int = 0, vary_axes: tuple = ()):
     """Banded scores kernel: rings hold (B, W, Wb) windows.
 
-    ``vary_axes``: mesh axes this runs under via shard_map — the scan
-    carry must be pcast to varying over them.
+    ``max_run``: insertion-run cap from :func:`ins_run_cap` (0 = full
+    band).  ``vary_axes``: mesh axes this runs under via shard_map — the
+    scan carry must be pcast to varying over them.
     """
 
     @jax.jit
@@ -310,7 +363,10 @@ def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int,
             A = jnp.minimum(A, jnp.where(origin, jnp.int32(0), INF))
 
             t = A - e * j_global[None, :]
-            pref = jax.lax.cummin(t, axis=1)
+            if max_run:
+                pref = _prefix_min_trunc(t, max_run, B)
+            else:
+                pref = jax.lax.cummin(t, axis=1)
             pref_m1 = jnp.concatenate(
                 [jnp.full((B, 1), INF, jnp.int32), pref[:, :-1]], axis=1)
             I = jnp.minimum(pref_m1 + o + e * j_global[None, :] + e * 0, INF)
@@ -343,7 +399,8 @@ def _banded_exec(window: int, Wb: int, P: int, o: int, e: int, x: int,
 
 @functools.lru_cache(maxsize=None)
 def _banded_exec_ef(window: int, Wb: int, P: int, o: int, e: int, x: int,
-                    free_start: bool, vary_axes: tuple = ()):
+                    free_start: bool, max_run: int = 0,
+                    vary_axes: tuple = ()):
     """Ends-free banded scores kernel (XLA body).
 
     Like :func:`_banded_exec` plus bounded/unbounded free ends: a free
@@ -418,7 +475,10 @@ def _banded_exec_ef(window: int, Wb: int, P: int, o: int, e: int, x: int,
             A = jnp.minimum(A, jnp.where(origin, jnp.int32(0), INF))
 
             t = A - e * j_global[None, :]
-            pref = jax.lax.cummin(t, axis=1)
+            if max_run:
+                pref = _prefix_min_trunc(t, max_run, B)
+            else:
+                pref = jax.lax.cummin(t, axis=1)
             pref_m1 = jnp.concatenate(
                 [jnp.full((B, 1), INF, jnp.int32), pref[:, :-1]], axis=1)
             I = jnp.minimum(pref_m1 + o + e * j_global[None, :], INF)
@@ -572,7 +632,7 @@ def _banded_exec_drift_2p(window: int, Wb: int, P: int, o1: int, e1: int,
 
 @functools.lru_cache(maxsize=None)
 def _banded_exec_drift(window: int, Wb: int, P: int, o: int, e: int, x: int,
-                       S: int, vary_axes: tuple = ()):
+                       S: int, max_run: int = 0, vary_axes: tuple = ()):
     """Banded scores kernel with per-read drifting windows (XLA body).
 
     Each read's window is the shared layout shifted right by
@@ -662,7 +722,10 @@ def _banded_exec_drift(window: int, Wb: int, P: int, o: int, e: int, x: int,
             A = jnp.minimum(A, jnp.where(origin, jnp.int32(0), INF))
 
             t = A - e * j32
-            pref = jax.lax.cummin(t, axis=1)
+            if max_run:
+                pref = _prefix_min_trunc(t, max_run, B)
+            else:
+                pref = jax.lax.cummin(t, axis=1)
             pref_m1 = jnp.concatenate(
                 [jnp.full((B, 1), INF, jnp.int32), pref[:, :-1]], axis=1)
             I = jnp.minimum(pref_m1 + o + e * j32, INF)
@@ -694,7 +757,8 @@ def _banded_exec_drift(window: int, Wb: int, P: int, o: int, e: int, x: int,
 
 @functools.lru_cache(maxsize=None)
 def _banded_exec_drift_ef(window: int, Wb: int, P: int, o: int, e: int,
-                          x: int, S: int, vary_axes: tuple = ()):
+                          x: int, S: int, max_run: int = 0,
+                          vary_axes: tuple = ()):
     """Drifting-window banded scores kernel for *bounded* ends-free spans
     (XLA body).
 
@@ -793,7 +857,10 @@ def _banded_exec_drift_ef(window: int, Wb: int, P: int, o: int, e: int,
             A = jnp.minimum(A, jnp.where(origin, jnp.int32(0), INF))
 
             t = A - e * j32
-            pref = jax.lax.cummin(t, axis=1)
+            if max_run:
+                pref = _prefix_min_trunc(t, max_run, B)
+            else:
+                pref = jax.lax.cummin(t, axis=1)
             pref_m1 = jnp.concatenate(
                 [jnp.full((B, 1), INF, jnp.int32), pref[:, :-1]], axis=1)
             I = jnp.minimum(pref_m1 + o + e * j32, INF)
@@ -1150,7 +1217,8 @@ class BandedScorer:
                 try:
                     return np.asarray(pallas_banded_scores_drift_ef(
                         self.dg, q_in, lengths, costs, prep, n_min,
-                        end_ok, jlo))
+                        end_ok, jlo,
+                        max_run=ins_run_cap(costs, ub, width)))
                 except Exception:
                     self._prep_cache[("nodriftpallas", n_min, n_max)] = True
                     self._prep_cache.pop(key, None)
@@ -1164,7 +1232,9 @@ class BandedScorer:
             fn = _banded_exec_drift_ef(self.dg.window, width,
                                        int(self._pred_ranks.shape[1]),
                                        costs.gap_open, costs.gap_extend,
-                                       costs.mismatch, S)
+                                       costs.mismatch, S,
+                                       max_run=_run_cap_for_backend(costs, ub,
+                                                           width))
             return np.asarray(
                 fn(self.dg.symbols, self._pred_ranks, self.dg.pred_valid,
                    wstarts, self.dg.write_slots, self.dg.end_rank, end_ok,
@@ -1194,7 +1264,9 @@ class BandedScorer:
                     )
                 return np.asarray(
                     pallas_banded_scores_drift(self.dg, q_in, lengths,
-                                               costs, prep, n_min)
+                                               costs, prep, n_min,
+                                               max_run=ins_run_cap(
+                                                   costs, ub, width))
                 )
             except Exception:
                 # compile failure (VMEM at wide bands, or a Mosaic gap on
@@ -1217,6 +1289,7 @@ class BandedScorer:
                                     int(self._pred_ranks.shape[1]),
                                     costs.gap_open, costs.gap_extend,
                                     costs.mismatch, S,
+                                    max_run=_run_cap_for_backend(costs, ub, width),
                                     vary_axes=("dp",) if use_mesh else ())
         if use_mesh:
             skey = key + ("sharded",)
@@ -1326,18 +1399,21 @@ class BandedScorer:
                     prep = builder(self.dg, costs, wstart, width,
                                    int(q_in.shape[1]))
                     self._prep_cache[pkey] = prep
+                kcap = ins_run_cap(costs, ub, width)
                 try:
                     if use_big:
                         return np.asarray(
                             pallas_banded_scores_big(self.dg, q_in,
-                                                     lengths, costs, prep)
+                                                     lengths, costs, prep,
+                                                     max_run=kcap)
                         )
                     if self.ends_free:
                         fs, end_ok, jlo = self._ef_params(lengths)
                         return np.asarray(
                             pallas_banded_scores_ef(self.dg, q_in, lengths,
                                                     costs, prep, fs,
-                                                    end_ok, jlo)
+                                                    end_ok, jlo,
+                                                    max_run=kcap)
                         )
                     if two_piece:
                         return np.asarray(
@@ -1346,7 +1422,7 @@ class BandedScorer:
                         )
                     return np.asarray(
                         pallas_banded_scores(self.dg, q_in, lengths, costs,
-                                             prep=prep)
+                                             prep=prep, max_run=kcap)
                     )
                 except Exception:
                     # kernel didn't compile for this shape (e.g. the rings
@@ -1386,7 +1462,8 @@ class BandedScorer:
                 fn = _banded_exec_ef(self.dg.window, width,
                                      int(self._pred_ranks.shape[1]),
                                      costs.gap_open, costs.gap_extend,
-                                     costs.mismatch, fs)
+                                     costs.mismatch, fs,
+                                     max_run=_run_cap_for_backend(costs, ub, width))
                 return np.asarray(
                     fn(self.dg.symbols, self._pred_ranks,
                        self.dg.pred_valid, wstarts, self.dg.write_slots,
@@ -1403,6 +1480,7 @@ class BandedScorer:
                                   int(self._pred_ranks.shape[1]),
                                   costs.gap_open, costs.gap_extend,
                                   costs.mismatch,
+                                  max_run=_run_cap_for_backend(costs, ub, width),
                                   vary_axes=("dp",) if use_mesh else ())
             if use_mesh:
                 fn = self._sharded(fn, key)
@@ -1716,7 +1794,10 @@ class BandedScorer:
                 inner = pf._banded_exec(
                     B_shard // blk, self.dg.window, P_, width, margin, L,
                     costs.gap_open, costs.gap_extend, costs.mismatch,
-                    B_BLK=blk, use_int16=use_int16)
+                    B_BLK=blk, use_int16=use_int16,
+                    # key = (n_min, n_max, ub, ...): the fill's ub bounds
+                    # the insertion-run cap (see ins_run_cap)
+                    max_run=ins_run_cap(costs, key[2], width))
             mapped = jax.shard_map(
                 inner,
                 mesh=self.mesh,

@@ -145,9 +145,16 @@ def _int16_supported() -> bool:
 def score_dtype(n_nodes: int, L: int, o: int, e: int, x: int):
     """int16 when the worst finite DP value provably fits and the
     toolchain can compile the int16 kernel (see :func:`_int16_supported`),
-    else int32."""
+    else int32.
+
+    The tilted banded kernels need the tighter INF16//2 bound: INF
+    erodes by at most e per rank through tilted diag chains, and the
+    extraction separates eroded-INF from genuine values at INF16//2 —
+    sound iff worst-genuine < INF16//2 < INF16 - e*n_nodes, both implied
+    by worst < INF16//2 - 64 (worst >= e*n_nodes).
+    """
     worst = 2 * o + e * (n_nodes + L) + x
-    if worst < INF16 - 64 and e * (L - 1) + o + x + INF16 < 32767 \
+    if worst < INF16 // 2 - 64 and e * (L - 1) + o + x + INF16 < 32767 \
             and _int16_supported():
         return jnp.int16
     return jnp.int32
@@ -196,18 +203,23 @@ def _ge_masks(col32, L: int):
 
 
 def _prefix_min_rows(t: jnp.ndarray, L: int, inf, col32,
-                     masks=None) -> jnp.ndarray:
+                     masks=None, max_shift: int = 0) -> jnp.ndarray:
     """Inclusive prefix-min along the last (lane) axis via shift+min.
 
     ``col32`` is an int32 lane iota; ``masks`` an optional precomputed
-    :func:`_ge_masks` dict.  Mosaic (v5e) constraints for the int16 path,
-    established empirically: comparisons must be int32 (int16 compares
-    fail i1 relayout), int32-compare masks may select int16 *arrays* (not
-    scalar/scalar pairs), and scalar conditions must not be
-    logical_and-ed with vector masks.
+    :func:`_ge_masks` dict.  ``max_shift`` (power of two) truncates the
+    look-back window to that many lanes — banded fills use it to skip
+    Hillis–Steele rounds past the ≤ub insertion-run bound (see
+    ``aligner.banded.ins_run_cap``; truncation only over-estimates, so
+    verify-and-retry exactness is preserved).  Mosaic (v5e) constraints
+    for the int16 path, established empirically: comparisons must be
+    int32 (int16 compares fail i1 relayout), int32-compare masks may
+    select int16 *arrays* (not scalar/scalar pairs), and scalar
+    conditions must not be logical_and-ed with vector masks.
     """
     k = 1
-    while k < L:
+    cap = min(L, max_shift) if max_shift else L
+    while k < cap:
         shifted = _roll_lanes(t, k)
         mask = masks[k] if masks is not None else col32 >= k
         shifted = jnp.where(mask, shifted, inf)
@@ -1533,8 +1545,19 @@ def _banded_kernel(
     # ref loads (Pallas cannot dynamic-slice register arrays)
     m_ring, d_ring,   # (W, B_BLK, 2*MARGIN + Wb) VMEM
     *, W: int, P: int, Wb: int, MARGIN: int, o: int, e: int, x: int,
-    B_BLK: int, dtype,
+    B_BLK: int, dtype, max_run: int = 0,
 ):
+    """Banded fill in TILTED coordinates: rings store X'(j) = X(j) - e*j.
+
+    The tilt makes the insertion closure shift-invariant —
+    I' = prefix_min(A')_{j-1} + o — eliminating the per-rank e*j
+    subtract/add pair; the -e on the diagonal folds into the match-cost
+    constants (match: -e, mismatch: x - e) and D' keeps the untilted
+    constants (same j).  Predecessor window reads stay consistent because
+    values are tilted by *global* j, which window alignment preserves.
+    The caller un-tilts by adding e*length at score extraction.
+    ``max_run``: ≤ub insertion-run cap (see _prefix_min_rows).
+    """
     n_nodes = meta_ref[0]
     end_rank = meta_ref[1]
     TOT = 2 * MARGIN + Wb
@@ -1579,8 +1602,9 @@ def _banded_kernel(
         diag_src = jnp.where(masks[1], diag_src, dtype(inf))
         qstart = pl.multiple_of(w_r, 128)
         qwin = qshift_ref[:, pl.ds(qstart, Wb)]
-        match_cost = jnp.where(qwin == sym, jnp.int32(0),
-                               jnp.int32(x)).astype(dtype)
+        # tilted: diag'(j) = M'(j-1) + (match_cost - e)
+        match_cost = jnp.where(qwin == sym, jnp.int32(-e),
+                               jnp.int32(x - e)).astype(dtype)
         diag = diag_src + match_cost
 
         A = jnp.minimum(diag, D)
@@ -1588,14 +1612,13 @@ def _banded_kernel(
                                    jnp.int32(inf)).astype(dtype)
         A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
 
-        # int16 note: e * j can exceed int16 for long reads; the int16
-        # path is only selected when e*(L-1) fits (see score_dtype).
-        ejg = (e * j32).astype(dtype)
-        t = A - ejg
-        pref = _prefix_min_rows(t, Wb, dtype(inf), col32, masks)
+        # int16 note: |X - e*j| can exceed int16 for long reads; the
+        # int16 path is only selected when e*(L-1) fits (see score_dtype).
+        pref = _prefix_min_rows(A, Wb, dtype(inf), col32, masks,
+                                max_shift=max_run)
         pref_m1 = _roll_lanes(pref, 1)
         pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
-        I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o), dtype(inf))
 
         M = jnp.minimum(A, I)
         is_end = r == end_rank
@@ -1617,10 +1640,11 @@ def _banded_kernel(
 @functools.lru_cache(maxsize=None)
 def _banded_exec(nblocks: int, W: int, P: int, Wb: int, MARGIN: int, L: int,
                  o: int, e: int, x: int, B_BLK: int = 64,
-                 use_int16: bool = False):
+                 use_int16: bool = False, max_run: int = 0):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_banded_kernel, W=W, P=P, Wb=Wb, MARGIN=MARGIN,
-                               o=o, e=e, x=x, B_BLK=B_BLK, dtype=dtype)
+                               o=o, e=e, x=x, B_BLK=B_BLK, dtype=dtype,
+                               max_run=max_run)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -1648,12 +1672,15 @@ def _banded_exec(nblocks: int, W: int, P: int, Wb: int, MARGIN: int, L: int,
            meta, qshift, lengths, w_end):
         end_row = call(symbols, pred_slots, pred_valid, pred_wstarts,
                        wstarts, wslots, meta, qshift)
-        idx_loc = lengths.astype(jnp.int32) - w_end
+        lengths_i = lengths.astype(jnp.int32)
+        idx_loc = lengths_i - w_end
         in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
         idx_c = jnp.clip(idx_loc, 0, Wb - 1)[:, None]
         at = jnp.take_along_axis(end_row, idx_c, axis=1)[:, 0].astype(jnp.int32)
-        if use_int16:
-            at = jnp.where(at >= INF16, jnp.int32(INF), at)
+        # un-tilt (+e*j at j=length); eroded-INF lanes (INF walked down by
+        # at most e per rank through tilted diag chains) map back to INF
+        thresh = (INF16 if use_int16 else INF) // 2
+        at = jnp.where(at >= thresh, jnp.int32(INF), at + e * lengths_i)
         return jnp.where(in_range, at, jnp.int32(INF))
 
     return fn
@@ -1672,7 +1699,7 @@ def _banded_kernel_big(
     # scratch
     m_ring, d_ring, tab_s, q_seg, sems,
     *, W: int, P: int, Wb: int, MARGIN: int, QSEG: int, o: int, e: int,
-    x: int, B_BLK: int, dtype,
+    x: int, B_BLK: int, dtype, max_run: int = 0,
 ):
     """Banded fill for graphs past the scalar-prefetch SMEM budget:
     per-rank records (incl. the window tables) stream HBM->SMEM in
@@ -1764,8 +1791,8 @@ def _banded_kernel_big(
             diag_src = jnp.where(masks[1], diag_src, dtype(inf))
             qstart = pl.multiple_of(w_r - qb_k, 128)
             qwin = q_seg[buf, :, pl.ds(qstart, Wb)]
-            match_cost = jnp.where(qwin == sym, jnp.int32(0),
-                                   jnp.int32(x)).astype(dtype)
+            match_cost = jnp.where(qwin == sym, jnp.int32(-e),
+                                   jnp.int32(x - e)).astype(dtype)
             diag = diag_src + match_cost
 
             A = jnp.minimum(diag, D)
@@ -1773,12 +1800,11 @@ def _banded_kernel_big(
                                        jnp.int32(inf)).astype(dtype)
             A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
 
-            ejg = (e * j32).astype(dtype)
-            t = A - ejg
-            pref = _prefix_min_rows(t, Wb, dtype(inf), col32, masks)
+            pref = _prefix_min_rows(A, Wb, dtype(inf), col32, masks,
+                                    max_shift=max_run)
             pref_m1 = _roll_lanes(pref, 1)
             pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
-            I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
+            I = jnp.minimum(pref_m1 + dtype(o), dtype(inf))
 
             M = jnp.minimum(A, I)
             is_end = r == end_rank
@@ -1803,11 +1829,12 @@ def _banded_kernel_big(
 @functools.lru_cache(maxsize=None)
 def _banded_exec_big(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
                      L: int, QSEG: int, o: int, e: int, x: int,
-                     B_BLK: int = 64, use_int16: bool = False):
+                     B_BLK: int = 64, use_int16: bool = False,
+                     max_run: int = 0):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_banded_kernel_big, W=W, P=P, Wb=Wb,
                                MARGIN=MARGIN, QSEG=QSEG, o=o, e=e, x=x,
-                               B_BLK=B_BLK, dtype=dtype)
+                               B_BLK=B_BLK, dtype=dtype, max_run=max_run)
     R = 3 + 3 * P
     CW = BIG_CHUNK * R
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1837,13 +1864,15 @@ def _banded_exec_big(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
     @jax.jit
     def fn(tab, meta, qbase, qshift, lengths, w_end):
         end_row = call(meta, qbase, tab, qshift)
-        idx_loc = lengths.astype(jnp.int32) - w_end
+        lengths_i = lengths.astype(jnp.int32)
+        idx_loc = lengths_i - w_end
         in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
         idx_c = jnp.clip(idx_loc, 0, Wb - 1)[:, None]
         at = jnp.take_along_axis(end_row, idx_c,
                                  axis=1)[:, 0].astype(jnp.int32)
-        if use_int16:
-            at = jnp.where(at >= INF16, jnp.int32(INF), at)
+        # un-tilt (+e*j at j=length); eroded-INF lanes map back to INF
+        thresh = (INF16 if use_int16 else INF) // 2
+        at = jnp.where(at >= thresh, jnp.int32(INF), at + e * lengths_i)
         return jnp.where(in_range, at, jnp.int32(INF))
 
     return fn
@@ -1912,7 +1941,8 @@ def prepare_banded_big(dg, costs, wstarts_np, width: int, L: int):
     }
 
 
-def pallas_banded_scores_big(dg, qshift, lengths, costs, prep):
+def pallas_banded_scores_big(dg, qshift, lengths, costs, prep,
+                             max_run: int = 0):
     """Banded global scores for graphs past the scalar-prefetch budget."""
     B, L = qshift.shape
     assert B % B_BLK == 0
@@ -1931,7 +1961,7 @@ def pallas_banded_scores_big(dg, qshift, lengths, costs, prep):
         blk //= 2
     fn = _banded_exec_big(B // blk, dg.window, P, width, margin, L, qseg,
                           costs.gap_open, costs.gap_extend, costs.mismatch,
-                          B_BLK=blk, use_int16=use_int16)
+                          B_BLK=blk, use_int16=use_int16, max_run=max_run)
     return fn(prep["big_tab"], prep["meta"], prep["qbase"], qshift,
               lengths, prep["w_end"])
 
@@ -1971,7 +2001,7 @@ def prepare_banded(dg, costs, wstarts_np, width: int, L: int):
 
 
 def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np=None,
-                         width: int = 0, prep=None):
+                         width: int = 0, prep=None, max_run: int = 0):
     """Banded global-alignment scores via the Pallas kernel.
 
     Either pass ``prep`` from :func:`prepare_banded` (cached, zero upload)
@@ -1996,7 +2026,7 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np=None,
         blk //= 2
     fn = _banded_exec(B // blk, dg.window, P, width, margin, L,
                       costs.gap_open, costs.gap_extend, costs.mismatch,
-                      B_BLK=blk, use_int16=use_int16)
+                      B_BLK=blk, use_int16=use_int16, max_run=max_run)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
               dg.meta, qshift, lengths, prep["w_end"])
@@ -2020,12 +2050,16 @@ def _banded_kernel_ef(
     m_ring, d_ring,   # (W, B_BLK, 2*MARGIN + Wb)
     best_ref,         # (B_BLK, L)
     *, W: int, P: int, Wb: int, MARGIN: int, o: int, e: int, x: int,
-    B_BLK: int, dtype, free_start: bool,
+    B_BLK: int, dtype, free_start: bool, max_run: int = 0,
 ):
     """Ends-free banded fill: :func:`_banded_kernel` plus a free graph
     begin (j=0 seed at every real rank) and a global-width best row
     accumulating windows of ranks whose graph-end bound passes.  The
-    query-end bound applies outside as a windowed min over [jlo, n]."""
+    query-end bound applies outside as a windowed min over [jlo, n].
+
+    Tilted coordinates like :func:`_banded_kernel`; the best row stays
+    tilted (it is positional in global j, so min commutes with the -e*j
+    column constant) and the caller un-tilts with one +e*col add."""
     n_nodes = meta_ref[0]
     end_rank = meta_ref[1]
     inf = INF16 if dtype == jnp.int16 else INF
@@ -2067,8 +2101,8 @@ def _banded_kernel_ef(
         diag_src = jnp.where(masks[1], diag_src, dtype(inf))
         qstart = pl.multiple_of(w_r, 128)
         qwin = qshift_ref[:, pl.ds(qstart, Wb)]
-        match_cost = jnp.where(qwin == sym, jnp.int32(0),
-                               jnp.int32(x)).astype(dtype)
+        match_cost = jnp.where(qwin == sym, jnp.int32(-e),
+                               jnp.int32(x - e)).astype(dtype)
         diag = diag_src + match_cost
 
         A = jnp.minimum(diag, D)
@@ -2080,12 +2114,11 @@ def _banded_kernel_ef(
         else:
             A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
 
-        ejg = (e * j32).astype(dtype)
-        t = A - ejg
-        pref = _prefix_min_rows(t, Wb, dtype(inf), col32, masks)
+        pref = _prefix_min_rows(A, Wb, dtype(inf), col32, masks,
+                                max_shift=max_run)
         pref_m1 = _roll_lanes(pref, 1)
         pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
-        I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o), dtype(inf))
 
         M = jnp.minimum(A, I)
         M = jnp.where(is_end, min_pm, M)
@@ -2113,11 +2146,13 @@ def _banded_kernel_ef(
 @functools.lru_cache(maxsize=None)
 def _banded_exec_ef(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
                     L: int, o: int, e: int, x: int, free_start: bool,
-                    B_BLK: int = 64, use_int16: bool = False):
+                    B_BLK: int = 64, use_int16: bool = False,
+                    max_run: int = 0):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_banded_kernel_ef, W=W, P=P, Wb=Wb,
                                MARGIN=MARGIN, o=o, e=e, x=x, B_BLK=B_BLK,
-                               dtype=dtype, free_start=free_start)
+                               dtype=dtype, free_start=free_start,
+                               max_run=max_run)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
@@ -2148,9 +2183,12 @@ def _banded_exec_ef(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
         end_row = call(symbols, pred_slots, pred_valid, pred_wstarts,
                        wstarts, wslots, end_ok, meta,
                        qshift).astype(jnp.int32)
-        if use_int16:
-            end_row = jnp.where(end_row >= INF16, jnp.int32(INF), end_row)
         col = jnp.arange(end_row.shape[1], dtype=jnp.int32)[None, :]
+        # un-tilt the positional best row (+e*col); eroded-INF lanes map
+        # back to INF
+        thresh = (INF16 if use_int16 else INF) // 2
+        end_row = jnp.where(end_row >= thresh, jnp.int32(INF),
+                            end_row + e * col)
         li = lengths.astype(jnp.int32)[:, None]
         win = jnp.logical_and(col >= jlo.astype(jnp.int32)[:, None],
                               col <= li)
@@ -2160,7 +2198,7 @@ def _banded_exec_ef(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
 
 
 def pallas_banded_scores_ef(dg, qshift, lengths, costs, prep, free_start,
-                            end_ok, jlo):
+                            end_ok, jlo, max_run: int = 0):
     """Ends-free banded scores via the Pallas kernel."""
     _check_prefetch_fits(dg, 3)
     B, L = qshift.shape
@@ -2184,7 +2222,8 @@ def pallas_banded_scores_ef(dg, qshift, lengths, costs, prep, free_start,
         blk //= 2
     fn = _banded_exec_ef(B // blk, dg.window, P, width, margin, L,
                          costs.gap_open, costs.gap_extend, costs.mismatch,
-                         free_start, B_BLK=blk, use_int16=use_int16)
+                         free_start, B_BLK=blk, use_int16=use_int16,
+                         max_run=max_run)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
               end_ok, dg.meta, qshift, lengths, jlo)
@@ -2210,7 +2249,7 @@ def _banded_kernel_drift(
     m_ring, d_ring,   # (W, B_BLK, 2*MARGIN + Wb) VMEM
     q_cur,            # (B_BLK, MQ+L) VMEM — query in each read's frame
     *, W: int, P: int, Wb: int, MARGIN: int, MQ: int, S: int, o: int,
-    e: int, x: int, B_BLK: int, dtype,
+    e: int, x: int, B_BLK: int, dtype, max_run: int = 0,
 ):
     """Banded fill with per-read drifting windows.
 
@@ -2219,6 +2258,9 @@ def _banded_kernel_drift(
     and live ring rows roll left 128 lanes, so predecessor reads remain
     shared slices (see aligner/banded.py band_windows_drift).  S is a
     power of two, so the in-kernel division is a shift.
+
+    Tilted coordinates like :func:`_banded_kernel` (tilt by global j,
+    which frame rolls preserve); caller un-tilts with +e*length.
     """
     n_nodes = meta_ref[0]
     end_rank = meta_ref[1]
@@ -2291,8 +2333,8 @@ def _banded_kernel_drift(
         diag_src = jnp.where(masks[1], diag_src, dtype(inf))
         qstart = pl.multiple_of(w_r + MQ, 128)
         qwin = q_cur[:, pl.ds(qstart, Wb)]
-        match_cost = jnp.where(qwin == sym, jnp.int32(0),
-                               jnp.int32(x)).astype(dtype)
+        match_cost = jnp.where(qwin == sym, jnp.int32(-e),
+                               jnp.int32(x - e)).astype(dtype)
         diag = diag_src + match_cost
 
         A = jnp.minimum(diag, D)
@@ -2300,12 +2342,11 @@ def _banded_kernel_drift(
                                    jnp.int32(inf)).astype(dtype)
         A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
 
-        ejg = (e * j32).astype(dtype)
-        t = A - ejg
-        pref = _prefix_min_rows(t, Wb, dtype(inf), col32, masks)
+        pref = _prefix_min_rows(A, Wb, dtype(inf), col32, masks,
+                                max_shift=max_run)
         pref_m1 = _roll_lanes(pref, 1)
         pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
-        I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o), dtype(inf))
 
         M = jnp.minimum(A, I)
         is_end = r == end_rank
@@ -2327,11 +2368,12 @@ def _banded_kernel_drift(
 @functools.lru_cache(maxsize=None)
 def _banded_exec_drift(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
                        MQ: int, S: int, L: int, o: int, e: int, x: int,
-                       B_BLK: int = 64, use_int16: bool = False):
+                       B_BLK: int = 64, use_int16: bool = False,
+                       max_run: int = 0):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_banded_kernel_drift, W=W, P=P, Wb=Wb,
                                MARGIN=MARGIN, MQ=MQ, S=S, o=o, e=e, x=x,
-                               B_BLK=B_BLK, dtype=dtype)
+                               B_BLK=B_BLK, dtype=dtype, max_run=max_run)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
@@ -2371,8 +2413,9 @@ def _banded_exec_drift(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
         in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
         idx_c = jnp.clip(idx_loc, 0, Wb - 1)[:, None]
         at = jnp.take_along_axis(end_row, idx_c, axis=1)[:, 0].astype(jnp.int32)
-        if use_int16:
-            at = jnp.where(at >= INF16, jnp.int32(INF), at)
+        # un-tilt (+e*j at j=length); eroded-INF lanes map back to INF
+        thresh = (INF16 if use_int16 else INF) // 2
+        at = jnp.where(at >= thresh, jnp.int32(INF), at + e * lengths_i)
         return jnp.where(in_range, at, jnp.int32(INF))
 
     return fn
@@ -2419,7 +2462,8 @@ def prepare_banded_drift(dg, costs, wstarts_np, width: int, s_ranks_np,
     }
 
 
-def pallas_banded_scores_drift(dg, qpad, lengths, costs, prep, n_min: int):
+def pallas_banded_scores_drift(dg, qpad, lengths, costs, prep, n_min: int,
+                               max_run: int = 0):
     """Drifting-window banded scores via the Pallas kernel.
 
     ``qpad`` must carry ``prep['mq']`` zero lanes on the left (and enough
@@ -2443,7 +2487,7 @@ def pallas_banded_scores_drift(dg, qpad, lengths, costs, prep, n_min: int):
         blk //= 2
     fn = _banded_exec_drift(B // blk, dg.window, P, width, margin, mq, S, L,
                             costs.gap_open, costs.gap_extend, costs.mismatch,
-                            B_BLK=blk, use_int16=use_int16)
+                            B_BLK=blk, use_int16=use_int16, max_run=max_run)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
               prep["s_ranks"], prep["s_prev"], dg.meta, qpad, lengths,
@@ -2474,7 +2518,7 @@ def _banded_kernel_drift_ef(
     m_ring, d_ring,   # (W, B_BLK, 2*MARGIN + Wb)
     q_cur,            # (B_BLK, MQ+L)
     *, W: int, P: int, Wb: int, MARGIN: int, MQ: int, S: int, o: int,
-    e: int, x: int, B_BLK: int, dtype,
+    e: int, x: int, B_BLK: int, dtype, max_run: int = 0,
 ):
     """Drifting-window banded fill for *bounded* ends-free spans.
 
@@ -2561,8 +2605,8 @@ def _banded_kernel_drift_ef(
         diag_src = jnp.where(masks[1], diag_src, dtype(inf))
         qstart = pl.multiple_of(w_r + MQ, 128)
         qwin = q_cur[:, pl.ds(qstart, Wb)]
-        match_cost = jnp.where(qwin == sym, jnp.int32(0),
-                               jnp.int32(x)).astype(dtype)
+        match_cost = jnp.where(qwin == sym, jnp.int32(-e),
+                               jnp.int32(x - e)).astype(dtype)
         diag = diag_src + match_cost
 
         A = jnp.minimum(diag, D)
@@ -2572,12 +2616,11 @@ def _banded_kernel_drift_ef(
                                    jnp.int32(inf)).astype(dtype)
         A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
 
-        ejg = (e * j32).astype(dtype)
-        t = A - ejg
-        pref = _prefix_min_rows(t, Wb, dtype(inf), col32, masks)
+        pref = _prefix_min_rows(A, Wb, dtype(inf), col32, masks,
+                                max_shift=max_run)
         pref_m1 = _roll_lanes(pref, 1)
         pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
-        I = jnp.minimum(pref_m1 + dtype(o) + ejg, dtype(inf))
+        I = jnp.minimum(pref_m1 + dtype(o), dtype(inf))
 
         M = jnp.minimum(A, I)
         is_end = r == end_rank
@@ -2585,9 +2628,12 @@ def _banded_kernel_drift_ef(
 
         @pl.when(end_ok_ref[r] == 1)
         def _():
+            # un-tilt before accumulating: best-tile lanes have no fixed
+            # global j, so the -e*j tilt cannot be deferred to the caller
             allowed = jnp.logical_and(j32 >= jlo_col, j32 <= len_col)
-            best_ref[:] = jnp.minimum(best_ref[:],
-                                      jnp.where(allowed, M, dtype(inf)))
+            M_untilted = M + (e * j32).astype(dtype)
+            best_ref[:] = jnp.minimum(
+                best_ref[:], jnp.where(allowed, M_untilted, dtype(inf)))
 
         slot = wslot_ref[r]
         m_ring[slot, :, MARGIN:MARGIN + Wb] = M
@@ -2602,11 +2648,11 @@ def _banded_kernel_drift_ef(
 def _banded_exec_drift_ef(nblocks: int, W: int, P: int, Wb: int,
                           MARGIN: int, MQ: int, S: int, L: int, o: int,
                           e: int, x: int, B_BLK: int = 64,
-                          use_int16: bool = False):
+                          use_int16: bool = False, max_run: int = 0):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_banded_kernel_drift_ef, W=W, P=P, Wb=Wb,
                                MARGIN=MARGIN, MQ=MQ, S=S, o=o, e=e, x=x,
-                               B_BLK=B_BLK, dtype=dtype)
+                               B_BLK=B_BLK, dtype=dtype, max_run=max_run)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
@@ -2652,15 +2698,16 @@ def _banded_exec_drift_ef(nblocks: int, W: int, P: int, Wb: int,
                     tile(nbs), tile(jlo.astype(jnp.int32)),
                     tile(lengths_i)).astype(jnp.int32)
         out = jnp.min(best, axis=1)
-        if use_int16:
-            out = jnp.where(out >= INF16, jnp.int32(INF), out)
-        return out
+        # the kernel un-tilts at accumulation; eroded-INF values map back
+        thresh = (INF16 if use_int16 else INF) // 2
+        return jnp.where(out >= thresh, jnp.int32(INF), out)
 
     return fn
 
 
 def pallas_banded_scores_drift_ef(dg, qpad, lengths, costs, prep,
-                                  n_min: int, end_ok, jlo):
+                                  n_min: int, end_ok, jlo,
+                                  max_run: int = 0):
     """Drifting-window banded scores for bounded ends-free spans via the
     Pallas kernel.  ``qpad`` as in :func:`pallas_banded_scores_drift`;
     ``end_ok``/``jlo`` from ``ends_free_device_params``."""
@@ -2683,7 +2730,7 @@ def pallas_banded_scores_drift_ef(dg, qpad, lengths, costs, prep,
     fn = _banded_exec_drift_ef(B // blk, dg.window, P, width, margin, mq,
                                S, L, costs.gap_open, costs.gap_extend,
                                costs.mismatch, B_BLK=blk,
-                               use_int16=use_int16)
+                               use_int16=use_int16, max_run=max_run)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
               prep["s_ranks"], prep["s_prev"], end_ok, dg.meta, qpad,

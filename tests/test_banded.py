@@ -259,3 +259,67 @@ def test_quantile_retry_heterogeneous_exact():
         sc.TIER_OVERHEAD_CELLS = 0  # always allow the split on tiny graphs
         out = sc.scores(qshift, lengths, ub=8, max_retries=8)
         assert (out == ref).all()
+
+
+def test_ins_run_cap_window_math():
+    """The truncated prefix-min must cover exactly the runs an <=ub path
+    can contain: sliding-window min oracle vs _prefix_min_trunc, and the
+    cap formula's power-of-two coverage."""
+    import jax.numpy as jnp
+
+    from poasta_tpu.aligner.banded import _prefix_min_trunc, ins_run_cap
+
+    rng = np.random.default_rng(5)
+    t = rng.integers(-1000, 1000, size=(4, 257), dtype=np.int32)
+    for max_run in (1, 2, 8, 64, 256):
+        got = np.asarray(_prefix_min_trunc(jnp.asarray(t), max_run, 4))
+        for j in range(t.shape[1]):
+            lo = max(0, j - max_run + 1)
+            assert got[:, j].tolist() == t[:, lo:j + 1].min(axis=1).tolist()
+
+    # cap covers K = (ub-o)//e insertion lanes (runs of length <= cap
+    # after the pref_m1 shift), and degenerates to 0 when not narrower
+    assert ins_run_cap(COSTS, 6 + 2 * 100 + 0, 1 << 20) == 128
+    assert ins_run_cap(COSTS, 6 + 2 * 128, 1 << 20) == 128
+    assert ins_run_cap(COSTS, 6 + 2 * 129, 1 << 20) == 256
+    assert ins_run_cap(COSTS, 4, 1 << 20) == 1  # ub < o+e: 1-lane window
+    assert ins_run_cap(COSTS, 1 << 10, 64) == 0  # cap >= width: full scan
+    from poasta_tpu.aligner import GapAffine2Piece
+
+    assert ins_run_cap(GapAffine2Piece(4, 2, 6, 1, 24), 1000, 1 << 20) == 0
+
+
+def test_long_insertion_reads_stay_exact_with_run_cap():
+    """Reads carrying insertion runs near the tier's K bound: the ladder
+    must stay exact through the truncated prefix-min (runs longer than
+    the current tier's cap push the score past ub, forcing a retry at a
+    wider cap — never a wrong verified score)."""
+    rng = random.Random(23)
+    base = "".join(rng.choice("ACGT") for _ in range(2500))
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * 2500)
+    reads = []
+    for i in range(8):
+        ins_len = rng.randrange(40, 240)
+        at = rng.randrange(200, 2300)
+        ins = "".join(rng.choice("ACGT") for _ in range(ins_len))
+        s = list(base[:at] + ins + base[at:])
+        for _ in range(20):  # sprinkle mismatches
+            p = rng.randrange(len(s))
+            s[p] = rng.choice("ACGT")
+        reads.append("".join(s).encode())
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    qshift, lengths = pack_queries(reads)
+    ref = np.asarray(dp_fill_scores(dg, qshift, lengths, COSTS,
+                                    engine="xla"))
+    import poasta_tpu.aligner.banded as bd
+
+    bd.FORCE_TRUNC_ON_CPU = True  # exercise the truncated rounds on CPU
+    try:
+        # tiny initial ub: first tiers run with caps below the true runs
+        out = BandedScorer(flat, COSTS, dg=dg).scores(qshift, lengths,
+                                                      ub=30)
+    finally:
+        bd.FORCE_TRUNC_ON_CPU = False
+    assert (out == ref).all(), (out, ref)
