@@ -767,8 +767,10 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
     offset, then the lowest rank (the same convention as the kernels and
     ``backtrace_dense_ends_free``).
 
-    Two-piece costs run the 5-layer XLA body (single-device or
-    dp-sharded); the Pallas with-ends kernels are one-piece.
+    Two-piece costs run the 5-state Pallas with-ends kernels on the
+    single-device path (standard or HBM-streamed big, round 3); the
+    dp-sharded 2p body and the CPU backend use the 5-layer XLA
+    recurrence.
     """
     two_piece = getattr(costs, "is_two_piece", False)
     tp_params = ((costs.gap_open2, costs.gap_extend2) if two_piece
@@ -812,24 +814,29 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                       dg.write_slots, dg.end_rank, end_ok, qshift,
                       lengths, jlo)
         # batch doesn't divide: single-device path below
-    if (engine in ("auto", "pallas") and not two_piece
+    if (engine in ("auto", "pallas")
             and jax.default_backend() != "cpu"):
         from ..ops.pallas_fill import (
             _check_prefetch_fits,
             pallas_bounded_with_ends,
+            pallas_bounded_with_ends_2p,
             pallas_bounded_with_ends_big,
+            pallas_bounded_with_ends_big_2p,
         )
 
         key = ("bounded_ends", dg.window, dg.symbols.shape[0],
                qshift.shape[0], qshift.shape[1], free_start,
-               costs.gap_open, costs.gap_extend, costs.mismatch)
+               costs.gap_open, costs.gap_extend, costs.mismatch,
+               tp_params)
         if key not in _PALLAS_FAILED:
             try:
                 try:
                     _check_prefetch_fits(dg, 1)
-                    fill = pallas_bounded_with_ends
+                    fill = (pallas_bounded_with_ends_2p if two_piece
+                            else pallas_bounded_with_ends)
                 except ValueError:
-                    fill = pallas_bounded_with_ends_big
+                    fill = (pallas_bounded_with_ends_big_2p if two_piece
+                            else pallas_bounded_with_ends_big)
                 B, qp, lp, jl = _pad_batch(qshift, lengths, jlo)
                 s, er, ej = fill(dg, qp, lp, costs, free_start, end_ok, jl)
                 return s[:B], er[:B], ej[:B]

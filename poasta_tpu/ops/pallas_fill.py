@@ -696,7 +696,11 @@ def _pallas_exec_bounded_ends(nblocks: int, W: int, P: int, L: int, o: int,
                               col <= li)
         masked = jnp.where(win, end_row, INF)
         score = jnp.min(masked, axis=1)
-        end_j = jnp.argmin(masked, axis=1).astype(jnp.int32)
+        # ties resolve to the LARGEST offset, then the lowest rank —
+        # the dense backtrace's convention (wavefront.py with-ends body)
+        Lw = masked.shape[1]
+        end_j = (Lw - 1 - jnp.argmin(masked[:, ::-1], axis=1)).astype(
+            jnp.int32)
         end_r = jnp.take_along_axis(rank_row, end_j[:, None], axis=1)[:, 0]
         return score, end_r, end_j
 
@@ -1124,7 +1128,10 @@ def _pallas_exec_bounded_big_ends(nblocks: int, W: int, P: int, L: int,
                               col <= li)
         masked = jnp.where(win, end_row, INF)
         score = jnp.min(masked, axis=1)
-        end_j = jnp.argmin(masked, axis=1).astype(jnp.int32)
+        # ties: LARGEST offset, then lowest rank (dense-backtrace parity)
+        Lw = masked.shape[1]
+        end_j = (Lw - 1 - jnp.argmin(masked[:, ::-1], axis=1)).astype(
+            jnp.int32)
         end_r = jnp.take_along_axis(rank_row, end_j[:, None], axis=1)[:, 0]
         return score, end_r, end_j
 
@@ -1355,6 +1362,380 @@ def pallas_fill_scores_bounded_2p(dg, qshift, lengths, costs,
                                  B_BLK=blk, free_start=free_start)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               dg.write_slots, end_ok, dg.meta, qshift, lengths, jlo)
+
+
+def _fill_kernel_bounded_2p_ends(
+    # scalar prefetch
+    symbols_ref, pred_slots_ref, pred_valid_ref, wslot_ref, end_ok_ref,
+    meta_ref,
+    # inputs
+    qshift_ref,
+    # outputs
+    end_row_ref, rank_row_ref,
+    # scratch
+    m_ring, d1_ring, d2_ring, best_ref,
+    *, W: int, P: int, L: int, o1: int, e1: int, e2: int, x: int,
+    B_BLK: int, dtype, free_start: bool,
+):
+    """:func:`_fill_kernel_bounded_2p` + per-(read, offset) best-end-rank
+    tracking (the anchor for the 2p native corridor backtrace,
+    ``native/engine.cpp poasta_align_anchored``)."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    inf = INF16 if dtype == jnp.int16 else INF
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d1_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d2_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    best_ref[:] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    rank_row_ref[:] = jnp.zeros((B_BLK, L), jnp.int32)
+
+    qshift = qshift_ref[:]
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
+    zero_at_0 = jnp.where(col32 == 0, jnp.int32(0),
+                          jnp.int32(inf)).astype(dtype)
+    masks = _ge_masks(col32, L)
+
+    def body(r, _):
+        sym = symbols_ref[r]
+        slot0 = pred_slots_ref[r * P]
+        min_pm = m_ring[slot0]
+        min_pd1 = d1_ring[slot0]
+        min_pd2 = d2_ring[slot0]
+        for p in range(1, P):
+            slot = pred_slots_ref[r * P + p]
+            valid = pred_valid_ref[r * P + p]
+            keep = valid == 1
+            min_pm = jnp.minimum(min_pm, jnp.where(keep, m_ring[slot], inf))
+            min_pd1 = jnp.minimum(min_pd1,
+                                  jnp.where(keep, d1_ring[slot], inf))
+            min_pd2 = jnp.minimum(min_pd2,
+                                  jnp.where(keep, d2_ring[slot], inf))
+
+        D1 = jnp.minimum(jnp.minimum(min_pm + dtype(o1 + e1),
+                                     min_pd1 + dtype(e1)), dtype(inf))
+        D2 = jnp.minimum(jnp.minimum(min_pd1, min_pd2) + dtype(e2),
+                         dtype(inf))
+
+        diag_src = _roll_lanes(min_pm, 1)
+        diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+        match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                               jnp.int32(x)).astype(dtype)
+        diag = diag_src + match_cost
+
+        A = jnp.minimum(diag, jnp.minimum(D1, D2))
+        if free_start:
+            A = jnp.where(r == end_rank, A, jnp.minimum(A, zero_at_0))
+        else:
+            A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
+
+        I1, I2 = _coupled_insertion_rows(A, L, inf, masks, o1, e1, e2,
+                                         dtype)
+        M = jnp.minimum(A, jnp.minimum(I1, I2))
+
+        is_end = r == end_rank
+        M = jnp.where(is_end, min_pm, M)
+        D1_out = jnp.where(is_end, dtype(inf), D1)
+        D2_out = jnp.where(is_end, dtype(inf), D2)
+
+        @pl.when(end_ok_ref[r] == 1)
+        def _():
+            improved = M < best_ref[:]
+            best_ref[:] = jnp.where(improved, M, best_ref[:])
+            rank_row_ref[:] = jnp.where(improved, r, rank_row_ref[:])
+
+        @pl.when(is_end)
+        def _():
+            end_row_ref[:] = best_ref[:]
+
+        slot = wslot_ref[r]
+        m_ring[slot] = M
+        d1_ring[slot] = D1_out
+        d2_ring[slot] = D2_out
+        return 0
+
+    jax.lax.fori_loop(0, n_nodes, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_exec_bounded_2p_ends(nblocks: int, W: int, P: int, L: int,
+                                 o1: int, e1: int, e2: int, x: int,
+                                 B_BLK: int = 64, free_start: bool = False):
+    dtype = jnp.int32
+    kernel = functools.partial(_fill_kernel_bounded_2p_ends, W=W, P=P, L=L,
+                               o1=o1, e1=e1, e2=e2, x=x, B_BLK=B_BLK,
+                               dtype=dtype, free_start=free_start)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((B_BLK, L), dtype),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
+            jax.ShapeDtypeStruct((nblocks * B_BLK, L), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(symbols, pred_slots, pred_valid, wslots, end_ok, meta, qshift,
+           lengths, jlo):
+        end_row, rank_row = call(symbols, pred_slots, pred_valid, wslots,
+                                 end_ok, meta, qshift)
+        end_row = end_row.astype(jnp.int32)
+        col = jnp.arange(end_row.shape[1], dtype=jnp.int32)[None, :]
+        li = lengths.astype(jnp.int32)[:, None]
+        win = jnp.logical_and(col >= jlo.astype(jnp.int32)[:, None],
+                              col <= li)
+        masked = jnp.where(win, end_row, INF)
+        score = jnp.min(masked, axis=1)
+        # ties: LARGEST offset, then lowest rank (dense-backtrace parity)
+        Lw = masked.shape[1]
+        end_j = (Lw - 1 - jnp.argmin(masked[:, ::-1], axis=1)).astype(
+            jnp.int32)
+        end_r = jnp.take_along_axis(rank_row, end_j[:, None], axis=1)[:, 0]
+        return score, end_r, end_j
+
+    return fn
+
+
+def pallas_bounded_with_ends_2p(dg, qshift, lengths, costs, free_start,
+                                end_ok, jlo):
+    """(scores, end_ranks, end_offsets) via the 2p bounded kernel."""
+    _check_prefetch_fits(dg, 1)
+    B, L = qshift.shape
+    assert B % B_BLK == 0
+    # three rings + io + best + rank row
+    blk = pick_b_blk(dg.window, L, L, 4, n_rings=5)
+    while B % blk:
+        blk //= 2
+    P = int(dg.pred_slots.shape[1])
+    fn = _pallas_exec_bounded_2p_ends(B // blk, dg.window, P, L,
+                                      costs.gap_open, costs.gap_extend,
+                                      costs.gap_extend2, costs.mismatch,
+                                      B_BLK=blk, free_start=free_start)
+    return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
+              dg.write_slots, end_ok, dg.meta, qshift, lengths, jlo)
+
+
+def _fill_kernel_bounded_big_2p_ends(
+    meta_ref,
+    tab_hbm, qshift_ref,
+    end_row_ref, rank_row_ref,
+    m_ring, d1_ring, d2_ring, best_ref, tab_s, sems,
+    *, W: int, P: int, L: int, o1: int, e1: int, e2: int, x: int,
+    B_BLK: int, dtype, free_start: bool,
+):
+    """Two-piece :func:`_fill_kernel_bounded_big_ends`: the 5-state
+    recurrence with HBM->SMEM streamed rank records + best-end-rank
+    tracking, for graphs past the scalar-prefetch budget."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    R = 3 + 2 * P
+    inf = INF16 if dtype == jnp.int16 else INF
+    C = BIG_CHUNK
+    CW = C * R
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d1_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+        d2_ring[w] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    best_ref[:] = jnp.full((B_BLK, L), inf, dtype=dtype)
+    rank_row_ref[:] = jnp.zeros((B_BLK, L), jnp.int32)
+
+    qshift = qshift_ref[:]
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, L), dimension=1)
+    zero_at_0 = jnp.where(col32 == 0, jnp.int32(0),
+                          jnp.int32(inf)).astype(dtype)
+    masks = _ge_masks(col32, L)
+
+    n_chunks = (n_nodes + C - 1) // C
+
+    def dma(k, buf):
+        return pltpu.make_async_copy(
+            tab_hbm.at[pl.ds(k * CW, CW)],
+            tab_s.at[pl.ds(buf * CW, CW)],
+            sems.at[buf])
+
+    dma(0, 0).start()
+
+    def chunk_body(k, _):
+        buf = jax.lax.rem(k, 2)
+        dma(k, buf).wait()
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        base0 = buf * CW
+
+        def body(i, _):
+            r = k * C + i
+            rec = base0 + i * R
+            sym = tab_s[rec]
+            wslot = tab_s[rec + 1]
+            endok = tab_s[rec + 2]
+
+            slot0 = tab_s[rec + 3]
+            min_pm = m_ring[slot0]
+            min_pd1 = d1_ring[slot0]
+            min_pd2 = d2_ring[slot0]
+            for p in range(1, P):
+                slot = tab_s[rec + 3 + p]
+                valid = tab_s[rec + 3 + P + p]
+                keep = valid == 1
+                min_pm = jnp.minimum(min_pm,
+                                     jnp.where(keep, m_ring[slot], inf))
+                min_pd1 = jnp.minimum(min_pd1,
+                                      jnp.where(keep, d1_ring[slot], inf))
+                min_pd2 = jnp.minimum(min_pd2,
+                                      jnp.where(keep, d2_ring[slot], inf))
+
+            D1 = jnp.minimum(jnp.minimum(min_pm + dtype(o1 + e1),
+                                         min_pd1 + dtype(e1)), dtype(inf))
+            D2 = jnp.minimum(jnp.minimum(min_pd1, min_pd2) + dtype(e2),
+                             dtype(inf))
+
+            diag_src = _roll_lanes(min_pm, 1)
+            diag_src = jnp.where(masks[1], diag_src, dtype(inf))
+            match_cost = jnp.where(qshift == sym, jnp.int32(0),
+                                   jnp.int32(x)).astype(dtype)
+            diag = diag_src + match_cost
+
+            A = jnp.minimum(diag, jnp.minimum(D1, D2))
+            if free_start:
+                A = jnp.where(r == end_rank, A, jnp.minimum(A, zero_at_0))
+            else:
+                A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
+
+            I1, I2 = _coupled_insertion_rows(A, L, inf, masks, o1, e1, e2,
+                                             dtype)
+            M = jnp.minimum(A, jnp.minimum(I1, I2))
+
+            is_end = r == end_rank
+            M = jnp.where(is_end, min_pm, M)
+            D1_out = jnp.where(is_end, dtype(inf), D1)
+            D2_out = jnp.where(is_end, dtype(inf), D2)
+
+            @pl.when(endok == 1)
+            def _():
+                improved = M < best_ref[:]
+                best_ref[:] = jnp.where(improved, M, best_ref[:])
+                rank_row_ref[:] = jnp.where(improved, r, rank_row_ref[:])
+
+            @pl.when(is_end)
+            def _():
+                end_row_ref[:] = best_ref[:]
+
+            m_ring[wslot] = M
+            d1_ring[wslot] = D1_out
+            d2_ring[wslot] = D2_out
+            return 0
+
+        n_here = jnp.minimum(C, n_nodes - k * C)
+        jax.lax.fori_loop(0, n_here, body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_exec_bounded_big_2p_ends(nblocks: int, W: int, P: int, L: int,
+                                     o1: int, e1: int, e2: int, x: int,
+                                     B_BLK: int = 64,
+                                     free_start: bool = False):
+    dtype = jnp.int32
+    kernel = functools.partial(_fill_kernel_bounded_big_2p_ends, W=W, P=P,
+                               L=L, o1=o1, e1=e1, e2=e2, x=x, B_BLK=B_BLK,
+                               dtype=dtype, free_start=free_start)
+    R = 3 + 2 * P
+    CW = BIG_CHUNK * R
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((W, B_BLK, L), dtype),
+            pltpu.VMEM((B_BLK, L), dtype),
+            pltpu.SMEM((2 * CW,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
+            jax.ShapeDtypeStruct((nblocks * B_BLK, L), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(tab, meta, qshift, lengths, jlo):
+        end_row, rank_row = call(meta, tab, qshift)
+        end_row = end_row.astype(jnp.int32)
+        col = jnp.arange(end_row.shape[1], dtype=jnp.int32)[None, :]
+        li = lengths.astype(jnp.int32)[:, None]
+        win = jnp.logical_and(col >= jlo.astype(jnp.int32)[:, None],
+                              col <= li)
+        masked = jnp.where(win, end_row, INF)
+        score = jnp.min(masked, axis=1)
+        # ties: LARGEST offset, then lowest rank (dense-backtrace parity)
+        Lw = masked.shape[1]
+        end_j = (Lw - 1 - jnp.argmin(masked[:, ::-1], axis=1)).astype(
+            jnp.int32)
+        end_r = jnp.take_along_axis(rank_row, end_j[:, None], axis=1)[:, 0]
+        return score, end_r, end_j
+
+    return fn
+
+
+def pallas_bounded_with_ends_big_2p(dg, qshift, lengths, costs, free_start,
+                                    end_ok, jlo):
+    """(scores, end_ranks, end_offsets) via the big-graph 2p kernel."""
+    B, L = qshift.shape
+    assert B % B_BLK == 0
+    P = int(dg.pred_slots.shape[1])
+    # three rings + io + best + rank row
+    blk = pick_b_blk(dg.window, L, L, 4, n_rings=5)
+    while B % blk:
+        blk //= 2
+    tab, meta = _big_rank_table(dg, end_ok)
+    fn = _pallas_exec_bounded_big_2p_ends(B // blk, dg.window, P, L,
+                                          costs.gap_open, costs.gap_extend,
+                                          costs.gap_extend2, costs.mismatch,
+                                          B_BLK=blk, free_start=free_start)
+    return fn(tab, meta, qshift, lengths, jlo)
 
 
 def _fill_kernel_2p(

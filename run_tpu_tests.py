@@ -304,6 +304,11 @@ def main():
     er_b = np.asarray(er_b)
     ej_b = np.asarray(ej_b)
     assert (sc_b == ref_b).all()
+    # anchor parity vs the XLA body (largest-offset tie-break fixed r3)
+    sxb, erxb, ejxb = (np.asarray(a) for a in dp_fill_ends_free_with_ends(
+        dgb, flatb, qb, lb, costs, cfgb, engine="xla"))
+    assert (sc_b == sxb).all() and (er_b == erxb).all() \
+        and (ej_b == ejxb).all(), (er_b[:8], erxb[:8], ej_b[:8], ejxb[:8])
     nab = NativeAligner(gb)
     for b in (0, 17, 63):
         score, aln = nab.align_anchored(
@@ -317,17 +322,34 @@ def main():
     from poasta_tpu.aligner.costs import GapAffine2Piece
 
     costs2p = GapAffine2Piece(4, 2, 8, 1, 24)
+    # engine='pallas' raises on fallback: proves the big 2p with-ends
+    # kernel (round 3) actually serves this path
     sc2, er2, ej2 = (np.asarray(a) for a in dp_fill_ends_free_with_ends(
-        dgb, flatb, qb, lb, costs2p, cfgb))
+        dgb, flatb, qb, lb, costs2p, cfgb, engine="pallas"))
     ref2 = np.asarray(dp_fill_scores_ends_free(dgb, flatb, qb, lb,
                                                costs2p, cfgb))
     assert (sc2 == ref2).all(), (sc2[:8], ref2[:8])
+    # anchor parity vs the XLA 5-layer body, incl. the largest-offset
+    # tie-break convention
+    sx, erx, ejx = (np.asarray(a) for a in dp_fill_ends_free_with_ends(
+        dgb, flatb, qb, lb, costs2p, cfgb, engine="xla"))
+    assert (sc2 == sx).all() and (er2 == erx).all() and (ej2 == ejx).all(), \
+        (er2[:8], erx[:8], ej2[:8], ejx[:8])
     for b in (3, 29, 55):
         score, aln = nab.align_anchored(
             big_reads[b], costs2p, int(flatb.node_of_rank[er2[b]]),
             int(ej2[b]), int(sc2[b]))
         assert score == sc2[b]
         assert alignment_cost(gb, big_reads[b], aln, costs2p) == score
+    print("OK")
+    print("  two-piece anchors, standard 2p with-ends kernel ...", end=" ",
+          flush=True)
+    s2s, er2s, ej2s = (np.asarray(a) for a in dp_fill_ends_free_with_ends(
+        dg, flat, qe, le, costs2p, cfg, engine="pallas"))
+    sxs, erxs, ejxs = (np.asarray(a) for a in dp_fill_ends_free_with_ends(
+        dg, flat, qe, le, costs2p, cfg, engine="xla"))
+    assert (s2s == sxs).all() and (er2s == erxs).all() \
+        and (ej2s == ejxs).all(), (er2s[:8], erxs[:8])
     print("OK")
 
     if "--soak" in sys.argv:
