@@ -758,7 +758,8 @@ def _sharded_bounded_ends(window, o, e, x, free_start, mesh, use_pallas,
 
 def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                                 lengths, costs, aln_type,
-                                engine: str = "auto", mesh=None):
+                                engine: str = "auto", mesh=None,
+                                max_run: int = 0):
     """(scores, end_ranks, end_offsets) for an ends-free span (one-piece).
 
     The end state is each read's optimal permitted (rank, offset) — the
@@ -830,6 +831,7 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                tp_params)
         if key not in _PALLAS_FAILED:
             try:
+                kw = {}
                 try:
                     _check_prefetch_fits(dg, 1)
                     fill = (pallas_bounded_with_ends_2p if two_piece
@@ -837,8 +839,14 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                 except ValueError:
                     fill = (pallas_bounded_with_ends_big_2p if two_piece
                             else pallas_bounded_with_ends_big)
+                if max_run and not two_piece:
+                    # insertion-run cap: caller's verify-and-retry
+                    # contract (see BatchMapper._align_batch_ends_free);
+                    # the 2p kernels have no sound single-rate cap
+                    kw["max_run"] = max_run
                 B, qp, lp, jl = _pad_batch(qshift, lengths, jlo)
-                s, er, ej = fill(dg, qp, lp, costs, free_start, end_ok, jl)
+                s, er, ej = fill(dg, qp, lp, costs, free_start, end_ok,
+                                 jl, **kw)
                 return s[:B], er[:B], ej[:B]
             except Exception:
                 if engine == "pallas":
@@ -853,7 +861,8 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
 
 def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
                              lengths, costs, aln_type,
-                             engine: str = "auto", mesh=None) -> jnp.ndarray:
+                             engine: str = "auto", mesh=None,
+                             max_run: int = 0) -> jnp.ndarray:
     """(B,) optimal ends-free scores with Included/Excluded/Unbounded
     bounds on the graph/query free ends (reference:
     ``gap_affine.rs:150-248``).  ``qry_free_begin`` is parsed-but-ignored,
@@ -928,9 +937,12 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
                         except ValueError:
                             fill = pallas_fill_scores_bounded_big
 
+                    kw = {"max_run": max_run} \
+                        if max_run and not two_piece else {}
                     B, qp, lp, jl = _pad_batch(qshift, lengths, jlo)
                     return fill(
-                        dg, qp, lp, costs, free_start, end_ok, jl)[:B]
+                        dg, qp, lp, costs, free_start, end_ok, jl,
+                        **kw)[:B]
                 except Exception:
                     if engine == "pallas":
                         raise

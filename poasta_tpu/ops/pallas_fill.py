@@ -400,7 +400,7 @@ def _fill_kernel_bounded(
     # scratch
     m_ring, d_ring, best_ref,
     *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
-    free_start: bool,
+    free_start: bool, max_run: int = 0,
 ):
     """Bounded ends-free fill: like :func:`_fill_kernel` with free_end,
     but the running-min accumulation is gated by the per-rank
@@ -451,7 +451,8 @@ def _fill_kernel_bounded(
             A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
 
         t = A - ej
-        pref = _prefix_min_rows(t, L, dtype(inf), col32, masks)
+        pref = _prefix_min_rows(t, L, dtype(inf), col32, masks,
+                                max_shift=max_run)
         pref_m1 = _roll_lanes(pref, 1)
         pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
         I = jnp.minimum(pref_m1 + dtype(o) + ej, dtype(inf))
@@ -482,11 +483,13 @@ def _fill_kernel_bounded(
 @functools.lru_cache(maxsize=None)
 def _pallas_exec_bounded(nblocks: int, W: int, P: int, L: int, o: int,
                          e: int, x: int, B_BLK: int = 64,
-                         use_int16: bool = False, free_start: bool = False):
+                         use_int16: bool = False, free_start: bool = False,
+                         max_run: int = 0):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_fill_kernel_bounded, W=W, P=P, L=L, o=o,
                                e=e, x=x, B_BLK=B_BLK, dtype=dtype,
-                               free_start=free_start)
+                               free_start=free_start,
+                               max_run=max_run)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -529,7 +532,8 @@ def _pallas_exec_bounded(nblocks: int, W: int, P: int, L: int, o: int,
 
 
 def pallas_fill_scores_bounded(dg, qshift, lengths, costs,
-                               free_start: bool, end_ok, jlo):
+                               free_start: bool, end_ok, jlo,
+                               max_run: int = 0):
     """(B,) bounded ends-free scores via the Pallas kernel.
 
     ``end_ok``: (Np,) int32 per-rank graph-end mask; ``jlo``: (B,) lowest
@@ -551,7 +555,8 @@ def pallas_fill_scores_bounded(dg, qshift, lengths, costs,
     fn = _pallas_exec_bounded(B // blk, dg.window, P, L,
                               costs.gap_open, costs.gap_extend,
                               costs.mismatch, B_BLK=blk,
-                              use_int16=use_int16, free_start=free_start)
+                              use_int16=use_int16, free_start=free_start,
+                              max_run=max_run)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               dg.write_slots, end_ok, dg.meta, qshift, lengths, jlo)
 
@@ -568,7 +573,7 @@ def _fill_kernel_bounded_ends(
     # scratch
     m_ring, d_ring, best_ref,
     *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
-    free_start: bool,
+    free_start: bool, max_run: int = 0,
 ):
     """:func:`_fill_kernel_bounded` + per-(read, offset) best-end-rank
     tracking (the anchor for the native corridor backtrace)."""
@@ -617,7 +622,8 @@ def _fill_kernel_bounded_ends(
             A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
 
         t = A - ej
-        pref = _prefix_min_rows(t, L, dtype(inf), col32, masks)
+        pref = _prefix_min_rows(t, L, dtype(inf), col32, masks,
+                                max_shift=max_run)
         pref_m1 = _roll_lanes(pref, 1)
         pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
         I = jnp.minimum(pref_m1 + dtype(o) + ej, dtype(inf))
@@ -649,11 +655,12 @@ def _fill_kernel_bounded_ends(
 def _pallas_exec_bounded_ends(nblocks: int, W: int, P: int, L: int, o: int,
                               e: int, x: int, B_BLK: int = 64,
                               use_int16: bool = False,
-                              free_start: bool = False):
+                              free_start: bool = False, max_run: int = 0):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_fill_kernel_bounded_ends, W=W, P=P, L=L,
                                o=o, e=e, x=x, B_BLK=B_BLK, dtype=dtype,
-                               free_start=free_start)
+                               free_start=free_start,
+                               max_run=max_run)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nblocks,),
@@ -708,7 +715,7 @@ def _pallas_exec_bounded_ends(nblocks: int, W: int, P: int, L: int, o: int,
 
 
 def pallas_bounded_with_ends(dg, qshift, lengths, costs, free_start,
-                             end_ok, jlo):
+                             end_ok, jlo, max_run: int = 0):
     """(scores, end_ranks, end_offsets) via the Pallas bounded kernel."""
     _check_prefetch_fits(dg, 1)
     B, L = qshift.shape
@@ -725,7 +732,7 @@ def pallas_bounded_with_ends(dg, qshift, lengths, costs, free_start,
                                    costs.gap_open, costs.gap_extend,
                                    costs.mismatch, B_BLK=blk,
                                    use_int16=use_int16,
-                                   free_start=free_start)
+                                   free_start=free_start, max_run=max_run)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               dg.write_slots, end_ok, dg.meta, qshift, lengths, jlo)
 
@@ -744,7 +751,7 @@ def _fill_kernel_bounded_big(
     # scratch
     m_ring, d_ring, best_ref, tab_s, sems,
     *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
-    free_start: bool,
+    free_start: bool, max_run: int = 0,
 ):
     """Bounded ends-free fill for graphs past the scalar-prefetch SMEM
     budget: per-rank records [sym, wslot, end_ok, pred_slot*P,
@@ -824,7 +831,8 @@ def _fill_kernel_bounded_big(
                 A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
 
             t = A - ej
-            pref = _prefix_min_rows(t, L, dtype(inf), col32, masks)
+            pref = _prefix_min_rows(t, L, dtype(inf), col32, masks,
+                                max_shift=max_run)
             pref_m1 = _roll_lanes(pref, 1)
             pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
             I = jnp.minimum(pref_m1 + dtype(o) + ej, dtype(inf))
@@ -858,11 +866,12 @@ def _fill_kernel_bounded_big(
 def _pallas_exec_bounded_big(nblocks: int, W: int, P: int, L: int, o: int,
                              e: int, x: int, B_BLK: int = 64,
                              use_int16: bool = False,
-                             free_start: bool = False):
+                             free_start: bool = False, max_run: int = 0):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_fill_kernel_bounded_big, W=W, P=P, L=L, o=o,
                                e=e, x=x, B_BLK=B_BLK, dtype=dtype,
-                               free_start=free_start)
+                               free_start=free_start,
+                               max_run=max_run)
     R = 3 + 2 * P
     CW = BIG_CHUNK * R
 
@@ -939,7 +948,8 @@ def _big_rank_table(dg, end_ok):
 
 
 def pallas_fill_scores_bounded_big(dg, qshift, lengths, costs,
-                                   free_start: bool, end_ok, jlo):
+                                   free_start: bool, end_ok, jlo,
+                                   max_run: int = 0):
     """Bounded ends-free scores for graphs past the scalar-prefetch SMEM
     budget: rank tables stream HBM->SMEM in double-buffered chunks."""
     B, L = qshift.shape
@@ -956,7 +966,7 @@ def pallas_fill_scores_bounded_big(dg, qshift, lengths, costs,
                                   costs.gap_open, costs.gap_extend,
                                   costs.mismatch, B_BLK=blk,
                                   use_int16=use_int16,
-                                  free_start=free_start)
+                                  free_start=free_start, max_run=max_run)
     return fn(tab, meta, qshift, lengths, jlo)
 
 
@@ -966,7 +976,7 @@ def _fill_kernel_bounded_big_ends(
     end_row_ref, rank_row_ref,
     m_ring, d_ring, best_ref, tab_s, sems,
     *, W: int, P: int, L: int, o: int, e: int, x: int, B_BLK: int, dtype,
-    free_start: bool,
+    free_start: bool, max_run: int = 0,
 ):
     """:func:`_fill_kernel_bounded_big` + best-end-rank tracking."""
     n_nodes = meta_ref[0]
@@ -1042,7 +1052,8 @@ def _fill_kernel_bounded_big_ends(
                 A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
 
             t = A - ej
-            pref = _prefix_min_rows(t, L, dtype(inf), col32, masks)
+            pref = _prefix_min_rows(t, L, dtype(inf), col32, masks,
+                                max_shift=max_run)
             pref_m1 = _roll_lanes(pref, 1)
             pref_m1 = jnp.where(masks[1], pref_m1, dtype(inf))
             I = jnp.minimum(pref_m1 + dtype(o) + ej, dtype(inf))
@@ -1078,11 +1089,12 @@ def _fill_kernel_bounded_big_ends(
 def _pallas_exec_bounded_big_ends(nblocks: int, W: int, P: int, L: int,
                                   o: int, e: int, x: int, B_BLK: int = 64,
                                   use_int16: bool = False,
-                                  free_start: bool = False):
+                                  free_start: bool = False, max_run: int = 0):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_fill_kernel_bounded_big_ends, W=W, P=P,
                                L=L, o=o, e=e, x=x, B_BLK=B_BLK,
-                               dtype=dtype, free_start=free_start)
+                               dtype=dtype, free_start=free_start,
+                               max_run=max_run)
     R = 3 + 2 * P
     CW = BIG_CHUNK * R
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1139,7 +1151,7 @@ def _pallas_exec_bounded_big_ends(nblocks: int, W: int, P: int, L: int,
 
 
 def pallas_bounded_with_ends_big(dg, qshift, lengths, costs, free_start,
-                                 end_ok, jlo):
+                                 end_ok, jlo, max_run: int = 0):
     """(scores, end_ranks, end_offsets) via the big-graph kernel."""
     B, L = qshift.shape
     assert B % B_BLK == 0
@@ -1155,7 +1167,8 @@ def pallas_bounded_with_ends_big(dg, qshift, lengths, costs, free_start,
                                        costs.gap_open, costs.gap_extend,
                                        costs.mismatch, B_BLK=blk,
                                        use_int16=use_int16,
-                                       free_start=free_start)
+                                       free_start=free_start,
+                                       max_run=max_run)
     return fn(tab, meta, qshift, lengths, jlo)
 
 

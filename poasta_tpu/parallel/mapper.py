@@ -338,6 +338,9 @@ class BatchMapper:
         self.aln_type = aln_type
         self.ends_free = isinstance(aln_type, EndsFree)
         self._score_fn = None
+        # per-length-profile ub hints for the capped ends-free fill
+        # ladder (see _fill_ends_free_capped)
+        self._ef_ub_hint: dict = {}
 
     def score_batch(self, queries) -> np.ndarray:
         from ..aligner.banded import BandedScorer
@@ -442,6 +445,68 @@ class BatchMapper:
             out.append((int(scores[b]), aln))
         return out
 
+    def _fill_ends_free_capped(self, qshift, lengths, two_piece):
+        """(scores, end_ranks, end_offsets) via the bounded fill, with a
+        verify-and-retry insertion-run cap on the accelerator.
+
+        Any path of total cost <= ub has every insertion run
+        <= (ub-o)/e, so the bounded fill's L-wide prefix-min truncates
+        to ``ins_run_cap`` lanes (fewer Hillis-Steele rounds — the
+        dominant per-cell cost at pangenome read lengths).  Exactness,
+        including anchors: truncation only *raises* values, and when the
+        returned score is <= ub, the optimal path's runs all fit the cap
+        so its cells — and every true-tie end cell — are computed
+        exactly; the (largest-offset, lowest-rank) tie choice is
+        therefore identical to the uncapped fill.  Reads above ub (and
+        INF rows, which may just be capped-away) retry the whole batch
+        at 4x until the cap stops binding (subset gathers would change
+        the batch shape and recompile).  Caps apply only where the
+        Pallas 1p path serves (engine='pallas' raises on fallback, which
+        routes to one uncapped call); 2p has no sound single-rate cap.
+        """
+        from ..aligner.banded import ins_run_cap
+        from ..aligner.wavefront import INF as _INF
+        from ..aligner.wavefront import dp_fill_ends_free_with_ends
+
+        lengths_np = np.asarray(lengths)
+        n_min, n_max = int(lengths_np.min()), int(lengths_np.max())
+        L = int(qshift.shape[1])
+        costs = self.costs
+        use_cap = (
+            not two_piece
+            and self.mesh is None
+            and jax.default_backend() != "cpu"
+        )
+        if use_cap:
+            guess = ((costs.gap_open + costs.gap_extend) * 4
+                     + costs.mismatch * max(n_max // 16, 4))
+            ub = self._ef_ub_hint.get((n_min, n_max)) or guess
+            while True:
+                cap = ins_run_cap(costs, ub, L)
+                if cap == 0:
+                    break  # cap no narrower than the row: plain fill
+                try:
+                    sc, er, ej = dp_fill_ends_free_with_ends(
+                        self.dg, self.flat, qshift, lengths, costs,
+                        self.aln_type, engine="pallas", max_run=cap)
+                except Exception:
+                    break  # pallas unavailable here: plain fill below
+                sc = np.asarray(sc)
+                if (sc <= ub).all():
+                    self._ef_ub_hint[(n_min, n_max)] = max(
+                        int(sc.max()), 1)
+                    return sc, np.asarray(er), np.asarray(ej)
+                ub *= 4
+        sc, er, ej = dp_fill_ends_free_with_ends(
+            self.dg, self.flat, qshift, lengths, costs, self.aln_type,
+            mesh=self.mesh)
+        sc = np.asarray(sc)
+        if use_cap:
+            finite = sc[sc < _INF]
+            if finite.size:
+                self._ef_ub_hint[(n_min, n_max)] = max(int(finite.max()), 1)
+        return sc, np.asarray(er), np.asarray(ej)
+
     def _align_batch_ends_free(self, queries, qshift, lengths, two_piece):
         """Ends-free scores + alignments.
 
@@ -477,12 +542,8 @@ class BatchMapper:
             from concurrent.futures import ThreadPoolExecutor
 
             t0 = time.perf_counter()
-            sc, er, ej = dp_fill_ends_free_with_ends(
-                self.dg, self.flat, qshift, lengths, self.costs,
-                self.aln_type, mesh=self.mesh)
-            sc = np.asarray(sc)
-            er = np.asarray(er)
-            ej = np.asarray(ej)
+            sc, er, ej = self._fill_ends_free_capped(qshift, lengths,
+                                                     two_piece)
             stats = self.last_ends_free_stats = {
                 "device_s": time.perf_counter() - t0,
                 "anchored_ok": 0, "exact_fallback": 0, "host_s": 0.0,

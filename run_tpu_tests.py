@@ -317,6 +317,29 @@ def main():
         assert score == sc_b[b]
         assert alignment_cost(gb, big_reads[b], aln, costs) == score
     print("OK")
+    print("  insertion-run-capped bounded fill (r3) ...", end=" ",
+          flush=True)
+    # a deliberately tiny cap must only RAISE scores; reads it does not
+    # bind keep exact scores AND identical anchors (the ladder's
+    # exactness contract, mapper._fill_ends_free_capped)
+    scap, ercap, ejcap = (np.asarray(a) for a in
+                          dp_fill_ends_free_with_ends(
+                              dgb, flatb, qb, lb, costs, cfgb,
+                              engine="pallas", max_run=64))
+    assert (scap >= sc_b).all(), (scap[:8], sc_b[:8])
+    same = scap == sc_b
+    assert same.any(), "cap=64 bound every read — widen the test config"
+    assert (ercap[same] == er_b[same]).all()
+    assert (ejcap[same] == ej_b[same]).all()
+    # mapper-level ladder: exact end-to-end against the uncapped fill
+    from poasta_tpu.parallel import BatchMapper
+
+    bm = BatchMapper(gb, costs, aln_type=cfgb)
+    sl, el_, jl_ = bm._fill_ends_free_capped(qb, lb, False)
+    assert (sl == sc_b).all() and (el_ == er_b).all() \
+        and (jl_ == ej_b).all()
+    print("OK")
+
     print("  two-piece end anchors + 2p native corridor ...", end=" ",
           flush=True)
     from poasta_tpu.aligner.costs import GapAffine2Piece
