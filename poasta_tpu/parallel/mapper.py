@@ -445,6 +445,17 @@ class BatchMapper:
             out.append((int(scores[b]), aln))
         return out
 
+    def _ef_cap_enabled(self, two_piece: bool) -> bool:
+        """Whether the capped fill ladder applies: 1p, single-device, on
+        an accelerator (the XLA/mesh bodies ignore the cap — harmless,
+        but the ladder would refill identical exact scores).  Split out
+        so tests can exercise the ladder with a stubbed fill on CPU."""
+        return (
+            not two_piece
+            and self.mesh is None
+            and jax.default_backend() != "cpu"
+        )
+
     def _fill_ends_free_capped(self, qshift, lengths, two_piece):
         """(scores, end_ranks, end_offsets) via the bounded fill, with a
         verify-and-retry insertion-run cap on the accelerator.
@@ -472,11 +483,7 @@ class BatchMapper:
         n_min, n_max = int(lengths_np.min()), int(lengths_np.max())
         L = int(qshift.shape[1])
         costs = self.costs
-        use_cap = (
-            not two_piece
-            and self.mesh is None
-            and jax.default_backend() != "cpu"
-        )
+        use_cap = self._ef_cap_enabled(two_piece)
         if use_cap:
             guess = ((costs.gap_open + costs.gap_extend) * 4
                      + costs.mismatch * max(n_max // 16, 4))
