@@ -243,23 +243,25 @@ def ins_run_cap(costs, ub: int, width: int) -> int:
     """Power-of-two cap on insertion-run length for an ≤``ub`` fill, or 0
     for no cap (cap would not be narrower than the band).
 
-    Any path of total cost ≤ ub spends at most K = (ub-o)//e on one
-    insertion run, so the insertion prefix-min only needs to look back
-    2^ceil(log2 K) lanes instead of the whole band — fewer Hillis–Steele
-    rounds.  Truncation only *removes* candidate predecessors, so banded
-    scores still only over-estimate and the verify-and-retry ladder's
-    exactness argument is unchanged: if the returned score is ≤ ub, the
-    true optimum is ≤ ub, its insertion runs all fit the cap, and the
-    fill saw its whole path.  Two-piece costs are excluded (the coupled
-    scan has two extend rates; callers pass 0).
+    Any path of total cost ≤ ub spends at most K on one insertion run —
+    K = (ub-o)//e for one-piece, and for two-piece the run's cost is
+    min(o1+e1*g, o2+e2*g) so K = max((ub-o1)//e1, (ub-o2)//e2) — so the
+    insertion scan only needs to look back 2^ceil(log2 K) lanes instead
+    of the whole band: fewer Hillis–Steele rounds (the dominant per-cell
+    cost, and ~5x heavier for the 2p coupled min-plus scan).  Truncation
+    only *removes* candidate predecessors, so the fills still only
+    over-estimate and the verify-and-retry exactness argument is
+    unchanged: if the returned score is ≤ ub, the true optimum is ≤ ub,
+    its insertion runs all fit the cap, and the fill saw its whole path.
     """
     if getattr(costs, "is_two_piece", False):
-        return 0  # piece-2 extends cheaper: the piece-1 bound is unsound
-    o, e = costs.gap_open, costs.gap_extend
-    if ub < o + e:
-        K = 1
+        o1, e1 = costs.gap_open, costs.gap_extend
+        o2, e2 = costs.gap_open2, costs.gap_extend2
+        K = max((ub - o1) // e1 if ub >= o1 + e1 else 0,
+                (ub - o2) // e2 if ub >= o2 + e2 else 0, 1)
     else:
-        K = max((ub - o) // e, 1)
+        o, e = costs.gap_open, costs.gap_extend
+        K = max((ub - o) // e, 1) if ub >= o + e else 1
     cap = 1
     while cap < K:
         cap <<= 1
@@ -1260,7 +1262,8 @@ class BandedScorer:
                 if two_piece:
                     return np.asarray(
                         pallas_banded_scores_drift_2p(
-                            self.dg, q_in, lengths, costs, prep, n_min)
+                            self.dg, q_in, lengths, costs, prep, n_min,
+                            max_run=ins_run_cap(costs, ub, width))
                     )
                 return np.asarray(
                     pallas_banded_scores_drift(self.dg, q_in, lengths,
@@ -1418,7 +1421,8 @@ class BandedScorer:
                     if two_piece:
                         return np.asarray(
                             pallas_banded_scores_2p(self.dg, q_in, lengths,
-                                                    costs, prep=prep)
+                                                    costs, prep=prep,
+                                                    max_run=kcap)
                         )
                     return np.asarray(
                         pallas_banded_scores(self.dg, q_in, lengths, costs,

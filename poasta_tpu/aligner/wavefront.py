@@ -839,10 +839,9 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                 except ValueError:
                     fill = (pallas_bounded_with_ends_big_2p if two_piece
                             else pallas_bounded_with_ends_big)
-                if max_run and not two_piece:
+                if max_run:
                     # insertion-run cap: caller's verify-and-retry
-                    # contract (see BatchMapper._align_batch_ends_free);
-                    # the 2p kernels have no sound single-rate cap
+                    # contract (see BatchMapper._align_batch_ends_free)
                     kw["max_run"] = max_run
                 B, qp, lp, jl = _pad_batch(qshift, lengths, jlo)
                 s, er, ej = fill(dg, qp, lp, costs, free_start, end_ok,
@@ -937,8 +936,7 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
                         except ValueError:
                             fill = pallas_fill_scores_bounded_big
 
-                    kw = {"max_run": max_run} \
-                        if max_run and not two_piece else {}
+                    kw = {"max_run": max_run} if max_run else {}
                     B, qp, lp, jl = _pad_batch(qshift, lengths, jlo)
                     return fill(
                         dg, qp, lp, costs, free_start, end_ok, jl,

@@ -1173,7 +1173,7 @@ def pallas_bounded_with_ends_big(dg, qshift, lengths, costs, free_start,
 
 
 def _coupled_insertion_rows(A, L: int, inf, masks, o1: int, e1: int, e2: int,
-                            dtype):
+                            dtype, max_shift: int = 0):
     """(I1, I2) rows for the two-piece model, in-kernel.
 
     The coupled recurrence (``ops/dp_rows_2p.py`` docstring)
@@ -1201,7 +1201,8 @@ def _coupled_insertion_rows(A, L: int, inf, masks, o1: int, e1: int, e2: int,
     b2 = jnp.full_like(A, infv)
 
     k = 1
-    while k < L:
+    cap = min(L, max_shift) if max_shift else L
+    while k < cap:
         mk = masks[k]
         s11 = jnp.where(mk, _roll_lanes(t11, k), zero)
         s12 = jnp.where(mk, _roll_lanes(t12, k), infv)
@@ -1234,7 +1235,7 @@ def _fill_kernel_bounded_2p(
     # scratch
     m_ring, d1_ring, d2_ring, best_ref,
     *, W: int, P: int, L: int, o1: int, e1: int, e2: int, x: int,
-    B_BLK: int, dtype, free_start: bool,
+    B_BLK: int, dtype, free_start: bool, max_run: int = 0,
 ):
     """Two-piece bounded ends-free fill: :func:`_fill_kernel_2p` with the
     running-min best row gated by the per-rank ``end_ok`` mask; the
@@ -1289,7 +1290,7 @@ def _fill_kernel_bounded_2p(
             A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
 
         I1, I2 = _coupled_insertion_rows(A, L, inf, masks, o1, e1, e2,
-                                         dtype)
+                                         dtype, max_shift=max_run)
         M = jnp.minimum(A, jnp.minimum(I1, I2))
 
         is_end = r == end_rank
@@ -1317,11 +1318,12 @@ def _fill_kernel_bounded_2p(
 @functools.lru_cache(maxsize=None)
 def _pallas_exec_bounded_2p(nblocks: int, W: int, P: int, L: int, o1: int,
                             e1: int, e2: int, x: int, B_BLK: int = 64,
-                            free_start: bool = False):
+                            free_start: bool = False, max_run: int = 0):
     dtype = jnp.int32
     kernel = functools.partial(_fill_kernel_bounded_2p, W=W, P=P, L=L,
                                o1=o1, e1=e1, e2=e2, x=x, B_BLK=B_BLK,
-                               dtype=dtype, free_start=free_start)
+                               dtype=dtype, free_start=free_start,
+                               max_run=max_run)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nblocks,),
@@ -1360,7 +1362,8 @@ def _pallas_exec_bounded_2p(nblocks: int, W: int, P: int, L: int, o1: int,
 
 
 def pallas_fill_scores_bounded_2p(dg, qshift, lengths, costs,
-                                  free_start: bool, end_ok, jlo):
+                                  free_start: bool, end_ok, jlo,
+                                  max_run: int = 0):
     """Two-piece bounded ends-free scores via the Pallas kernel."""
     _check_prefetch_fits(dg, 1)
     B, L = qshift.shape
@@ -1372,7 +1375,8 @@ def pallas_fill_scores_bounded_2p(dg, qshift, lengths, costs,
     fn = _pallas_exec_bounded_2p(B // blk, dg.window, P, L,
                                  costs.gap_open, costs.gap_extend,
                                  costs.gap_extend2, costs.mismatch,
-                                 B_BLK=blk, free_start=free_start)
+                                 B_BLK=blk, free_start=free_start,
+                                 max_run=max_run)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               dg.write_slots, end_ok, dg.meta, qshift, lengths, jlo)
 
@@ -1388,7 +1392,7 @@ def _fill_kernel_bounded_2p_ends(
     # scratch
     m_ring, d1_ring, d2_ring, best_ref,
     *, W: int, P: int, L: int, o1: int, e1: int, e2: int, x: int,
-    B_BLK: int, dtype, free_start: bool,
+    B_BLK: int, dtype, free_start: bool, max_run: int = 0,
 ):
     """:func:`_fill_kernel_bounded_2p` + per-(read, offset) best-end-rank
     tracking (the anchor for the 2p native corridor backtrace,
@@ -1444,7 +1448,7 @@ def _fill_kernel_bounded_2p_ends(
             A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
 
         I1, I2 = _coupled_insertion_rows(A, L, inf, masks, o1, e1, e2,
-                                         dtype)
+                                         dtype, max_shift=max_run)
         M = jnp.minimum(A, jnp.minimum(I1, I2))
 
         is_end = r == end_rank
@@ -1474,11 +1478,13 @@ def _fill_kernel_bounded_2p_ends(
 @functools.lru_cache(maxsize=None)
 def _pallas_exec_bounded_2p_ends(nblocks: int, W: int, P: int, L: int,
                                  o1: int, e1: int, e2: int, x: int,
-                                 B_BLK: int = 64, free_start: bool = False):
+                                 B_BLK: int = 64, free_start: bool = False,
+                                 max_run: int = 0):
     dtype = jnp.int32
     kernel = functools.partial(_fill_kernel_bounded_2p_ends, W=W, P=P, L=L,
                                o1=o1, e1=e1, e2=e2, x=x, B_BLK=B_BLK,
-                               dtype=dtype, free_start=free_start)
+                               dtype=dtype, free_start=free_start,
+                               max_run=max_run)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nblocks,),
@@ -1531,7 +1537,7 @@ def _pallas_exec_bounded_2p_ends(nblocks: int, W: int, P: int, L: int,
 
 
 def pallas_bounded_with_ends_2p(dg, qshift, lengths, costs, free_start,
-                                end_ok, jlo):
+                                end_ok, jlo, max_run: int = 0):
     """(scores, end_ranks, end_offsets) via the 2p bounded kernel."""
     _check_prefetch_fits(dg, 1)
     B, L = qshift.shape
@@ -1544,7 +1550,8 @@ def pallas_bounded_with_ends_2p(dg, qshift, lengths, costs, free_start,
     fn = _pallas_exec_bounded_2p_ends(B // blk, dg.window, P, L,
                                       costs.gap_open, costs.gap_extend,
                                       costs.gap_extend2, costs.mismatch,
-                                      B_BLK=blk, free_start=free_start)
+                                      B_BLK=blk, free_start=free_start,
+                                      max_run=max_run)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               dg.write_slots, end_ok, dg.meta, qshift, lengths, jlo)
 
@@ -1555,7 +1562,7 @@ def _fill_kernel_bounded_big_2p_ends(
     end_row_ref, rank_row_ref,
     m_ring, d1_ring, d2_ring, best_ref, tab_s, sems,
     *, W: int, P: int, L: int, o1: int, e1: int, e2: int, x: int,
-    B_BLK: int, dtype, free_start: bool,
+    B_BLK: int, dtype, free_start: bool, max_run: int = 0,
 ):
     """Two-piece :func:`_fill_kernel_bounded_big_ends`: the 5-state
     recurrence with HBM->SMEM streamed rank records + best-end-rank
@@ -1640,7 +1647,7 @@ def _fill_kernel_bounded_big_2p_ends(
                 A = jnp.where(r == 0, jnp.minimum(A, zero_at_0), A)
 
             I1, I2 = _coupled_insertion_rows(A, L, inf, masks, o1, e1, e2,
-                                             dtype)
+                                             dtype, max_shift=max_run)
             M = jnp.minimum(A, jnp.minimum(I1, I2))
 
             is_end = r == end_rank
@@ -1674,11 +1681,13 @@ def _fill_kernel_bounded_big_2p_ends(
 def _pallas_exec_bounded_big_2p_ends(nblocks: int, W: int, P: int, L: int,
                                      o1: int, e1: int, e2: int, x: int,
                                      B_BLK: int = 64,
-                                     free_start: bool = False):
+                                     free_start: bool = False,
+                                     max_run: int = 0):
     dtype = jnp.int32
     kernel = functools.partial(_fill_kernel_bounded_big_2p_ends, W=W, P=P,
                                L=L, o1=o1, e1=e1, e2=e2, x=x, B_BLK=B_BLK,
-                               dtype=dtype, free_start=free_start)
+                               dtype=dtype, free_start=free_start,
+                               max_run=max_run)
     R = 3 + 2 * P
     CW = BIG_CHUNK * R
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1734,7 +1743,7 @@ def _pallas_exec_bounded_big_2p_ends(nblocks: int, W: int, P: int, L: int,
 
 
 def pallas_bounded_with_ends_big_2p(dg, qshift, lengths, costs, free_start,
-                                    end_ok, jlo):
+                                    end_ok, jlo, max_run: int = 0):
     """(scores, end_ranks, end_offsets) via the big-graph 2p kernel."""
     B, L = qshift.shape
     assert B % B_BLK == 0
@@ -1747,7 +1756,8 @@ def pallas_bounded_with_ends_big_2p(dg, qshift, lengths, costs, free_start,
     fn = _pallas_exec_bounded_big_2p_ends(B // blk, dg.window, P, L,
                                           costs.gap_open, costs.gap_extend,
                                           costs.gap_extend2, costs.mismatch,
-                                          B_BLK=blk, free_start=free_start)
+                                          B_BLK=blk, free_start=free_start,
+                                          max_run=max_run)
     return fn(tab, meta, qshift, lengths, jlo)
 
 
@@ -3143,7 +3153,7 @@ def _banded_kernel_drift_2p(
     # scratch
     m_ring, d1_ring, d2_ring, q_cur,
     *, W: int, P: int, Wb: int, MARGIN: int, MQ: int, S: int, o1: int,
-    e1: int, e2: int, x: int, B_BLK: int, dtype,
+    e1: int, e2: int, x: int, B_BLK: int, dtype, max_run: int = 0,
 ):
     """Two-piece drifting-window banded fill (Pallas twin of
     :func:`poasta_tpu.aligner.banded._banded_exec_drift_2p`)."""
@@ -3231,7 +3241,7 @@ def _banded_kernel_drift_2p(
         A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
 
         I1, I2 = _coupled_insertion_rows(A, Wb, inf, masks, o1, e1, e2,
-                                         dtype)
+                                         dtype, max_shift=max_run)
         M = jnp.minimum(A, jnp.minimum(I1, I2))
         is_end = r == end_rank
         M = jnp.where(is_end, min_pm, M)
@@ -3254,11 +3264,13 @@ def _banded_kernel_drift_2p(
 @functools.lru_cache(maxsize=None)
 def _banded_exec_drift_2p(nblocks: int, W: int, P: int, Wb: int,
                           MARGIN: int, MQ: int, S: int, L: int, o1: int,
-                          e1: int, e2: int, x: int, B_BLK: int = 64):
+                          e1: int, e2: int, x: int, B_BLK: int = 64,
+                          max_run: int = 0):
     dtype = jnp.int32
     kernel = functools.partial(_banded_kernel_drift_2p, W=W, P=P, Wb=Wb,
                                MARGIN=MARGIN, MQ=MQ, S=S, o1=o1, e1=e1,
-                               e2=e2, x=x, B_BLK=B_BLK, dtype=dtype)
+                               e2=e2, x=x, B_BLK=B_BLK, dtype=dtype,
+                               max_run=max_run)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(nblocks,),
@@ -3304,7 +3316,7 @@ def _banded_exec_drift_2p(nblocks: int, W: int, P: int, Wb: int,
 
 
 def pallas_banded_scores_drift_2p(dg, qpad, lengths, costs, prep,
-                                  n_min: int):
+                                  n_min: int, max_run: int = 0):
     """Two-piece drifting-window banded scores via the Pallas kernel."""
     _check_prefetch_fits(dg, 4)
     B, LQ = qpad.shape
@@ -3319,7 +3331,7 @@ def pallas_banded_scores_drift_2p(dg, qpad, lengths, costs, prep,
     fn = _banded_exec_drift_2p(B // blk, dg.window, P, width, margin, mq,
                                S, L, costs.gap_open, costs.gap_extend,
                                costs.gap_extend2, costs.mismatch,
-                               B_BLK=blk)
+                               B_BLK=blk, max_run=max_run)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
               prep["s_ranks"], prep["s_prev"], dg.meta, qpad, lengths,
@@ -3337,7 +3349,7 @@ def _banded_kernel_2p(
     # scratch: three margin-padded rings (M, D1, D2)
     m_ring, d1_ring, d2_ring,
     *, W: int, P: int, Wb: int, MARGIN: int, o1: int, e1: int, e2: int,
-    x: int, B_BLK: int, dtype,
+    x: int, B_BLK: int, dtype, max_run: int = 0,
 ):
     """Two-piece banded fill.  The coupled (I1, I2) doubling scan's maps
     carry no absolute-offset term, so it runs on the local window
@@ -3398,7 +3410,8 @@ def _banded_kernel_2p(
                                    jnp.int32(inf)).astype(dtype)
         A = jnp.where(r == 0, jnp.minimum(A, zero_at_origin), A)
 
-        I1, I2 = _coupled_insertion_rows(A, Wb, inf, masks, o1, e1, e2, dtype)
+        I1, I2 = _coupled_insertion_rows(A, Wb, inf, masks, o1, e1,
+                                         e2, dtype, max_shift=max_run)
         M = jnp.minimum(A, jnp.minimum(I1, I2))
 
         is_end = r == end_rank
@@ -3422,11 +3435,11 @@ def _banded_kernel_2p(
 @functools.lru_cache(maxsize=None)
 def _banded_exec_2p(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
                     L: int, o1: int, e1: int, e2: int, x: int,
-                    B_BLK: int = 64):
+                    B_BLK: int = 64, max_run: int = 0):
     dtype = jnp.int32
     kernel = functools.partial(_banded_kernel_2p, W=W, P=P, Wb=Wb,
                                MARGIN=MARGIN, o1=o1, e1=e1, e2=e2, x=x,
-                               B_BLK=B_BLK, dtype=dtype)
+                               B_BLK=B_BLK, dtype=dtype, max_run=max_run)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -3464,7 +3477,8 @@ def _banded_exec_2p(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
     return fn
 
 
-def pallas_banded_scores_2p(dg, qshift, lengths, costs, prep):
+def pallas_banded_scores_2p(dg, qshift, lengths, costs, prep,
+                            max_run: int = 0):
     """Two-piece banded global-alignment scores via the Pallas kernel."""
     _check_prefetch_fits(dg, 2)
     B, L = qshift.shape
@@ -3476,7 +3490,7 @@ def pallas_banded_scores_2p(dg, qshift, lengths, costs, prep):
         blk //= 2
     fn = _banded_exec_2p(B // blk, dg.window, P, width, margin, L,
                          costs.gap_open, costs.gap_extend, costs.gap_extend2,
-                         costs.mismatch, B_BLK=blk)
+                         costs.mismatch, B_BLK=blk, max_run=max_run)
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
               dg.meta, qshift, lengths, prep["w_end"])

@@ -446,15 +446,13 @@ class BatchMapper:
         return out
 
     def _ef_cap_enabled(self, two_piece: bool) -> bool:
-        """Whether the capped fill ladder applies: 1p, single-device, on
-        an accelerator (the XLA/mesh bodies ignore the cap — harmless,
-        but the ladder would refill identical exact scores).  Split out
-        so tests can exercise the ladder with a stubbed fill on CPU."""
-        return (
-            not two_piece
-            and self.mesh is None
-            and jax.default_backend() != "cpu"
-        )
+        """Whether the capped fill ladder applies: single-device, on an
+        accelerator (the XLA/mesh bodies ignore the cap — harmless, but
+        the ladder would refill identical exact scores).  Split out so
+        tests can exercise the ladder with a stubbed fill on CPU.  Both
+        cost models cap: ins_run_cap's two-piece bound covers the
+        cheaper piece-2 extension."""
+        return self.mesh is None and jax.default_backend() != "cpu"
 
     def _fill_ends_free_capped(self, qshift, lengths, two_piece):
         """(scores, end_ranks, end_offsets) via the bounded fill, with a

@@ -364,6 +364,16 @@ def main():
             int(ej2[b]), int(sc2[b]))
         assert score == sc2[b]
         assert alignment_cost(gb, big_reads[b], aln, costs2p) == score
+    # capped 2p coupled scan: raises-only + exact where unbound
+    scap2, ercap2, ejcap2 = (np.asarray(a) for a in
+                             dp_fill_ends_free_with_ends(
+                                 dgb, flatb, qb, lb, costs2p, cfgb,
+                                 engine="pallas", max_run=256))
+    assert (scap2 >= sc2).all()
+    same2 = scap2 == sc2
+    assert same2.any()
+    assert (ercap2[same2] == er2[same2]).all()
+    assert (ejcap2[same2] == ej2[same2]).all()
     print("OK")
     print("  two-piece anchors, standard 2p with-ends kernel ...", end=" ",
           flush=True)

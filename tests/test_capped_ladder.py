@@ -119,12 +119,7 @@ def test_ladder_disabled_paths_fill_once(monkeypatch):
     sc, _, _ = bm._fill_ends_free_capped(qshift, lengths, False)
     assert sc.tolist() == [40, 56]
     assert calls == [("auto", 0)]
-    # two-piece: cap never applies regardless of backend
-    bm2, q2, l2 = _mapper_and_batch()
-    bm2._ef_cap_enabled = lambda two_piece: not two_piece
-    calls.clear()
-    sc, _, _ = bm2._fill_ends_free_capped(q2, l2, True)
-    assert calls == [("auto", 0)]
+    assert not bm._ef_cap_enabled(False) and not bm._ef_cap_enabled(True)
 
 
 def test_caps_grow_with_ub():
