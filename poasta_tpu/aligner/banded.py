@@ -254,6 +254,10 @@ def ins_run_cap(costs, ub: int, width: int) -> int:
     unchanged: if the returned score is ≤ ub, the true optimum is ≤ ub,
     its insertion runs all fit the cap, and the fill saw its whole path.
     """
+    import os
+
+    if os.environ.get("POASTA_NO_RUN_CAP"):
+        return 0  # A/B toggle for measuring the cap (scripts/runcap_ab.py)
     if getattr(costs, "is_two_piece", False):
         o1, e1 = costs.gap_open, costs.gap_extend
         o2, e2 = costs.gap_open2, costs.gap_extend2
@@ -1093,6 +1097,38 @@ class BandedScorer:
         (no collectives)."""
         if self.ends_free:
             from .wavefront import dp_fill_scores_ends_free
+
+            # insertion-run-capped ladder on the accelerator: the
+            # bounded fill's L-wide prefix scan truncates to the <=ub
+            # run bound; scores above ub (or capped-away INF) refill at
+            # 4x.  Exactness: truncation only over-estimates (see
+            # ins_run_cap).  A raising pallas path or cap >= L falls to
+            # the one uncapped fill below.
+            if jax.default_backend() != "cpu":
+                entry = self._lenstats.get(id(lengths))
+                key = ("ef_full_ub",) + (entry[1] if entry is not None
+                                         and entry[0] is lengths
+                                         else (int(qshift.shape[1]),))
+                L = int(qshift.shape[1])
+                costs = self.costs
+                ub = self._ub_hint.get(key) or (
+                    (costs.gap_open + costs.gap_extend) * 4
+                    + costs.mismatch * max(L // 16, 4))
+                while True:
+                    cap = ins_run_cap(costs, ub, L)
+                    if cap == 0:
+                        break
+                    try:
+                        sc = np.asarray(dp_fill_scores_ends_free(
+                            self.dg, self.flat, qshift, lengths,
+                            costs, self.aln_type, engine="pallas",
+                            max_run=cap))
+                    except Exception:
+                        break
+                    if (sc <= ub).all():
+                        self._ub_hint[key] = max(int(sc.max()), 1)
+                        return sc
+                    ub *= 4
 
             return np.asarray(dp_fill_scores_ends_free(
                 self.dg, self.flat, qshift, lengths, self.costs,
