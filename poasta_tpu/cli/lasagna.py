@@ -26,7 +26,9 @@ def align_subcommand(args):
     )
     from ..parallel import BatchMapper
 
-    graph, segments = load_graph_from_gfa(args.graph)
+    graph, segments = load_graph_from_gfa(
+        args.graph,
+        reverse_links=getattr(args, "reverse_links", "reject"))
     if graph.node_count() == 0:
         raise SystemExit(f"Error: graph {args.graph!r} contains no segments")
     resolver = NodeSegmentResolver(graph, segments)
@@ -219,6 +221,13 @@ def build_parser():
     a.add_argument("-g", dest="cost_gap_open", type=int, default=6)
     a.add_argument("-e", dest="cost_gap_extend", type=int, default=2)
     a.add_argument("--engine", default="wavefront", choices=["wavefront", "exact"])
+    a.add_argument("--reverse-links", dest="reverse_links",
+                   default="reject", choices=["reject", "double"],
+                   help="GFA links touching the reverse strand: 'reject' "
+                        "errors like the reference; 'double' (extension) "
+                        "adds reverse-complement segment copies + the "
+                        "strand-complement link closure, reported as "
+                        "<name entries in GAF paths")
     a.add_argument("--mesh", default="auto", metavar="auto|off|DP[,SP]",
                    help="device mesh for the wavefront engine: 'auto' "
                         "shards the read batch over every visible device "

@@ -84,6 +84,14 @@ class GAFRecord:
 _OP_CHARS = ("=", "X", "D", "I")
 
 
+def _seg_path_entry(graph_segments: GraphSegments, seg_ix: int) -> str:
+    """``>name`` for a forward segment copy, ``<name`` for a
+    reverse-complement copy (doubled-graph GFA extension)."""
+    oris = graph_segments.orientations
+    mark = "<" if seg_ix < len(oris) and oris[seg_ix] == "-" else ">"
+    return mark + graph_segments.names[seg_ix]
+
+
 def _alignment_to_gaf_arrays(
     graph_segments: GraphSegments,
     seq_name: str,
@@ -147,8 +155,8 @@ def _alignment_to_gaf_arrays(
     query_end = int(sub_qp[al][-1])
 
     prefix = path_segments[: last_match_segment_ix + 1]
-    names = graph_segments.names
-    graph_path = "".join(f">{names[s]}" for s in prefix.tolist())
+    graph_path = "".join(_seg_path_entry(graph_segments, s)
+                         for s in prefix.tolist())
     seg_lengths = np.asarray(graph_segments.segment_lengths, dtype=np.int64)
     path_length = int(seg_lengths[prefix].sum())
     path_aln_end = (
@@ -260,7 +268,8 @@ def alignment_to_gaf(
                 cigar_ops.append("I")
 
     graph_path = "".join(
-        f">{graph_segments.names[s]}" for s in path_segments[: last_match_segment_ix + 1]
+        _seg_path_entry(graph_segments, s)
+        for s in path_segments[: last_match_segment_ix + 1]
     )
     path_length = sum(
         graph_segments.segment_lengths[s]

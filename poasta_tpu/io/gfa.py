@@ -38,6 +38,11 @@ class GraphSegments:
     start_nodes: List[int] = field(default_factory=list)
     end_nodes: List[int] = field(default_factory=list)
     segment_lengths: List[int] = field(default_factory=list)
+    # per-entry strand: '+' for a forward copy, '-' for a
+    # reverse-complement copy (doubled-graph mode); GAF paths render
+    # '-' entries as '<name'.  May be shorter than names for segments
+    # tables built before doubling existed — treated as '+'.
+    orientations: List[str] = field(default_factory=list)
 
 
 def parse_gfa_line(line: str):
@@ -56,16 +61,51 @@ def parse_gfa_line(line: str):
     return None
 
 
-def load_graph_from_gfa(path) -> Tuple[POAGraph, GraphSegments]:
-    """Build a POA graph from GFA segments + forward-strand links.
+_RC_TABLE = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+
+
+def reverse_complement(seq: bytes) -> bytes:
+    return seq.translate(_RC_TABLE)[::-1]
+
+
+def load_graph_from_gfa(path, reverse_links: str = "reject"
+                        ) -> Tuple[POAGraph, GraphSegments]:
+    """Build a POA graph from GFA segments + links.
+
+    ``reverse_links``:
+
+    * ``"reject"`` (default) — error on any ``-`` orientation, exactly
+      like the reference (``src/io/graph.rs:176-180``).
+    * ``"double"`` — EXTENSION beyond the reference: materialize a
+      reverse-complement node chain per segment and close the link set
+      under strand complementation, so walks may traverse either strand
+      of any segment (standard bidirected-to-DAG doubling).  GAF paths
+      render reverse entries as ``<name``.  Cycles introduced by the
+      links (e.g. palindromic loops) still error — POA requires a DAG.
 
     Reference: ``src/io/graph.rs:125-227``.
     """
+    if reverse_links not in ("reject", "double"):
+        raise ValueError("reverse_links must be 'reject' or 'double'")
+    double = reverse_links == "double"
     opener = gzip.open if str(path).endswith(".gz") else open
     graph = POAGraph()
     segments = GraphSegments()
     name_to_ix: Dict[str, int] = {}
-    links_to_add: List[Link] = []
+    links: List[Link] = []
+    seen_edges: set = set()
+
+    def add_chain(sid: str, seq: bytes, orientation: str) -> None:
+        weights = [1] * len(seq)
+        res = graph.add_nodes_for_sequence(seq, weights, 0, len(seq))
+        if res is None:
+            raise GraphError(f"empty segment {sid}")
+        start, end = res
+        segments.names.append(sid)
+        segments.start_nodes.append(start)
+        segments.end_nodes.append(end)
+        segments.segment_lengths.append(len(seq))
+        segments.orientations.append(orientation)
 
     with opener(path, "rt") as fh:
         for raw in fh:
@@ -83,41 +123,70 @@ def load_graph_from_gfa(path) -> Tuple[POAGraph, GraphSegments]:
                 if parsed.sequence is None:
                     continue
                 seq = parsed.sequence.encode()
-                weights = [1] * len(seq)
-                res = graph.add_nodes_for_sequence(seq, weights, 0, len(seq))
-                if res is None:
-                    raise GraphError(f"empty segment {parsed.sid}")
-                start, end = res
                 name_to_ix[parsed.sid] = len(segments.names)
-                segments.names.append(parsed.sid)
-                segments.start_nodes.append(start)
-                segments.end_nodes.append(end)
-                segments.segment_lengths.append(len(seq))
+                add_chain(parsed.sid, seq, "+")
+                if double:
+                    # rc copy rides at forward ix + 1
+                    add_chain(parsed.sid, reverse_complement(seq), "-")
             elif isinstance(parsed, Link):
-                if parsed.strand1 == "-" or parsed.strand2 == "-":
-                    raise GraphError("reverse-strand GFA links are not supported")
-                if parsed.sid1 in name_to_ix and parsed.sid2 in name_to_ix:
-                    frm = segments.end_nodes[name_to_ix[parsed.sid1]]
-                    to = segments.start_nodes[name_to_ix[parsed.sid2]]
-                    graph.add_edge(frm, to, 0, 1)
+                if not double and (parsed.strand1 == "-"
+                                   or parsed.strand2 == "-"):
+                    raise GraphError(
+                        "reverse-strand GFA links are not supported "
+                        "(pass reverse_links='double' / lasagna "
+                        "--reverse-links double to enable the "
+                        "doubled-graph extension)")
+                # resolvable links add their edges inline (edge insertion
+                # order feeds the topo sort, which downstream emitters'
+                # byte parity rides on); forward references defer
+                if (parsed.sid1 in name_to_ix
+                        and parsed.sid2 in name_to_ix):
+                    _apply_link(graph, segments, name_to_ix, parsed,
+                                double, seen_edges)
                 else:
-                    links_to_add.append(parsed)
+                    links.append(parsed)
 
-    for link in links_to_add:
-        if link.sid1 in name_to_ix and link.sid2 in name_to_ix:
-            frm = segments.end_nodes[name_to_ix[link.sid1]]
-            to = segments.start_nodes[name_to_ix[link.sid2]]
-            graph.add_edge(frm, to, 0, 1)
-        else:
-            # silently dropping a link to an undefined segment would build
-            # a disconnected graph with no warning — fail like malformed
-            # lines do
-            missing = link.sid1 if link.sid1 not in name_to_ix else link.sid2
-            raise GraphError(f"GFA link references undefined segment "
-                             f"{missing!r}")
+    for link in links:
+        _apply_link(graph, segments, name_to_ix, link, double, seen_edges)
 
     graph.post_process()
     return graph, segments
+
+
+def _apply_link(graph, segments, name_to_ix, link, double, seen) -> None:
+    """Add a link's edge (plus its strand-complement in double mode).
+
+    ``seen``: (source, target) pairs already added — the complement
+    closure must not duplicate edges (a palindromic self-link coincides
+    with its own complement)."""
+    def chain_ix(sid: str, strand: str) -> int:
+        if sid not in name_to_ix:
+            # silently dropping a link to an undefined segment would
+            # build a disconnected graph with no warning — fail like
+            # malformed lines do
+            raise GraphError(
+                f"GFA link references undefined segment {sid!r}")
+        return name_to_ix[sid] + (1 if double and strand == "-" else 0)
+
+    def add_edge(s1, o1, s2, o2):
+        frm = segments.end_nodes[chain_ix(s1, o1)]
+        to = segments.start_nodes[chain_ix(s2, o2)]
+        if double:
+            # dedup only under the closure; reject mode keeps the
+            # reference's behavior for repeated L lines verbatim
+            if (frm, to) in seen:
+                return
+            seen.add((frm, to))
+        graph.add_edge(frm, to, 0, 1)
+
+    add_edge(link.sid1, link.strand1, link.sid2, link.strand2)
+    if double:
+        # strand-complement closure: traversing the locus on the other
+        # strand crosses this link in the opposite direction with both
+        # orientations flipped
+        flip = {"+": "-", "-": "+"}
+        add_edge(link.sid2, flip[link.strand2],
+                 link.sid1, flip[link.strand1])
 
 
 # -- emission ---------------------------------------------------------------

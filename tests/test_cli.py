@@ -379,3 +379,36 @@ def test_lasagna_semi_global_exact_engine_agrees(tmp_path):
     s_exact = int(next(f[5:] for f in outs[1][0] if f.startswith("AS:i:")))
     assert s_wave <= s_exact
     assert s_wave == 0  # the read IS a path substring
+
+
+def test_lasagna_reverse_links_double(tmp_path):
+    """--reverse-links double (extension): reads from the inverted allele
+    map through the reverse-complement copy and GAF paths report <name;
+    default mode still rejects like the reference."""
+    import random
+
+    from poasta_tpu.io.gfa import reverse_complement
+
+    rng = random.Random(77)
+    a = "".join(rng.choice("ACGT") for _ in range(150))
+    b = "".join(rng.choice("ACGT") for _ in range(100))
+    c = "".join(rng.choice("ACGT") for _ in range(150))
+    gfa = tmp_path / "inv.gfa"
+    gfa.write_text(f"S\tA\t{a}\nS\tB\t{b}\nS\tC\t{c}\n"
+                   "L\tA\t+\tB\t+\t0M\nL\tB\t+\tC\t+\t0M\n"
+                   "L\tA\t+\tB\t-\t0M\nL\tB\t-\tC\t+\t0M\n")
+    inv_read = a + reverse_complement(b.encode()).decode() + c
+    reads = tmp_path / "reads.fa"
+    reads.write_text(f">fwd\n{a}{b}{c}\n>inv\n{inv_read}\n")
+
+    rc, _ = _run(lasagna_main, ["align", str(gfa), str(reads)])
+    assert rc == 1  # default rejects, like the reference
+
+    rc, out = _run(lasagna_main,
+                   ["align", "--reverse-links", "double",
+                    str(gfa), str(reads)])
+    assert rc in (0, None)
+    lines = [ln for ln in out.splitlines() if ln and not ln.startswith("#")]
+    paths = {ln.split("\t")[0]: ln.split("\t")[5] for ln in lines}
+    assert paths["fwd"] == ">A>B>C"
+    assert paths["inv"] == ">A<B>C"

@@ -178,3 +178,76 @@ def test_gfa_rejects_link_to_undefined_segment(tmp_path):
     p.write_text("S\ts1\tACGT\nL\ts1\t+\tmissing\t+\t0M\n")
     with pytest.raises(PoastaError):
         load_graph_from_gfa(str(p))
+
+
+def test_gfa_reverse_links_reject_by_default(tmp_path):
+    from poasta_tpu.utils.errors import GraphError
+
+    p = tmp_path / "rev.gfa"
+    p.write_text("S\tA\tACGTAC\nS\tB\tGGTTGG\nL\tA\t+\tB\t-\t0M\n")
+    with pytest.raises(GraphError, match="reverse-strand"):
+        load_graph_from_gfa(str(p))
+
+
+def test_gfa_reverse_links_double_builds_both_strands(tmp_path):
+    """EXTENSION beyond the reference (which errors,
+    src/io/graph.rs:176-180): reverse_links='double' materializes
+    reverse-complement segment copies + the strand-complement link
+    closure, so reads from either strand align linearly and GAF paths
+    carry <name entries."""
+    from poasta_tpu.aligner import GapAffine
+    from poasta_tpu.aligner.costs import EndsFree, UNBOUNDED, included
+    from poasta_tpu.io.gaf import NodeSegmentResolver, alignment_to_gaf
+    from poasta_tpu.io.gfa import reverse_complement
+    from poasta_tpu.parallel import BatchMapper
+
+    import random
+
+    rng = random.Random(31)
+    a = "".join(rng.choice("ACGT") for _ in range(120))
+    b = "".join(rng.choice("ACGT") for _ in range(80))
+    c = "".join(rng.choice("ACGT") for _ in range(120))
+    p_str = (f"S\tA\t{a}\nS\tB\t{b}\nS\tC\t{c}\n"
+             "L\tA\t+\tB\t+\t0M\nL\tB\t+\tC\t+\t0M\n"
+             "L\tA\t+\tB\t-\t0M\nL\tB\t-\tC\t+\t0M\n")
+    import pathlib
+
+    p = pathlib.Path(str(tmp_path)) / "inv.gfa"
+    p.write_text(p_str)
+    graph, segments = load_graph_from_gfa(str(p), reverse_links="double")
+    assert segments.orientations.count("-") == 3
+    # every forward chain and its rc twin carry complementary sequence
+    for i in range(0, len(segments.names), 2):
+        assert segments.names[i] == segments.names[i + 1]
+        assert segments.orientations[i:i + 2] == ["+", "-"]
+
+    costs = GapAffine(4, 2, 6)
+    span = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+    bm = BatchMapper(graph, costs, aln_type=span)
+    resolver = NodeSegmentResolver(graph, segments)
+    rc = reverse_complement
+
+    fwd_read = (a + b + c).encode()          # reference allele
+    inv_read = (a + rc(b.encode()).decode() + c).encode()  # inversion
+    out = bm.align_batch([fwd_read, inv_read])
+    for (score, aln), read, want_b in zip(
+            out, [fwd_read, inv_read], [">B", "<B"]):
+        assert score == 0, (score, want_b)
+        rec = alignment_to_gaf(graph, segments, "q", read, aln, resolver)
+        assert rec.graph_path == f">A{want_b}>C", (want_b, rec.graph_path)
+        assert rec.num_matches == len(read)
+
+
+def test_gfa_double_palindromic_self_link_dedups(tmp_path):
+    """A link equal to its own strand-complement must not add a
+    duplicate edge under the closure."""
+    p = tmp_path / "pal.gfa"
+    p.write_text("S\tA\tACGT\nS\tB\tTTAA\nL\tA\t+\tB\t-\t0M\n")
+    graph, segments = load_graph_from_gfa(str(p), reverse_links="double")
+    # the closure of (A+, B-) is (B+, A-): exactly two link edges
+    starts = set(segments.start_nodes)
+    ends = set(segments.end_nodes)
+    n_link_edges = sum(
+        1 for e in graph.edge_references()
+        if e.source in ends and e.target in starts)
+    assert n_link_edges == 2
