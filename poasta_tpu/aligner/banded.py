@@ -23,11 +23,17 @@ min/max lengths, so bucketing reads by length keeps bands tight.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# A/B toggle for measuring the insertion-run cap (scripts/runcap_ab.py
+# re-execs with it set); read once — ins_run_cap sits on the hot
+# per-fill dispatch path
+_NO_RUN_CAP = bool(os.environ.get("POASTA_NO_RUN_CAP"))
 
 from ..graphs.flat import FlatGraph
 from ..ops.dp_rows import INF
@@ -244,8 +250,11 @@ def ins_run_cap(costs, ub: int, width: int) -> int:
     for no cap (cap would not be narrower than the band).
 
     Any path of total cost ≤ ub spends at most K on one insertion run —
-    K = (ub-o)//e for one-piece, and for two-piece the run's cost is
-    min(o1+e1*g, o2+e2*g) so K = max((ub-o1)//e1, (ub-o2)//e2) — so the
+    K = (ub-o)//e for one-piece.  For two-piece, the coupled recurrence
+    (``ops/dp_rows_2p.py``) opens at o1+e1 and extends every further
+    lane at ≥ min(e1, e2) — piece 2 is entered from piece 1 at e2 cost,
+    NOT at gap_open2, so a gap_open2-based bound would under-count and
+    silently break exactness — giving K = (ub-o1)//min(e1, e2).  So the
     insertion scan only needs to look back 2^ceil(log2 K) lanes instead
     of the whole band: fewer Hillis–Steele rounds (the dominant per-cell
     cost, and ~5x heavier for the 2p coupled min-plus scan).  Truncation
@@ -254,15 +263,11 @@ def ins_run_cap(costs, ub: int, width: int) -> int:
     unchanged: if the returned score is ≤ ub, the true optimum is ≤ ub,
     its insertion runs all fit the cap, and the fill saw its whole path.
     """
-    import os
-
-    if os.environ.get("POASTA_NO_RUN_CAP"):
+    if _NO_RUN_CAP:
         return 0  # A/B toggle for measuring the cap (scripts/runcap_ab.py)
     if getattr(costs, "is_two_piece", False):
-        o1, e1 = costs.gap_open, costs.gap_extend
-        o2, e2 = costs.gap_open2, costs.gap_extend2
-        K = max((ub - o1) // e1 if ub >= o1 + e1 else 0,
-                (ub - o2) // e2 if ub >= o2 + e2 else 0, 1)
+        o, e = costs.gap_open, min(costs.gap_extend, costs.gap_extend2)
+        K = max((ub - o) // e, 1) if ub >= o + e else 1
     else:
         o, e = costs.gap_open, costs.gap_extend
         K = max((ub - o) // e, 1) if ub >= o + e else 1
@@ -270,6 +275,35 @@ def ins_run_cap(costs, ub: int, width: int) -> int:
     while cap < K:
         cap <<= 1
     return cap if cap < width else 0
+
+
+def run_capped_ladder(costs, L: int, ub0: int, fill_capped, fill_plain):
+    """Shared verify-and-retry insertion-run-cap ladder (exactness
+    argument in :func:`ins_run_cap`).
+
+    ``fill_capped(cap)`` returns a tuple whose first element is the
+    numpy score array, and must RAISE when the capped engine is
+    unavailable (the pallas dispatchers' engine='pallas' contract);
+    ``fill_plain()`` returns the exact uncapped result.  Scores above ub
+    (or INF rows, which may just be capped away) retry the whole batch
+    at 4x until the cap stops binding.  Returns
+    ``(result, verified_max_score or None)`` — callers seed their ub
+    hints from the second element, or from the plain result's finite max
+    when the ladder fell through.
+    """
+    ub = ub0
+    while True:
+        cap = ins_run_cap(costs, ub, L)
+        if cap == 0:
+            break  # cap no narrower than the row: plain fill
+        try:
+            out = fill_capped(cap)
+        except Exception:
+            break  # capped engine unavailable here: plain fill
+        if (out[0] <= ub).all():
+            return out, int(out[0].max())
+        ub *= 4
+    return fill_plain(), None
 
 
 # tests flip this to exercise the truncated prefix-min on CPU, where it
@@ -1098,41 +1132,39 @@ class BandedScorer:
         if self.ends_free:
             from .wavefront import dp_fill_scores_ends_free
 
+            costs = self.costs
+            L = int(qshift.shape[1])
+
+            def fill_plain():
+                return (np.asarray(dp_fill_scores_ends_free(
+                    self.dg, self.flat, qshift, lengths, costs,
+                    self.aln_type)),)
+
+            if jax.default_backend() == "cpu":
+                return fill_plain()[0]
+
             # insertion-run-capped ladder on the accelerator: the
             # bounded fill's L-wide prefix scan truncates to the <=ub
-            # run bound; scores above ub (or capped-away INF) refill at
-            # 4x.  Exactness: truncation only over-estimates (see
-            # ins_run_cap).  A raising pallas path or cap >= L falls to
-            # the one uncapped fill below.
-            if jax.default_backend() != "cpu":
-                entry = self._lenstats.get(id(lengths))
-                key = ("ef_full_ub",) + (entry[1] if entry is not None
-                                         and entry[0] is lengths
-                                         else (int(qshift.shape[1]),))
-                L = int(qshift.shape[1])
-                costs = self.costs
-                ub = self._ub_hint.get(key) or (
-                    (costs.gap_open + costs.gap_extend) * 4
-                    + costs.mismatch * max(L // 16, 4))
-                while True:
-                    cap = ins_run_cap(costs, ub, L)
-                    if cap == 0:
-                        break
-                    try:
-                        sc = np.asarray(dp_fill_scores_ends_free(
-                            self.dg, self.flat, qshift, lengths,
-                            costs, self.aln_type, engine="pallas",
-                            max_run=cap))
-                    except Exception:
-                        break
-                    if (sc <= ub).all():
-                        self._ub_hint[key] = max(int(sc.max()), 1)
-                        return sc
-                    ub *= 4
+            # run bound (see run_capped_ladder / ins_run_cap)
+            def fill_capped(cap):
+                return (np.asarray(dp_fill_scores_ends_free(
+                    self.dg, self.flat, qshift, lengths, costs,
+                    self.aln_type, engine="pallas", max_run=cap)),)
 
-            return np.asarray(dp_fill_scores_ends_free(
-                self.dg, self.flat, qshift, lengths, self.costs,
-                self.aln_type))
+            entry = self._lenstats.get(id(lengths))
+            key = ("ef_full_ub",) + (entry[1] if entry is not None
+                                     and entry[0] is lengths else (L,))
+            ub = self._ub_hint.get(key) or (
+                (costs.gap_open + costs.gap_extend) * 4
+                + costs.mismatch * max(L // 16, 4))
+            out, vmax = run_capped_ladder(costs, L, ub, fill_capped,
+                                          fill_plain)
+            if vmax is None:
+                finite = out[0][out[0] < INF]
+                vmax = int(finite.max()) if finite.size else None
+            if vmax is not None:
+                self._ub_hint[key] = max(vmax, 1)
+            return out[0]
         if (self.mesh is not None
                 and int(qshift.shape[0]) % self.mesh.shape.get("dp", 1) == 0
                 and not getattr(self.costs, "is_two_piece", False)):
@@ -1780,9 +1812,11 @@ class BandedScorer:
                                           tight, aln_type=self.aln_type)
             if drift_eligible:
                 S = drift_steps_for(n_min, n_max)
-                _, dwidth, _ = band_windows_drift(self.flat, n_min, n_max,
-                                                  costs, tight, S)
-                width = min(width, dwidth)
+                if 0 < S <= self.flat.n_nodes - 1:
+                    _, dwidth, _ = band_windows_drift(
+                        self.flat, n_min, n_max, costs, tight, S,
+                        aln_type=self.aln_type)
+                    width = min(width, dwidth)
             if width + 128 < int(qshift.shape[1]):
                 self._ub_hint[(n_min, n_max)] = tight
                 del self._prep_cache[("fullfill", n_min, n_max)]

@@ -815,8 +815,10 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                       dg.write_slots, dg.end_rank, end_ok, qshift,
                       lengths, jlo)
         # batch doesn't divide: single-device path below
-    if (engine in ("auto", "pallas")
-            and jax.default_backend() != "cpu"):
+    if engine in ("auto", "pallas") and (
+            engine == "pallas" or jax.default_backend() != "cpu"):
+        # engine='pallas' always enters (and raises on failure — the
+        # capped ladders' contract), even on CPU where auto would skip
         from ..ops.pallas_fill import (
             _check_prefetch_fits,
             pallas_bounded_with_ends,
@@ -829,6 +831,12 @@ def dp_fill_ends_free_with_ends(dg: DeviceGraph, flat: FlatGraph, qshift,
                qshift.shape[0], qshift.shape[1], free_start,
                costs.gap_open, costs.gap_extend, costs.mismatch,
                tp_params)
+        if key in _PALLAS_FAILED and engine == "pallas":
+            # honor the raises-on-fallback contract the capped ladders
+            # rely on: silently serving the XLA body here would make
+            # them refill identical exact scores tier after tier
+            raise RuntimeError(
+                "pallas with-ends fill previously failed for this config")
         if key not in _PALLAS_FAILED:
             try:
                 kw = {}
@@ -920,6 +928,10 @@ def dp_fill_scores_ends_free(dg: DeviceGraph, flat: FlatGraph, qshift,
                getattr(costs, "gap_open2", 0),
                getattr(costs, "gap_extend2", 0))
         if jax.default_backend() != "cpu" or engine == "pallas":
+            if key in _PALLAS_FAILED and engine == "pallas":
+                # raises-on-fallback contract (see the with-ends twin)
+                raise RuntimeError(
+                    "pallas bounded fill previously failed for this config")
             if key not in _PALLAS_FAILED:
                 try:
                     # graphs past the scalar-prefetch SMEM budget stream

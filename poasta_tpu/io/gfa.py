@@ -61,7 +61,10 @@ def parse_gfa_line(line: str):
     return None
 
 
-_RC_TABLE = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+# full IUPAC complement (both cases): passing an ambiguity code through
+# uncomplemented would give the rc copy silently wrong bases
+_RC_TABLE = bytes.maketrans(b"ACGTRYSWKMBDHVNacgtryswkmbdhvn",
+                            b"TGCAYRSWMKVHDBNtgcayrswmkvhdbn")
 
 
 def reverse_complement(seq: bytes) -> bytes:

@@ -449,9 +449,9 @@ class BatchMapper:
         """Whether the capped fill ladder applies: single-device, on an
         accelerator (the XLA/mesh bodies ignore the cap — harmless, but
         the ladder would refill identical exact scores).  Split out so
-        tests can exercise the ladder with a stubbed fill on CPU.  Both
-        cost models cap: ins_run_cap's two-piece bound covers the
-        cheaper piece-2 extension."""
+        tests can exercise the ladder with a stubbed fill on CPU.
+        ``two_piece`` is part of the override surface; the default gate
+        caps both cost models (ins_run_cap handles each soundly)."""
         return self.mesh is None and jax.default_backend() != "cpu"
 
     def _fill_ends_free_capped(self, qshift, lengths, two_piece):
@@ -470,10 +470,12 @@ class BatchMapper:
         INF rows, which may just be capped-away) retry the whole batch
         at 4x until the cap stops binding (subset gathers would change
         the batch shape and recompile).  Caps apply only where the
-        Pallas 1p path serves (engine='pallas' raises on fallback, which
-        routes to one uncapped call); 2p has no sound single-rate cap.
+        Pallas path serves (engine='pallas' raises on fallback, which
+        routes to one uncapped call).  Both cost models cap —
+        ins_run_cap's two-piece bound follows the coupled recurrence's
+        run cost (o1 + extensions at >= min(e1, e2)).
         """
-        from ..aligner.banded import ins_run_cap
+        from ..aligner.banded import run_capped_ladder
         from ..aligner.wavefront import INF as _INF
         from ..aligner.wavefront import dp_fill_ends_free_with_ends
 
@@ -481,36 +483,32 @@ class BatchMapper:
         n_min, n_max = int(lengths_np.min()), int(lengths_np.max())
         L = int(qshift.shape[1])
         costs = self.costs
-        use_cap = self._ef_cap_enabled(two_piece)
-        if use_cap:
-            guess = ((costs.gap_open + costs.gap_extend) * 4
-                     + costs.mismatch * max(n_max // 16, 4))
-            ub = self._ef_ub_hint.get((n_min, n_max)) or guess
-            while True:
-                cap = ins_run_cap(costs, ub, L)
-                if cap == 0:
-                    break  # cap no narrower than the row: plain fill
-                try:
-                    sc, er, ej = dp_fill_ends_free_with_ends(
-                        self.dg, self.flat, qshift, lengths, costs,
-                        self.aln_type, engine="pallas", max_run=cap)
-                except Exception:
-                    break  # pallas unavailable here: plain fill below
-                sc = np.asarray(sc)
-                if (sc <= ub).all():
-                    self._ef_ub_hint[(n_min, n_max)] = max(
-                        int(sc.max()), 1)
-                    return sc, np.asarray(er), np.asarray(ej)
-                ub *= 4
-        sc, er, ej = dp_fill_ends_free_with_ends(
-            self.dg, self.flat, qshift, lengths, costs, self.aln_type,
-            mesh=self.mesh)
-        sc = np.asarray(sc)
-        if use_cap:
-            finite = sc[sc < _INF]
-            if finite.size:
-                self._ef_ub_hint[(n_min, n_max)] = max(int(finite.max()), 1)
-        return sc, np.asarray(er), np.asarray(ej)
+
+        def fill_plain():
+            sc, er, ej = dp_fill_ends_free_with_ends(
+                self.dg, self.flat, qshift, lengths, costs, self.aln_type,
+                mesh=self.mesh)
+            return np.asarray(sc), np.asarray(er), np.asarray(ej)
+
+        if not self._ef_cap_enabled(two_piece):
+            return fill_plain()
+
+        def fill_capped(cap):
+            sc, er, ej = dp_fill_ends_free_with_ends(
+                self.dg, self.flat, qshift, lengths, costs, self.aln_type,
+                engine="pallas", max_run=cap)
+            return np.asarray(sc), np.asarray(er), np.asarray(ej)
+
+        guess = ((costs.gap_open + costs.gap_extend) * 4
+                 + costs.mismatch * max(n_max // 16, 4))
+        ub = self._ef_ub_hint.get((n_min, n_max)) or guess
+        out, vmax = run_capped_ladder(costs, L, ub, fill_capped, fill_plain)
+        if vmax is None:
+            finite = out[0][out[0] < _INF]
+            vmax = int(finite.max()) if finite.size else None
+        if vmax is not None:
+            self._ef_ub_hint[(n_min, n_max)] = max(vmax, 1)
+        return out
 
     def _align_batch_ends_free(self, queries, qshift, lengths, two_piece):
         """Ends-free scores + alignments.

@@ -286,13 +286,14 @@ def test_ins_run_cap_window_math():
     assert ins_run_cap(COSTS, 1 << 10, 64) == 0  # cap >= width: full scan
     from poasta_tpu.aligner import GapAffine2Piece
 
-    # two-piece: the run bound is max over both pieces — piece 2
-    # (extend2=1) dominates: K = (1000-24)//1 = 976 -> 1024
+    # two-piece: the coupled recurrence opens at o1+e1 and extends at
+    # >= min(e1, e2) with NO gap_open2 charge on the I1->I2 switch, so
+    # the sound bound is (ub-o1)//min(e1,e2) — a gap_open2-based bound
+    # would under-count (review finding, round 3)
     assert ins_run_cap(GapAffine2Piece(4, 2, 6, 1, 24), 1000, 1 << 20) \
-        == 1024
-    # piece 1 dominates when ub < o2+e2
+        == 1024  # K = (1000-6)//1 = 994 -> 1024
     assert ins_run_cap(GapAffine2Piece(4, 2, 6, 1, 200), 100, 1 << 20) \
-        == 64  # K = (100-6)//2 = 47 -> 64
+        == 128  # K = (100-6)//1 = 94 -> 128: o2 plays no role
 
 
 def test_long_insertion_reads_stay_exact_with_run_cap():
