@@ -23,6 +23,7 @@ against the XLA path and the exact engine in tests.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -1939,17 +1940,9 @@ def _banded_kernel(
     pred_wstart_ref,  # (Np*P,) window start of each predecessor's rank
     wstart_ref,       # (Np,) this rank's window start (multiples of 128)
     wslot_ref,        # (Np,) liveness-colored ring slot per rank
-    meta_ref,         # (4,): [n_real_ranks, end_rank, _, _]
-    # inputs
-    qshift_ref,       # (B_BLK, L) VMEM
-    # outputs
-    end_row_ref,      # (B_BLK, Wb) VMEM
-    # scratch — rows carry MARGIN lanes of permanent INF on both sides so
-    # predecessor windows at different starts are read as dynamic-slice
-    # ref loads (Pallas cannot dynamic-slice register arrays)
-    m_ring, d_ring,   # (W, B_BLK, 2*MARGIN + Wb) VMEM
-    *, W: int, P: int, Wb: int, MARGIN: int, o: int, e: int, x: int,
-    B_BLK: int, dtype, max_run: int = 0,
+    *rest,            # [chain_ref, store_ref,] meta_ref, qshift, out, scratch
+    W: int, P: int, Wb: int, MARGIN: int, o: int, e: int, x: int,
+    B_BLK: int, dtype, max_run: int = 0, chain_skip: bool = False,
 ):
     """Banded fill in TILTED coordinates: rings store X'(j) = X(j) - e*j.
 
@@ -1961,7 +1954,24 @@ def _banded_kernel(
     values are tilted by *global* j, which window alignment preserves.
     The caller un-tilts by adding e*length at score extraction.
     ``max_run``: ≤ub insertion-run cap (see _prefix_min_rows).
+
+    ``chain_skip`` (experimental, env ``POASTA_CHAIN_SKIP``): fused POA /
+    pangenome graphs are mostly *chains* — ranks whose only predecessor
+    is the previous rank at the same window start (~72% of ranks on the
+    uniform bench graph).  Two scratch rows (``pm_buf``/``pd_buf``) always
+    hold the previous rank's stored M/D, so chain ranks skip the whole
+    predecessor gather (2 dynamic-slice ring reads + (P-1) masked
+    min-reads) behind a scalar-prefetch-driven branch, and ranks whose
+    rows no ring consumer will ever read skip the ring stores too
+    (``store_ref``; see :func:`prepare_banded` for the flag derivation
+    and why masked reads of stale slots stay harmless).
     """
+    if chain_skip:
+        (chain_ref, store_ref, meta_ref, qshift_ref, end_row_ref,
+         m_ring, d_ring, pm_buf, pd_buf) = rest
+    else:
+        meta_ref, qshift_ref, end_row_ref, m_ring, d_ring = rest
+        chain_ref = store_ref = pm_buf = pd_buf = None
     n_nodes = meta_ref[0]
     end_rank = meta_ref[1]
     TOT = 2 * MARGIN + Wb
@@ -1979,26 +1989,39 @@ def _banded_kernel(
         w_r = wstart_ref[r]
         j32 = col32 + w_r
 
-        # p=0 is unconditional: every real rank > 0 has at least one
-        # predecessor (stored first), and rank 0's slot-0 row is still
-        # all-INF when it executes — the correct neutral either way.
-        slot0 = pred_slots_ref[r * P]
-        delta0 = jnp.clip(w_r - pred_wstart_ref[r * P], -MARGIN, MARGIN)
-        start0 = pl.multiple_of(MARGIN + delta0, 128)
-        min_pm = m_ring[slot0, :, pl.ds(start0, Wb)]
-        min_pd = d_ring[slot0, :, pl.ds(start0, Wb)]
-        for p in range(1, P):
-            slot = pred_slots_ref[r * P + p]
-            valid = pred_valid_ref[r * P + p]
-            w_p = pred_wstart_ref[r * P + p]
-            # delta in [-MARGIN, MARGIN], multiple of 128 by construction
-            delta = jnp.clip(w_r - w_p, -MARGIN, MARGIN)
-            start = pl.multiple_of(MARGIN + delta, 128)
-            am = m_ring[slot, :, pl.ds(start, Wb)]
-            ad = d_ring[slot, :, pl.ds(start, Wb)]
-            keep = valid == 1
-            min_pm = jnp.minimum(min_pm, jnp.where(keep, am, inf))
-            min_pd = jnp.minimum(min_pd, jnp.where(keep, ad, inf))
+        def gather():
+            # p=0 is unconditional: every real rank > 0 has at least one
+            # predecessor (stored first), and rank 0's slot-0 row is still
+            # all-INF when it executes — the correct neutral either way.
+            slot0 = pred_slots_ref[r * P]
+            delta0 = jnp.clip(w_r - pred_wstart_ref[r * P], -MARGIN, MARGIN)
+            start0 = pl.multiple_of(MARGIN + delta0, 128)
+            min_pm = m_ring[slot0, :, pl.ds(start0, Wb)]
+            min_pd = d_ring[slot0, :, pl.ds(start0, Wb)]
+            for p in range(1, P):
+                slot = pred_slots_ref[r * P + p]
+                valid = pred_valid_ref[r * P + p]
+                w_p = pred_wstart_ref[r * P + p]
+                # delta in [-MARGIN, MARGIN], multiple of 128 by construction
+                delta = jnp.clip(w_r - w_p, -MARGIN, MARGIN)
+                start = pl.multiple_of(MARGIN + delta, 128)
+                am = m_ring[slot, :, pl.ds(start, Wb)]
+                ad = d_ring[slot, :, pl.ds(start, Wb)]
+                keep = valid == 1
+                min_pm = jnp.minimum(min_pm, jnp.where(keep, am, inf))
+                min_pd = jnp.minimum(min_pd, jnp.where(keep, ad, inf))
+            return min_pm, min_pd
+
+        if chain_skip:
+            @pl.when(chain_ref[r] == 0)
+            def _():
+                mm, dd = gather()
+                pm_buf[:] = mm
+                pd_buf[:] = dd
+            min_pm = pm_buf[:]
+            min_pd = pd_buf[:]
+        else:
+            min_pm, min_pd = gather()
 
         D = jnp.minimum(min_pm + dtype(o + e), min_pd + dtype(e))
 
@@ -2033,9 +2056,17 @@ def _banded_kernel(
             end_row_ref[:] = min_pm
 
         slot = wslot_ref[r]
-        m_ring[slot, :, MARGIN:MARGIN + Wb] = M
-        d_ring[slot, :, MARGIN:MARGIN + Wb] = jnp.where(
-            is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
+        D_st = jnp.where(is_end, dtype(inf), jnp.minimum(D, dtype(inf)))
+        if chain_skip:
+            @pl.when(store_ref[r] == 1)
+            def _():
+                m_ring[slot, :, MARGIN:MARGIN + Wb] = M
+                d_ring[slot, :, MARGIN:MARGIN + Wb] = D_st
+            pm_buf[:] = M
+            pd_buf[:] = D_st
+        else:
+            m_ring[slot, :, MARGIN:MARGIN + Wb] = M
+            d_ring[slot, :, MARGIN:MARGIN + Wb] = D_st
         return 0
 
     jax.lax.fori_loop(0, n_nodes, body, 0)
@@ -2044,14 +2075,22 @@ def _banded_kernel(
 @functools.lru_cache(maxsize=None)
 def _banded_exec(nblocks: int, W: int, P: int, Wb: int, MARGIN: int, L: int,
                  o: int, e: int, x: int, B_BLK: int = 64,
-                 use_int16: bool = False, max_run: int = 0):
+                 use_int16: bool = False, max_run: int = 0,
+                 chain_skip: bool = False, interpret: bool = False):
     dtype = jnp.int16 if use_int16 else jnp.int32
     kernel = functools.partial(_banded_kernel, W=W, P=P, Wb=Wb, MARGIN=MARGIN,
                                o=o, e=e, x=x, B_BLK=B_BLK, dtype=dtype,
-                               max_run=max_run)
+                               max_run=max_run, chain_skip=chain_skip)
 
+    scratch = [
+        pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+        pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
+    ]
+    if chain_skip:
+        scratch += [pltpu.VMEM((B_BLK, Wb), dtype),
+                    pltpu.VMEM((B_BLK, Wb), dtype)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=9 if chain_skip else 7,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((B_BLK, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
@@ -2059,23 +2098,21 @@ def _banded_exec(nblocks: int, W: int, P: int, Wb: int, MARGIN: int, L: int,
         out_specs=pl.BlockSpec(
             (B_BLK, Wb), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
-            pltpu.VMEM((W, B_BLK, 2 * MARGIN + Wb), dtype),
-        ],
+        scratch_shapes=scratch,
     )
 
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
         grid_spec=grid_spec,
+        interpret=interpret,
     )
 
     @jax.jit
     def fn(symbols, pred_slots, pred_valid, pred_wstarts, wstarts, wslots,
-           meta, qshift, lengths, w_end):
+           meta, qshift, lengths, w_end, *chain_store):
         end_row = call(symbols, pred_slots, pred_valid, pred_wstarts,
-                       wstarts, wslots, meta, qshift)
+                       wstarts, wslots, *chain_store, meta, qshift)
         lengths_i = lengths.astype(jnp.int32)
         idx_loc = lengths_i - w_end
         in_range = jnp.logical_and(idx_loc >= 0, idx_loc < Wb)
@@ -2374,6 +2411,19 @@ def prepare_banded(dg, costs, wstarts_np, width: int, L: int):
     """Precompute the banded kernel's device arrays + margin for a window
     layout.  Callers cache the result: uploading the window tables per
     call would cost a host->device round trip on the dispatch path.
+
+    Also derives the ``chain_skip`` flags (see :func:`_banded_kernel`):
+
+    * ``chain[r]`` — rank r's only used predecessor is rank r-1 at the
+      same window start, so the kernel may take min_pm/min_pd from the
+      previous iteration's scratch buffers instead of the ring.
+    * ``store[r]`` — some rank will *use* rank r's row from the ring:
+      either as the unconditional p=0 read of a non-chain rank, or as a
+      valid p≥1 read of a non-chain rank.  When no such consumer exists
+      the ring stores are skipped.  Skipping is sound because (a) chain
+      consumers read the scratch carry, not the ring, and (b) the only
+      other reads that can land on a stale slot are p≥1 reads with
+      valid==0, whose values the kernel masks away before use.
     """
     import numpy as np
 
@@ -2394,6 +2444,25 @@ def prepare_banded(dg, costs, wstarts_np, width: int, L: int):
     margin = ((margin + 127) // 128) * 128
     margin = max(margin, 128)
 
+    chain = np.zeros(Np, dtype=np.int32)
+    store = np.zeros(Np, dtype=np.int32)
+    if n > 1:
+        P = pr.shape[1]
+        ranks = np.arange(n)
+        single = valid[:, 1:].sum(axis=1) == 0 if P > 1 else np.ones(
+            n, dtype=bool)
+        chain[1:n] = (single[1:] & (pr[1:, 0] == ranks[1:] - 1)
+                      & (ws[1:n] == ws[:n - 1])).astype(np.int32)
+        nonchain = ranks[1:][chain[1:n] == 0]
+        used = np.zeros(Np, dtype=bool)
+        used[pr[nonchain, 0]] = True  # p=0 reads are unconditional
+        for p in range(1, P):
+            sel = nonchain[valid[nonchain, p].astype(bool)]
+            used[pr[sel, p]] = True
+        store[:n] = used[:n].astype(np.int32)
+    else:
+        store[:n] = 1
+
     return {
         "margin": margin,
         "width": width,
@@ -2401,20 +2470,40 @@ def prepare_banded(dg, costs, wstarts_np, width: int, L: int):
         "pred_wstarts": jnp.asarray(pw.reshape(-1)),
         "wstarts": jnp.asarray(ws),
         "w_end": jnp.asarray(int(ws[dg.end_rank_i]), dtype=jnp.int32),
+        "chain": jnp.asarray(chain),
+        "store": jnp.asarray(store),
+        "chain_frac": float(chain[:n].mean()) if n else 0.0,
     }
 
 
+def _chain_skip_enabled() -> bool:
+    """Experimental banded chain-run ring-skip (see :func:`_banded_kernel`).
+
+    Opt-in via ``POASTA_CHAIN_SKIP=1`` until the on-chip A/B
+    (``scripts/chainskip_ab.py``) proves it; read per call so tests and
+    the A/B harness can toggle without re-importing."""
+    import os
+
+    return os.environ.get("POASTA_CHAIN_SKIP", "") not in ("", "0")
+
+
 def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np=None,
-                         width: int = 0, prep=None, max_run: int = 0):
+                         width: int = 0, prep=None, max_run: int = 0,
+                         chain_skip: Optional[bool] = None,
+                         interpret: bool = False):
     """Banded global-alignment scores via the Pallas kernel.
 
     Either pass ``prep`` from :func:`prepare_banded` (cached, zero upload)
     or ``wstarts_np`` (+``width``) to build it ad hoc.  ``wstarts_np``:
     (n_nodes,) per-rank window starts, multiples of 128; ``width``: window
     width, a multiple of 128.  Caller guarantees band coverage (see
-    :class:`poasta_tpu.aligner.banded.BandedScorer`).
+    :class:`poasta_tpu.aligner.banded.BandedScorer`).  ``chain_skip``
+    defaults to the ``POASTA_CHAIN_SKIP`` env gate; ``interpret`` runs the
+    kernel in Pallas interpret mode (CPU exactness tests).
     """
-    _check_prefetch_fits(dg, 2)
+    if chain_skip is None:
+        chain_skip = _chain_skip_enabled()
+    _check_prefetch_fits(dg, 4 if chain_skip else 2)
     B, L = qshift.shape
     assert B % B_BLK == 0
     P = int(dg.pred_slots.shape[1])
@@ -2425,15 +2514,21 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np=None,
 
     dtype = score_dtype(Np, L, costs.gap_open, costs.gap_extend, costs.mismatch)
     use_int16 = dtype == jnp.int16
-    blk = pick_b_blk(dg.window, 2 * margin + width, L, 2 if use_int16 else 4)
+    itemsize = 2 if use_int16 else 4
+    # the chain-skip scratch rows cost 2 * blk * width * itemsize on top
+    # of the rings: account for them as extra row lanes
+    row_lanes = 2 * margin + width + (width // dg.window if chain_skip else 0)
+    blk = pick_b_blk(dg.window, row_lanes, L, itemsize)
     while B % blk:
         blk //= 2
     fn = _banded_exec(B // blk, dg.window, P, width, margin, L,
                       costs.gap_open, costs.gap_extend, costs.mismatch,
-                      B_BLK=blk, use_int16=use_int16, max_run=max_run)
+                      B_BLK=blk, use_int16=use_int16, max_run=max_run,
+                      chain_skip=chain_skip, interpret=interpret)
+    extra = (prep["chain"], prep["store"]) if chain_skip else ()
     return fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
               prep["pred_wstarts"], prep["wstarts"], dg.write_slots,
-              dg.meta, qshift, lengths, prep["w_end"])
+              dg.meta, qshift, lengths, prep["w_end"], *extra)
 
 
 def _banded_kernel_ef(

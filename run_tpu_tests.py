@@ -171,6 +171,13 @@ def main():
     assert (a_std == a_big).all(), (a_std[:6], a_big[:6])
     print("OK")
 
+    print("  chain-skip banded == standard banded (same windows) ...",
+          end=" ", flush=True)
+    a_cs = np.asarray(pallas_banded_scores(dg2, q2, l2, costs,
+                                           prep=prep_s, chain_skip=True))
+    assert (a_cs == a_std).all(), (a_cs[:6], a_std[:6])
+    print(f"OK (chain_frac={prep_s['chain_frac']:.2f})")
+
     print("drifting-window banded fill (pallas, two-piece):")
     print("  pallas 2p drift scores == full fill ...", end=" ", flush=True)
     from poasta_tpu.aligner import GapAffine2Piece as _G2P
