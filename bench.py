@@ -92,6 +92,21 @@ def _time_scores(scorer, qshift, lengths, iters):
 def main():
     import numpy as np
 
+    # fail fast (and report) if the tethered accelerator is unreachable —
+    # device init otherwise blocks indefinitely and the bench looks hung
+    from poasta_tpu.utils.device_probe import accelerator_available
+
+    ok, detail = accelerator_available(timeout_s=900)
+    if not ok:
+        print(json.dumps({
+            "metric": "poa_affine_fill_cells_per_sec_per_chip",
+            "value": 0,
+            "unit": "cells/s",
+            "vs_baseline": 0,
+            "error": f"accelerator unavailable: {detail}",
+        }))
+        return
+
     from poasta_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -31,6 +31,16 @@ def _run_test_file(path, names, param_calls=()):
 
 
 def main():
+    # bounded probe first: on the tethered backend, device init blocks
+    # indefinitely when the link is down, and this runner must report
+    # that rather than hang
+    from poasta_tpu.utils.device_probe import accelerator_available
+
+    ok, detail = accelerator_available(timeout_s=900)
+    if not ok:
+        print(f"ERROR: no accelerator — {detail}")
+        return 1
+
     from poasta_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
