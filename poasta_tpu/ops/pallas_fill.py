@@ -174,6 +174,49 @@ def pick_b_blk(W: int, row_lanes: int, L: int, itemsize: int = 4,
     return 32
 
 
+def _interpret_mode() -> bool:
+    """``POASTA_PALLAS_INTERPRET=1`` runs every kernel in Pallas
+    interpret mode — plain JAX ops, CPU-executable — so the kernel
+    *code* (tilt math, run caps, flag-driven branches) is testable
+    without an accelerator.  Mosaic compilation/legalization is NOT
+    covered; on-chip runs stay authoritative for that."""
+    import os
+
+    return os.environ.get("POASTA_PALLAS_INTERPRET", "") not in ("", "0")
+
+
+def _pallas_call(*args, **kw):
+    """pl.pallas_call with the module-wide interpret gate.
+
+    The flag is read when an exec builder constructs its call, and the
+    builders are lru_cached by shape params only — flip the mode via
+    :func:`set_interpret_mode` (which clears the caches), not by
+    mutating the env mid-process."""
+    kw.setdefault("interpret", _interpret_mode())
+    return pl.pallas_call(*args, **kw)
+
+
+def set_interpret_mode(on: bool) -> None:
+    """Flip interpret mode and clear every cached exec builder plus the
+    pallas failure memo, so kernels built under the previous mode (or
+    real-compile failures recorded on a CPU backend) don't leak in."""
+    import os
+    import sys
+
+    if on:
+        os.environ["POASTA_PALLAS_INTERPRET"] = "1"
+    else:
+        os.environ.pop("POASTA_PALLAS_INTERPRET", None)
+    mod = sys.modules[__name__]
+    for name in dir(mod):
+        fn = getattr(mod, name)
+        if callable(fn) and hasattr(fn, "cache_clear"):
+            fn.cache_clear()
+    from ..aligner import wavefront as _wf
+
+    _wf._PALLAS_FAILED.clear()
+
+
 def _roll_lanes(t: jnp.ndarray, k: int) -> jnp.ndarray:
     """Roll along the lane (last) axis; works for int16 and int32.
 
@@ -368,7 +411,7 @@ def _pallas_exec(nblocks: int, W: int, P: int, L: int, o: int, e: int, x: int,
         scratch_shapes=scratch,
     )
 
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
         grid_spec=grid_spec,
@@ -509,7 +552,7 @@ def _pallas_exec_bounded(nblocks: int, W: int, P: int, L: int, o: int,
         ],
     )
 
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
         grid_spec=grid_spec,
@@ -681,7 +724,7 @@ def _pallas_exec_bounded_ends(nblocks: int, W: int, P: int, L: int, o: int,
             pltpu.VMEM((B_BLK, L), dtype),
         ],
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
@@ -896,7 +939,7 @@ def _pallas_exec_bounded_big(nblocks: int, W: int, P: int, L: int, o: int,
         ],
     )
 
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
         grid_spec=grid_spec,
@@ -1120,7 +1163,7 @@ def _pallas_exec_bounded_big_ends(nblocks: int, W: int, P: int, L: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
@@ -1342,7 +1385,7 @@ def _pallas_exec_bounded_2p(nblocks: int, W: int, P: int, L: int, o1: int,
             pltpu.VMEM((B_BLK, L), dtype),
         ],
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
         grid_spec=grid_spec,
@@ -1506,7 +1549,7 @@ def _pallas_exec_bounded_2p_ends(nblocks: int, W: int, P: int, L: int,
             pltpu.VMEM((B_BLK, L), dtype),
         ],
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
@@ -1714,7 +1757,7 @@ def _pallas_exec_bounded_big_2p_ends(nblocks: int, W: int, P: int, L: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
@@ -1894,7 +1937,7 @@ def _pallas_exec_2p(nblocks: int, W: int, P: int, L: int, o1: int, e1: int,
         scratch_shapes=scratch,
     )
 
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
         grid_spec=grid_spec,
@@ -2101,7 +2144,7 @@ def _banded_exec(nblocks: int, W: int, P: int, Wb: int, MARGIN: int, L: int,
         scratch_shapes=scratch,
     )
 
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
         grid_spec=grid_spec,
@@ -2296,7 +2339,7 @@ def _banded_exec_big(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
         grid_spec=grid_spec,
@@ -2319,6 +2362,22 @@ def _banded_exec_big(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
     return fn
 
 
+def _clamp_windows_to_row(wstarts_np, width: int, L: int):
+    """Clamp a window layout to the packed query row.
+
+    Wide ladder tiers (or direct callers) can request width > L; lanes
+    past L hold no real offsets, and a window whose span crosses L makes
+    the kernels' q slices run past the block (Mosaic clamps the load —
+    at best a failed compile, at worst duplicated lanes feeding the
+    prefix-min — and interpret mode rejects it outright).  Shrinking the
+    width to the row and shifting starts left keeps every real cell the
+    original window covered, so exactness guarantees are unchanged.
+    """
+    width = min(width, (L // 128) * 128)
+    clamp = max(((L - width) // 128) * 128, 0)
+    return width, np.minimum(wstarts_np, clamp).astype(np.int32)
+
+
 def prepare_banded_big(dg, costs, wstarts_np, width: int, L: int):
     """Banded prep for the big-graph kernel: the per-rank records
     (symbols, ring slots, window starts, predecessor data) pack into one
@@ -2326,6 +2385,7 @@ def prepare_banded_big(dg, costs, wstarts_np, width: int, L: int):
     like :func:`prepare_banded`."""
     import numpy as np
 
+    width, wstarts_np = _clamp_windows_to_row(wstarts_np, width, L)
     Np = dg.n_nodes_padded
     P = int(dg.pred_slots.shape[1])
     R = 3 + 3 * P
@@ -2427,6 +2487,7 @@ def prepare_banded(dg, costs, wstarts_np, width: int, L: int):
     """
     import numpy as np
 
+    width, wstarts_np = _clamp_windows_to_row(wstarts_np, width, L)
     Np = dg.n_nodes_padded
     ws = np.zeros(Np, dtype=np.int32)
     ws[: wstarts_np.shape[0]] = wstarts_np
@@ -2503,6 +2564,7 @@ def pallas_banded_scores(dg, qshift, lengths, costs, wstarts_np=None,
     """
     if chain_skip is None:
         chain_skip = _chain_skip_enabled()
+    interpret = interpret or _interpret_mode()
     _check_prefetch_fits(dg, 4 if chain_skip else 2)
     B, L = qshift.shape
     assert B % B_BLK == 0
@@ -2670,7 +2732,7 @@ def _banded_exec_ef(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
         ],
     )
 
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, L), dtype),
         grid_spec=grid_spec,
@@ -2893,7 +2955,7 @@ def _banded_exec_drift(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
         ],
     )
 
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
         grid_spec=grid_spec,
@@ -3176,7 +3238,7 @@ def _banded_exec_drift_ef(nblocks: int, W: int, P: int, Wb: int,
         ],
     )
 
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
         grid_spec=grid_spec,
@@ -3385,7 +3447,7 @@ def _banded_exec_drift_2p(nblocks: int, W: int, P: int, Wb: int,
             pltpu.VMEM((B_BLK, MQ + L), jnp.int32),
         ],
     )
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
         grid_spec=grid_spec,
@@ -3552,7 +3614,7 @@ def _banded_exec_2p(nblocks: int, W: int, P: int, Wb: int, MARGIN: int,
         ],
     )
 
-    call = pl.pallas_call(
+    call = _pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), dtype),
         grid_spec=grid_spec,
