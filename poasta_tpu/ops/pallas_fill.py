@@ -79,6 +79,10 @@ def _int16_supported() -> bool:
     are dtype-generic, so this probe auto-enables int16 — halving ring
     VMEM and bandwidth — the moment a toolchain update lands.
     """
+    if _interpret_mode():
+        # interpret mode executes any dtype as plain JAX — a probe here
+        # would record a toolchain verdict no toolchain produced
+        return False
     if _INT16_PROBE:
         return _INT16_PROBE[0]
     # failed compiles aren't covered by jax's persistent cache, so a fresh
@@ -212,6 +216,7 @@ def set_interpret_mode(on: bool) -> None:
         fn = getattr(mod, name)
         if callable(fn) and hasattr(fn, "cache_clear"):
             fn.cache_clear()
+    _INT16_PROBE.clear()  # a verdict memoized under the other mode is stale
     from ..aligner import wavefront as _wf
 
     _wf._PALLAS_FAILED.clear()
