@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-3 on-chip validation runbook.  Run the moment the device tunnel
+# is reachable; each stage is bounded and logs under /tmp/onchip_r3/.
+#
+#   bash scripts/onchip_r3.sh
+#
+# Order matters: correctness gates (run_tpu_tests) come before the A/Bs
+# and the bench, so a Mosaic miscompile of the tilted kernels (the one
+# untoggleable round-3 change; revert candidate a3fd38f) is caught with
+# a named assert instead of a confusing bench delta.
+set -u
+LOG=/tmp/onchip_r3
+mkdir -p "$LOG"
+cd "$(dirname "$0")/.."
+
+stage() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
+  local rc=$?
+  tail -6 "$LOG/$name.log"
+  echo "--- $name rc=$rc"
+  return $rc
+}
+
+stage run_tpu_tests 3600 python run_tpu_tests.py || exit 1
+stage runcap_ab     2400 python scripts/runcap_ab.py
+stage chainskip_ab  2400 python scripts/chainskip_ab.py
+stage bench         2400 python bench.py
+stage profile_anchored 1800 python scripts/profile_anchored.py
+echo "=== all stages done; logs in $LOG ==="
