@@ -286,10 +286,18 @@ def run_capped_ladder(costs, L: int, ub0: int, fill_capped, fill_plain):
     unavailable (the pallas dispatchers' engine='pallas' contract);
     ``fill_plain()`` returns the exact uncapped result.  Scores above ub
     (or INF rows, which may just be capped away) retry the whole batch
-    at 4x until the cap stops binding.  Returns
-    ``(result, verified_max_score or None)`` — callers seed their ub
-    hints from the second element, or from the plain result's finite max
-    when the ladder fell through.
+    at 4x until the cap stops binding.  Returns ``(result, hint)``:
+
+    * positive int — every row verified; the max score (floored at 1 so
+      it can't collide with the 0 sentinel), for ub seeding
+    * ``0`` — fell through to the plain fill AND the exact result holds
+      INF (unalignable) rows.  No ub can ever verify those, so a caller
+      that re-scores similar batches should store the 0 and route this
+      shape straight to the plain fill — otherwise every call re-climbs
+      the whole ladder (~3 wasted full-batch fills) before falling back.
+    * ``None`` — fell through with all-finite scores (first-call ub
+      guess was just low, or the capped engine is unavailable); callers
+      seed their hint from the result's max.
     """
     ub = ub0
     while True:
@@ -301,9 +309,10 @@ def run_capped_ladder(costs, L: int, ub0: int, fill_capped, fill_plain):
         except Exception:
             break  # capped engine unavailable here: plain fill
         if (out[0] <= ub).all():
-            return out, int(out[0].max())
+            return out, max(int(out[0].max()), 1)
         ub *= 4
-    return fill_plain(), None
+    out = fill_plain()
+    return out, (0 if (np.asarray(out[0]) >= INF).any() else None)
 
 
 # tests flip this to exercise the truncated prefix-min on CPU, where it
@@ -1154,16 +1163,20 @@ class BandedScorer:
             entry = self._lenstats.get(id(lengths))
             key = ("ef_full_ub",) + (entry[1] if entry is not None
                                      and entry[0] is lengths else (L,))
-            ub = self._ub_hint.get(key) or (
-                (costs.gap_open + costs.gap_extend) * 4
-                + costs.mismatch * max(L // 16, 4))
+            hint = self._ub_hint.get(key)
+            if hint == 0:
+                # INF (unalignable) rows seen at this shape: no ub can
+                # verify them, so the ladder would re-climb every call
+                return fill_plain()[0]
+            ub = hint or ((costs.gap_open + costs.gap_extend) * 4
+                          + costs.mismatch * max(L // 16, 4))
             out, vmax = run_capped_ladder(costs, L, ub, fill_capped,
                                           fill_plain)
             if vmax is None:
                 finite = out[0][out[0] < INF]
-                vmax = int(finite.max()) if finite.size else None
+                vmax = max(int(finite.max()), 1) if finite.size else None
             if vmax is not None:
-                self._ub_hint[key] = max(vmax, 1)
+                self._ub_hint[key] = vmax  # 0 = INF rows: don't cap
             return out[0]
         if (self.mesh is not None
                 and int(qshift.shape[0]) % self.mesh.shape.get("dp", 1) == 0

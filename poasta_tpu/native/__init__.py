@@ -23,6 +23,7 @@ _SRC = os.path.join(_HERE, "engine.cpp")
 # binary is never overwritten with host-specific code
 _LIB = os.path.join(_HERE, "_libpoasta.so")
 _LIB_LOCAL = os.path.join(_HERE, "_libpoasta_local.so")
+_ABI_VERSION = 3  # must match poasta_abi_version() in engine.cpp
 _lock = threading.Lock()
 _lib = None
 _lib_path: Optional[str] = None
@@ -91,6 +92,21 @@ def _load():
             _build_error = err
             return None
         lib = ctypes.CDLL(_lib_path)
+        # Refuse ABI-mismatched binaries outright: a fresh checkout gives
+        # every file the same mtime, so the freshness gates in _build()
+        # cannot tell a stale shipped .so from a current one.  Keep in
+        # sync with poasta_abi_version() in engine.cpp.
+        try:
+            got_abi = lib.poasta_abi_version()
+        except Exception:
+            got_abi = -1
+        if got_abi != _ABI_VERSION:
+            _build_error = (
+                f"native library {_lib_path} has ABI {got_abi}, "
+                f"expected {_ABI_VERSION} (stale prebuilt?); rebuild "
+                "requires a C++ toolchain"
+            )
+            return None
         lib.poasta_engine_create.restype = ctypes.c_void_p
         lib.poasta_engine_create.argtypes = [
             ctypes.c_int32,

@@ -614,6 +614,12 @@ static BtStep backtrace_step(const Engine& eng, const Visited& v,
 
 extern "C" {
 
+// Bump whenever any extern "C" signature or export changes.  The Python
+// loader refuses binaries whose version differs, so a stale shipped
+// portable build can never be called through the wrong ABI (mtimes are
+// useless after a fresh clone — every file gets the checkout time).
+int32_t poasta_abi_version(void) { return 3; }
+
 void* poasta_engine_create(int32_t n_nodes, const uint8_t* symbols,
                            const int32_t* succ_ptr, const int32_t* succ_idx,
                            const int32_t* pred_ptr, const int32_t* pred_idx,

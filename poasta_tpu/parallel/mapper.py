@@ -499,15 +499,21 @@ class BatchMapper:
                 engine="pallas", max_run=cap)
             return np.asarray(sc), np.asarray(er), np.asarray(ej)
 
+        key = (n_min, n_max)
+        hint = self._ef_ub_hint.get(key)
+        if hint == 0:
+            # a previous batch of this shape held INF (unalignable) rows,
+            # which no ub can verify — don't re-climb the ladder
+            return fill_plain()
         guess = ((costs.gap_open + costs.gap_extend) * 4
                  + costs.mismatch * max(n_max // 16, 4))
-        ub = self._ef_ub_hint.get((n_min, n_max)) or guess
-        out, vmax = run_capped_ladder(costs, L, ub, fill_capped, fill_plain)
+        out, vmax = run_capped_ladder(costs, L, hint or guess,
+                                      fill_capped, fill_plain)
         if vmax is None:
             finite = out[0][out[0] < _INF]
-            vmax = int(finite.max()) if finite.size else None
+            vmax = max(int(finite.max()), 1) if finite.size else None
         if vmax is not None:
-            self._ef_ub_hint[(n_min, n_max)] = max(vmax, 1)
+            self._ef_ub_hint[key] = vmax  # 0 = INF rows seen: don't cap
         return out
 
     def _align_batch_ends_free(self, queries, qshift, lengths, two_piece):
@@ -563,8 +569,9 @@ class BatchMapper:
                     out = native.align_anchored(
                         q, self.costs, int(node_of_rank[er[b]]),
                         int(ej[b]), int(sc[b]), free_start=free_start)
-                    stats["anchored_ok"] += 1
-                    return out
+                    # counters are aggregated after the pool drains — a
+                    # += here would race across worker threads
+                    return "anchored_ok", out
                 except RuntimeError:
                     # corridor never verified (defensive; should not
                     # happen — the window bounds are proven): per-read
@@ -574,18 +581,19 @@ class BatchMapper:
                     # a higher (sub-optimal) score.
                     from ..aligner.engine import PoastaAligner
 
-                    stats["exact_fallback"] += 1
                     res = PoastaAligner(self.costs, self.aln_type,
                                         heuristic="dijkstra").align(
                                             self.graph, q)
-                    return res.score, res.alignment
+                    return "exact_fallback", (res.score, res.alignment)
 
             workers = max(1, min(len(queries), os.cpu_count() or 4))
             t0 = time.perf_counter()
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                out = list(pool.map(one, enumerate(queries)))
+                tagged = list(pool.map(one, enumerate(queries)))
             stats["host_s"] = time.perf_counter() - t0
-            return out
+            for kind, _ in tagged:
+                stats[kind] += 1
+            return [out for _, out in tagged]
 
         if two_piece:
             # the dense-table fallback below is one-piece math; without

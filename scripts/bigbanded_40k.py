@@ -75,11 +75,11 @@ def main():
 
     oracle = np.asarray(dp_fill_scores(dg, qshift, lengths, costs,
                                        engine="xla"))
-    ok = s_big <= oracle  # banded may only over-estimate; equality when in-band
+    over_only = bool((s_big >= oracle).all())
     exact = (s_big == oracle).mean()
-    assert (s_big >= oracle).all(), "banded under-estimated: broken kernel"
+    assert over_only, "banded under-estimated: broken kernel"
     print(f"exact on {exact * 100:.0f}% of reads (rest need wider bands; "
-          f"over-estimates only: {bool(ok.all() or True)})")
+          f"over-estimates only: {over_only})")
 
     iters = 3
     t0 = time.perf_counter()

@@ -122,6 +122,26 @@ def test_ladder_disabled_paths_fill_once(monkeypatch):
     assert not bm._ef_cap_enabled(False) and not bm._ef_cap_enabled(True)
 
 
+def test_ladder_disables_on_unalignable_rows(monkeypatch):
+    """A read whose TRUE score is INF (unsatisfiable bounds) can never
+    verify under any ub.  The first call may climb the whole ladder, but
+    it must record the outcome so subsequent calls for the same shape go
+    straight to one uncapped fill instead of re-climbing every time."""
+    bm, qshift, lengths = _mapper_and_batch()
+    bm._ef_cap_enabled = lambda two_piece: True
+    calls = []
+    _install_stub(monkeypatch, [40, INF], [4, 0], calls)
+    sc, _, _ = bm._fill_ends_free_capped(qshift, lengths, False)
+    assert sc.tolist() == [40, INF]
+    assert calls[-1] == ("auto", 0)  # ladder ended at the plain fill
+    first = len(calls)
+    assert first >= 2
+    calls.clear()
+    sc2, _, _ = bm._fill_ends_free_capped(qshift, lengths, False)
+    assert sc2.tolist() == [40, INF]
+    assert calls == [("auto", 0)], "ladder re-climbed on a known-INF shape"
+
+
 def test_caps_grow_with_ub():
     w = 1 << 20
     assert ins_run_cap(COSTS, 100, w) < ins_run_cap(COSTS, 400, w) \
