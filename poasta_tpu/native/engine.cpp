@@ -946,6 +946,10 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
   const int32_t e2 = gap_extend2;
   const bool tp = two_piece != 0;
   constexpr int32_t INF = 1 << 28;
+  // the row-pass fill clamps INF + cost in int32; bound the costs so
+  // that can't overflow (any real scoring scheme is orders below this)
+  if (o > (1 << 20) || e > (1 << 20) || x > (1 << 20) || e2 > (1 << 20))
+    return -5;
 
   // per-node windows [lo, hi] (query offsets), width prefix offsets.
   // K = max gap length whose cheapest cost fits under ub; for two-piece
@@ -1002,97 +1006,130 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
   };
 
   // fill in topological order (row semantics of ops/dp_rows*.py).
-  // Hot-loop structure: per-predecessor row pointers and bounds hoist out
-  // of the j loop (the lambda accessors recompute base[]/bounds per cell
-  // and iterate the preds vector per cell — measured ~14 ns/cell; the
-  // hoisted form keeps the same math and access ORDER, so results are
-  // bit-identical).  NB: a per-pred segment-sweep into row temporaries
-  // was tried in round 1 and measured 3x SLOWER — this is not that; no
-  // temporaries, just loop-invariant hoisting.
-  struct PredRow {
-    const int32_t* M;
-    const int32_t* D;
-    const int32_t* D2;
-    int64_t lo, hi;
-  };
-  std::vector<PredRow> prows;
+  // Row-pass structure, same as poasta_align_anchored's fill: (1) gather
+  // predecessor M/D row minima into contiguous scratch rows over each
+  // pred's overlap segment (branch-free min loops the compiler
+  // auto-vectorizes), (2) compute the D and match-dependent A rows
+  // vectorized over offsets, (3) a short serial scan for the affine
+  // insertion chain.  Values are bit-identical to the per-cell
+  // formulation (INF = 2^28, adds of <=2^10 never overflow int32; every
+  // stored value is re-clamped to INF), so the backtrace is unchanged.
+  // NB round 1 measured a DIFFERENT restructure (full-row masked
+  // temporaries re-scanned per pred) 3x slower; the overlap-segment
+  // row pass measured ~3x FASTER on the anchored corridor and the A/B
+  // for this fill is in scripts/native_banded_bench.py.
+  int64_t maxw = 0;
+  for (int32_t nd = 0; nd < g.n; ++nd)
+    maxw = std::max(maxw, hi[nd] - lo[nd] + 1);
+  // pmrow[k] = min over preds of M[lo-1+k] (one extra lane on the left
+  // so the diagonal term reads pmrow[k] = pred_M[j-1])
+  std::vector<int32_t> pmrow(maxw + 1), pdrow(maxw), pd2row, Arow(maxw);
+  if (tp) pd2row.resize(maxw);
   for (int32_t r = 0; r < g.n; ++r) {
-    int32_t nd = eng.topo[r];
-    bool is_start = nd == g.start_node;
-    bool is_end = nd == g.end_node;
-    const int64_t lo_n = lo[nd], hi_n = hi[nd];
-    prows.clear();
-    for (int32_t p : g.preds[nd]) {
-      PredRow pr;
-      pr.lo = lo[p];
-      pr.hi = hi[p];
-      const int64_t b = base[p] - lo[p];
-      pr.M = Mb.data() + b;
-      pr.D = Db.data() + b;
-      pr.D2 = tp ? D2b.data() + b : nullptr;
-      prows.push_back(pr);
-    }
-    const size_t np = prows.size();
-    int32_t* Mrow = Mb.data() + base[nd] - lo_n;
-    int32_t* Irow = Ib.data() + base[nd] - lo_n;
-    int32_t* Drow = Db.data() + base[nd] - lo_n;
-    int32_t* I2row = tp ? I2b.data() + base[nd] - lo_n : nullptr;
-    int32_t* D2row = tp ? D2b.data() + base[nd] - lo_n : nullptr;
+    const int32_t nd = eng.topo[r];
+    const bool is_start = nd == g.start_node;
+    const bool is_end = nd == g.end_node;
     const int32_t sym = g.symbols[nd];
-    const bool end_matches_all = is_end;  // end node matches everything
-    int32_t prevA = INF, prevI = INF, prevI2 = INF;
-    for (int64_t j = lo_n; j <= hi_n; ++j) {
-      int32_t min_pm = INF, min_pd = INF, min_pd2 = INF, diag_src = INF;
-      for (size_t pi = 0; pi < np; ++pi) {
-        const PredRow& pr = prows[pi];
-        if (j >= pr.lo && j <= pr.hi) {
-          min_pm = std::min(min_pm, pr.M[j]);
-          min_pd = std::min(min_pd, pr.D[j]);
-          if (tp) min_pd2 = std::min(min_pd2, pr.D2[j]);
-        }
-        if (j - 1 >= pr.lo && j - 1 <= pr.hi)
-          diag_src = std::min(diag_src, pr.M[j - 1]);
+    const int64_t jlo = lo[nd], jhi = hi[nd];
+    const int64_t w = jhi - jlo + 1;
+    std::fill(pmrow.begin(), pmrow.begin() + w + 1, INF);
+    std::fill(pdrow.begin(), pdrow.begin() + w, INF);
+    if (tp) std::fill(pd2row.begin(), pd2row.begin() + w, INF);
+    for (int32_t p : g.preds[nd]) {
+      const int64_t b = base[p] - lo[p];
+      const int32_t* prM = Mb.data() + b;
+      const int32_t* prD = Db.data() + b;
+      // M overlap over [jlo-1, jhi] (feeds both same-j and diagonal)
+      const int64_t ms = std::max(jlo - 1, lo[p]);
+      const int64_t me = std::min(jhi, hi[p]);
+      int32_t* pm = pmrow.data() + 1 - jlo;  // pm[j] = pmrow[j-(jlo-1)]
+      for (int64_t j = ms; j <= me; ++j)
+        pm[j] = std::min(pm[j], prM[j]);
+      const int64_t ds = std::max(jlo, lo[p]);
+      int32_t* pd = pdrow.data() - jlo;
+      for (int64_t j = ds; j <= me; ++j)
+        pd[j] = std::min(pd[j], prD[j]);
+      if (tp) {
+        const int32_t* prD2 = D2b.data() + b;
+        int32_t* pd2 = pd2row.data() - jlo;
+        for (int64_t j = ds; j <= me; ++j)
+          pd2[j] = std::min(pd2[j], prD2[j]);
       }
-      int32_t Dv = std::min(std::min((int64_t)min_pm + o + e,
-                                     (int64_t)min_pd + e),
-                            (int64_t)INF);
-      int32_t D2v = INF;
+    }
+    const int64_t bI = base[nd] - jlo;
+    int32_t* Mrow = Mb.data() + bI;
+    int32_t* Irow = Ib.data() + bI;
+    int32_t* Drow = Db.data() + bI;
+    int32_t* I2row = tp ? I2b.data() + bI : nullptr;
+    int32_t* D2row = tp ? D2b.data() + bI : nullptr;
+    if (is_end) {
+      // virtual end: zero-cost same-offset hop from the best pred M
+      for (int64_t k = 0; k < w; ++k) {
+        Mrow[jlo + k] = pmrow[k + 1];
+        Irow[jlo + k] = INF;
+        Drow[jlo + k] = INF;
+      }
       if (tp)
-        D2v = std::min((int64_t)std::min(min_pd, min_pd2) + e2, (int64_t)INF);
-      int32_t match =
-          (j >= 1 && (end_matches_all || sym == (int32_t)seq[j - 1])) ? 0 : x;
-      int32_t diag = (j >= 1 && diag_src < INF) ? diag_src + match : INF;
-      int32_t A = std::min(diag, std::min(Dv, D2v));
-      if (is_start && j == 0) A = 0;
-
-      // I1[j] = min(A[j-1]+o+e, I1[j-1]+e, I2[j-1]+o+e)
-      // I2[j] = min(I1[j-1], I2[j-1]) + e2
-      int32_t Iv = std::min(std::min((int64_t)prevA + o + e,
-                                     (int64_t)prevI + e),
-                            (int64_t)INF);
-      int32_t I2v = INF;
-      if (tp) {
-        Iv = (int32_t)std::min((int64_t)Iv, (int64_t)prevI2 + o + e);
-        I2v = std::min((int64_t)std::min(prevI, prevI2) + e2, (int64_t)INF);
+        for (int64_t k = 0; k < w; ++k) {
+          I2row[jlo + k] = INF;
+          D2row[jlo + k] = INF;
+        }
+      continue;
+    }
+    if (!tp) {
+      for (int64_t k = 0; k < w; ++k)
+        Drow[jlo + k] = std::min(
+            std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
+    } else {
+      for (int64_t k = 0; k < w; ++k) {
+        Drow[jlo + k] = std::min(
+            std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
+        D2row[jlo + k] =
+            std::min(std::min(pdrow[k], pd2row[k]) + e2, INF);
       }
-      int32_t Mv = std::min(A, std::min(Iv, I2v));
-      if (is_end) {
-        Mv = min_pm;  // zero-cost same-offset hop into the virtual end
-        Iv = INF;
-        Dv = INF;
-        I2v = INF;
-        D2v = INF;
+    }
+    // A row: diagonal + match cost vs D (and D2); query byte compares
+    // are per-offset and branch-free
+    {
+      const int64_t k0 = jlo == 0 ? 1 : 0;  // j>=1 guard
+      if (jlo == 0)
+        Arow[0] = is_start ? 0
+                           : std::min(Drow[jlo], tp ? D2row[jlo] : INF);
+      const uint8_t* sq = seq + (jlo + k0 - 1);  // sq[k-k0] = seq[jlo+k-1]
+      for (int64_t k = k0; k < w; ++k) {
+        const int32_t match = (sym == (int32_t)sq[k - k0]) ? 0 : x;
+        const int32_t diag = std::min(pmrow[k] + match, INF);
+        const int32_t dv = tp ? std::min(Drow[jlo + k], D2row[jlo + k])
+                              : Drow[jlo + k];
+        Arow[k] = std::min(diag, dv);
       }
-      Mrow[j] = Mv;
-      Irow[j] = Iv;
-      Drow[j] = Dv;
-      if (tp) {
-        I2row[j] = I2v;
-        D2row[j] = D2v;
+    }
+    // serial affine insertion scan + M
+    // I1[j] = min(A[j-1]+o+e, I1[j-1]+e, I2[j-1]+o+e)
+    // I2[j] = min(I1[j-1], I2[j-1]) + e2
+    int32_t prevA = INF, prevI = INF, prevI2 = INF;
+    if (!tp) {
+      for (int64_t k = 0; k < w; ++k) {
+        const int32_t Iv =
+            std::min(std::min(prevA + (o + e), prevI + e), INF);
+        Irow[jlo + k] = Iv;
+        Mrow[jlo + k] = std::min(Arow[k], Iv);
+        prevA = Arow[k];
+        prevI = Iv;
       }
-      prevA = A;
-      prevI = Iv;
-      prevI2 = I2v;
+    } else {
+      for (int64_t k = 0; k < w; ++k) {
+        const int32_t Iv = std::min(
+            std::min(std::min(prevA, prevI2) + (o + e), prevI + e), INF);
+        const int32_t I2v =
+            std::min(std::min(prevI, prevI2) + e2, INF);
+        Irow[jlo + k] = Iv;
+        I2row[jlo + k] = I2v;
+        Mrow[jlo + k] = std::min(Arow[k], std::min(Iv, I2v));
+        prevA = Arow[k];
+        prevI = Iv;
+        prevI2 = I2v;
+      }
     }
   }
 
@@ -1273,6 +1310,9 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
   const int32_t e2 = gap_extend2;
   const bool tp = two_piece != 0;
   constexpr int32_t INF = 1 << 28;
+  // same int32 INF-clamping bound as poasta_align_banded's row pass
+  if (o > (1 << 20) || e > (1 << 20) || x > (1 << 20) || e2 > (1 << 20))
+    return -5;
   const int64_t S = expected_score;
 
   std::vector<int32_t> tpos(g.n);
