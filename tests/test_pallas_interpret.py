@@ -134,6 +134,34 @@ def test_banded_drift_tilted_mixed_lengths():
     assert not fallbacks, "drift pallas kernel fell back in interpret mode"
 
 
+def test_banded_drift_2p_mixed_lengths():
+    """The two-piece drift kernel (coupled I1/I2 scans under per-read
+    frame rolls) on the same SV batch, vs the XLA full fill."""
+    rng = random.Random(13)
+    base = "".join(rng.choice("ACGT") for _ in range(800))
+    variant = base[:100] + base[700:]
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * len(base))
+    _, aln, _ = NativeAligner(g).align(variant.encode(), COSTS2P)
+    g.add_alignment_with_weights("s1", variant.encode(), aln,
+                                 [1] * len(variant))
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    reads = [_mutate(rng, base if i % 2 else variant, 0.015).encode()
+             for i in range(64)]
+    qshift, lengths = pack_queries(reads)
+    ref = np.asarray(dp_fill_scores(dg, qshift, lengths, COSTS2P,
+                                    engine="xla"))
+    with accel_sim():
+        scorer = BandedScorer(flat, COSTS2P, dg=dg)
+        got = np.asarray(scorer.scores(qshift, lengths))
+        fallbacks = [k for k in scorer._prep_cache
+                     if isinstance(k, tuple) and k
+                     and str(k[0]).startswith("nodrift")]
+    assert (got == ref).all()
+    assert not fallbacks, "2p drift kernel fell back in interpret mode"
+
+
 @pytest.mark.parametrize("costs", [COSTS, COSTS2P], ids=["1p", "2p"])
 def test_bounded_ends_free_with_ends(costs):
     """Bounded ends-free fill + end anchors (the pangenome path's score
