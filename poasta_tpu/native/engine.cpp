@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <unordered_map>
@@ -25,6 +26,28 @@
 namespace {
 
 constexpr int32_t kUnvisited = INT32_MAX;
+
+// DP table buffer for the row-pass fills: intentionally UNINITIALIZED.
+// The fills write every stored cell of every row before any read (pred
+// gathers only read topologically-earlier rows, which are complete;
+// the accessor lambdas guard to stored cells), so an INF prefill would
+// only double the table memory traffic — measurable at fusion shapes,
+// where tables run to ~10^8 cells per call.  Building with
+// -DPOASTA_POISON_TABLES poisons fresh buffers instead, which the test
+// suite uses to certify the no-read-before-write claim empirically
+// (any violated read would shift scores by ~10^9).
+struct RawTable {
+  std::unique_ptr<int32_t[]> p;
+  explicit RawTable(int64_t n) : p(n > 0 ? new int32_t[n] : nullptr) {
+#ifdef POASTA_POISON_TABLES
+    for (int64_t i = 0; i < n; ++i) p[i] = (int32_t)0x3BADBEEF;
+#endif
+  }
+  int32_t* data() { return p.get(); }
+  const int32_t* data() const { return p.get(); }
+  int32_t& operator[](int64_t i) { return p[i]; }
+  int32_t operator[](int64_t i) const { return p[i]; }
+};
 
 enum State : int { M = 0, D = 1, I = 2, D2 = 3, I2 = 4 };
 
@@ -976,12 +999,8 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
   for (int32_t nd = 0; nd < g.n; ++nd) base[nd + 1] = hi[nd] - lo[nd] + 1;
   for (int32_t nd = 0; nd < g.n; ++nd) base[nd + 1] += base[nd];
   const int64_t total = base[g.n];
-  std::vector<int32_t> Mb(total, INF), Ib(total, INF), Db(total, INF);
-  std::vector<int32_t> I2b, D2b;
-  if (tp) {
-    I2b.assign(total, INF);
-    D2b.assign(total, INF);
-  }
+  RawTable Mb(total), Ib(total), Db(total);
+  RawTable I2b(tp ? total : 0), D2b(tp ? total : 0);
 
   auto idx = [&](int32_t nd, int64_t j) -> int64_t {
     return base[nd] + (j - lo[nd]);
@@ -1397,12 +1416,8 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
     g_anchor_stats[4] += total;
     g_anchor_stats[5] = attempt + 1;
     auto t_fill = Clock::now();
-    std::vector<int32_t> Mb(total, INF), Ib(total, INF), Db(total, INF);
-    std::vector<int32_t> I2b, D2b;
-    if (tp) {
-      I2b.assign(total, INF);
-      D2b.assign(total, INF);
-    }
+    RawTable Mb(total), Ib(total), Db(total);
+    RawTable I2b(tp ? total : 0), D2b(tp ? total : 0);
 
     auto stored = [&](int32_t nd, int64_t j) -> bool {
       int32_t i = lidx[nd];
