@@ -36,18 +36,27 @@ constexpr int32_t kUnvisited = INT32_MAX;
 // -DPOASTA_POISON_TABLES poisons fresh buffers instead, which the test
 // suite uses to certify the no-read-before-write claim empirically
 // (any violated read would shift scores by ~10^9).
+template <typename T>
 struct RawTable {
-  std::unique_ptr<int32_t[]> p;
-  explicit RawTable(int64_t n) : p(n > 0 ? new int32_t[n] : nullptr) {
+  std::unique_ptr<T[]> p;
+  explicit RawTable(int64_t n) : p(n > 0 ? new T[n] : nullptr) {
 #ifdef POASTA_POISON_TABLES
-    for (int64_t i = 0; i < n; ++i) p[i] = (int32_t)0x3BADBEEF;
+    for (int64_t i = 0; i < n; ++i) p[i] = (T)0x3BADBEEF;
 #endif
   }
-  int32_t* data() { return p.get(); }
-  const int32_t* data() const { return p.get(); }
-  int32_t& operator[](int64_t i) { return p[i]; }
-  int32_t operator[](int64_t i) const { return p[i]; }
+  T* data() { return p.get(); }
+  const T* data() const { return p.get(); }
+  T& operator[](int64_t i) { return p[i]; }
+  T operator[](int64_t i) const { return p[i]; }
 };
+
+// INF for a table dtype: int16 tables use int16-max itself, so
+// std::min(x + cost, INF) IS a saturating add — clamped cells only
+// over-estimate, which the verify ladders already treat as "retry".
+template <typename T>
+constexpr int32_t table_inf() {
+  return std::is_same<T, int16_t>::value ? 32767 : (1 << 28);
+}
 
 enum State : int { M = 0, D = 1, I = 2, D2 = 3, I2 = 4 };
 
@@ -633,6 +642,751 @@ static BtStep backtrace_step(const Engine& eng, const Visited& v,
   return {0, 0, 0, false};
 }
 
+// Last-call phase breakdown of poasta_align_anchored (see the extern
+// "C" accessor): {corridor_ns, fill_ns, backtrace_ns, corridor_nodes,
+// corridor_cells, attempts}.  Thread-local: each pool worker reads its
+// own calls' stats.
+thread_local int64_t g_anchor_stats[6];
+
+template <typename T>
+int64_t align_banded_impl(void* ptr, const uint8_t* seq, int64_t n,
+                            int32_t mismatch, int32_t gap_open,
+                            int32_t gap_extend, int32_t gap_extend2,
+                            int32_t two_piece, int64_t ub,
+                            int32_t* out_rpos, int32_t* out_qpos, int64_t cap,
+                            int64_t* out_score) {
+  auto& eng = *static_cast<Engine*>(ptr);
+  const Graph& g = eng.g;
+  ensure_banded_meta(eng);
+  const int32_t o = gap_open, e = gap_extend, x = mismatch;
+  const int32_t e2 = gap_extend2;
+  const bool tp = two_piece != 0;
+  const int32_t INF = table_inf<T>();
+  // the row-pass fill clamps INF + cost in int32; bound the costs so
+  // that can't overflow (any real scoring scheme is orders below this)
+  if (o > (1 << 20) || e > (1 << 20) || x > (1 << 20) || e2 > (1 << 20))
+    return -5;
+
+  // per-node windows [lo, hi] (query offsets), width prefix offsets.
+  // K = max gap length whose cheapest cost fits under ub; for two-piece
+  // the cheapest long gap is open + switch-to-piece-2, so dividing by e2
+  // over-covers (safe: a wider band only costs work, never exactness).
+  const int64_t cheap_e = tp ? e2 : e;
+  const int64_t K = (ub >= o + cheap_e) ? (ub - o) / cheap_e : 0;
+  std::vector<int64_t> lo(g.n), hi(g.n), base(g.n + 1, 0);
+  for (int32_t r = 0; r < g.n; ++r) {
+    int32_t nd = eng.topo[r];
+    int64_t de_min = eng.bi.min_dist_to_end[nd];
+    int64_t de_max = eng.bi.max_dist_to_end[nd];
+    int64_t l = std::max<int64_t>(
+        0, std::max(eng.ds_min[nd] - K, (n - de_max + 1) - K));
+    // a node deeper than n + K has l > n; clamp so the fill never reads
+    // seq[] past the query (offsets > n cannot be on any path to (end, n))
+    l = std::min<int64_t>(l, n);
+    int64_t h = std::min<int64_t>(
+        n, std::min(eng.ds_max[nd] + K, (n - de_min + 1) + K));
+    h = std::max(h, l);
+    lo[nd] = l;
+    hi[nd] = h;
+  }
+  for (int32_t nd = 0; nd < g.n; ++nd) base[nd + 1] = hi[nd] - lo[nd] + 1;
+  for (int32_t nd = 0; nd < g.n; ++nd) base[nd + 1] += base[nd];
+  const int64_t total = base[g.n];
+  RawTable<T> Mb(total), Ib(total), Db(total);
+  RawTable<T> I2b(tp ? total : 0), D2b(tp ? total : 0);
+
+  auto idx = [&](int32_t nd, int64_t j) -> int64_t {
+    return base[nd] + (j - lo[nd]);
+  };
+  auto in_band = [&](int32_t nd, int64_t j) -> bool {
+    return j >= lo[nd] && j <= hi[nd];
+  };
+  auto getM = [&](int32_t nd, int64_t j) -> int32_t {
+    return in_band(nd, j) ? Mb[idx(nd, j)] : INF;
+  };
+  auto getI = [&](int32_t nd, int64_t j) -> int32_t {
+    return in_band(nd, j) ? Ib[idx(nd, j)] : INF;
+  };
+  auto getD = [&](int32_t nd, int64_t j) -> int32_t {
+    return in_band(nd, j) ? Db[idx(nd, j)] : INF;
+  };
+  auto getI2 = [&](int32_t nd, int64_t j) -> int32_t {
+    return (tp && in_band(nd, j)) ? I2b[idx(nd, j)] : INF;
+  };
+  auto getD2 = [&](int32_t nd, int64_t j) -> int32_t {
+    return (tp && in_band(nd, j)) ? D2b[idx(nd, j)] : INF;
+  };
+
+  // fill in topological order (row semantics of ops/dp_rows*.py).
+  // Row-pass structure, same as poasta_align_anchored's fill: (1) gather
+  // predecessor M/D row minima into contiguous scratch rows over each
+  // pred's overlap segment (branch-free min loops the compiler
+  // auto-vectorizes), (2) compute the D and match-dependent A rows
+  // vectorized over offsets, (3) a short serial scan for the affine
+  // insertion chain.  Values are bit-identical to the per-cell
+  // formulation (INF = 2^28, adds of <=2^10 never overflow int32; every
+  // stored value is re-clamped to INF), so the backtrace is unchanged.
+  // NB round 1 measured a DIFFERENT restructure (full-row masked
+  // temporaries re-scanned per pred) 3x slower; the overlap-segment
+  // row pass measured ~3x FASTER on the anchored corridor and the A/B
+  // for this fill is in scripts/native_banded_bench.py.
+  int64_t maxw = 0;
+  for (int32_t nd = 0; nd < g.n; ++nd)
+    maxw = std::max(maxw, hi[nd] - lo[nd] + 1);
+  // pmrow[k] = min over preds of M[lo-1+k] (one extra lane on the left
+  // so the diagonal term reads pmrow[k] = pred_M[j-1])
+  std::vector<T> pmrow(maxw + 1), pdrow(maxw), pd2row, Arow(maxw);
+  if (tp) pd2row.resize(maxw);
+  for (int32_t r = 0; r < g.n; ++r) {
+    const int32_t nd = eng.topo[r];
+    const bool is_start = nd == g.start_node;
+    const bool is_end = nd == g.end_node;
+    const int32_t sym = g.symbols[nd];
+    const int64_t jlo = lo[nd], jhi = hi[nd];
+    const int64_t w = jhi - jlo + 1;
+    std::fill(pmrow.begin(), pmrow.begin() + w + 1, INF);
+    std::fill(pdrow.begin(), pdrow.begin() + w, INF);
+    if (tp) std::fill(pd2row.begin(), pd2row.begin() + w, INF);
+    for (int32_t p : g.preds[nd]) {
+      const int64_t b = base[p] - lo[p];
+      const T* prM = Mb.data() + b;
+      const T* prD = Db.data() + b;
+      // M overlap over [jlo-1, jhi] (feeds both same-j and diagonal)
+      const int64_t ms = std::max(jlo - 1, lo[p]);
+      const int64_t me = std::min(jhi, hi[p]);
+      T* pm = pmrow.data() + 1 - jlo;  // pm[j] = pmrow[j-(jlo-1)]
+      for (int64_t j = ms; j <= me; ++j)
+        pm[j] = std::min(pm[j], prM[j]);
+      const int64_t ds = std::max(jlo, lo[p]);
+      T* pd = pdrow.data() - jlo;
+      for (int64_t j = ds; j <= me; ++j)
+        pd[j] = std::min(pd[j], prD[j]);
+      if (tp) {
+        const T* prD2 = D2b.data() + b;
+        T* pd2 = pd2row.data() - jlo;
+        for (int64_t j = ds; j <= me; ++j)
+          pd2[j] = std::min(pd2[j], prD2[j]);
+      }
+    }
+    const int64_t bI = base[nd] - jlo;
+    T* Mrow = Mb.data() + bI;
+    T* Irow = Ib.data() + bI;
+    T* Drow = Db.data() + bI;
+    T* I2row = tp ? I2b.data() + bI : nullptr;
+    T* D2row = tp ? D2b.data() + bI : nullptr;
+    if (is_end) {
+      // virtual end: zero-cost same-offset hop from the best pred M
+      for (int64_t k = 0; k < w; ++k) {
+        Mrow[jlo + k] = pmrow[k + 1];
+        Irow[jlo + k] = INF;
+        Drow[jlo + k] = INF;
+      }
+      if (tp)
+        for (int64_t k = 0; k < w; ++k) {
+          I2row[jlo + k] = INF;
+          D2row[jlo + k] = INF;
+        }
+      continue;
+    }
+    if (!tp) {
+      for (int64_t k = 0; k < w; ++k)
+        Drow[jlo + k] = std::min(
+            std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
+    } else {
+      for (int64_t k = 0; k < w; ++k) {
+        Drow[jlo + k] = std::min(
+            std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
+        D2row[jlo + k] =
+            std::min(std::min(pdrow[k], pd2row[k]) + e2, INF);
+      }
+    }
+    // A row: diagonal + match cost vs D (and D2); query byte compares
+    // are per-offset and branch-free
+    {
+      const int64_t k0 = jlo == 0 ? 1 : 0;  // j>=1 guard
+      if (jlo == 0)
+        Arow[0] = is_start
+            ? 0
+            : std::min<int32_t>(Drow[jlo], tp ? (int32_t)D2row[jlo] : INF);
+      const uint8_t* sq = seq + (jlo + k0 - 1);  // sq[k-k0] = seq[jlo+k-1]
+      for (int64_t k = k0; k < w; ++k) {
+        const int32_t match = (sym == (int32_t)sq[k - k0]) ? 0 : x;
+        const int32_t diag = std::min(pmrow[k] + match, INF);
+        const int32_t dv = tp ? std::min(Drow[jlo + k], D2row[jlo + k])
+                              : Drow[jlo + k];
+        Arow[k] = std::min(diag, dv);
+      }
+    }
+    // serial affine insertion scan + M
+    // I1[j] = min(A[j-1]+o+e, I1[j-1]+e, I2[j-1]+o+e)
+    // I2[j] = min(I1[j-1], I2[j-1]) + e2
+    int32_t prevA = INF, prevI = INF, prevI2 = INF;
+    if (!tp) {
+      for (int64_t k = 0; k < w; ++k) {
+        const int32_t Iv =
+            std::min(std::min(prevA + (o + e), prevI + e), INF);
+        Irow[jlo + k] = Iv;
+        Mrow[jlo + k] = std::min<int32_t>(Arow[k], Iv);
+        prevA = Arow[k];
+        prevI = Iv;
+      }
+    } else {
+      for (int64_t k = 0; k < w; ++k) {
+        const int32_t Iv = std::min(
+            std::min(std::min(prevA, prevI2) + (o + e), prevI + e), INF);
+        const int32_t I2v =
+            std::min(std::min(prevI, prevI2) + e2, INF);
+        Irow[jlo + k] = Iv;
+        I2row[jlo + k] = I2v;
+        Mrow[jlo + k] = std::min<int32_t>(Arow[k], std::min(Iv, I2v));
+        prevA = Arow[k];
+        prevI = Iv;
+        prevI2 = I2v;
+      }
+    }
+  }
+
+  int64_t score = getM(g.end_node, n);
+  out_score[0] = score;
+  if (score > ub) return -4;
+  if (n == 0) return 0;
+
+  // backtrace — mirrors wavefront.py backtrace_dense (extended with the
+  // two-piece states' transition structure from engine.py backtrace_step)
+  auto preds_oldest = [&](int32_t nd) {
+    return std::vector<int32_t>(g.preds[nd].rbegin(), g.preds[nd].rend());
+  };
+
+  int64_t j = n;
+  int32_t cur = (int32_t)score;
+  int32_t node = -1;
+  for (int32_t p : preds_oldest(g.end_node))
+    if (getM(p, j) == cur) {
+      node = p;
+      break;
+    }
+  if (node < 0) return -3;
+  int state = M;
+
+  std::vector<std::pair<int32_t, int32_t>> pairs;
+  while (true) {
+    switch (state) {
+      case M: cur = getM(node, j); break;
+      case D: cur = getD(node, j); break;
+      case I: cur = getI(node, j); break;
+      case D2: cur = getD2(node, j); break;
+      default: cur = getI2(node, j); break;
+    }
+    int32_t bt_node = -1;
+    int64_t bt_j = 0;
+    int bt_state = M;
+    if (state == M) {
+      if (j > 0) {
+        int32_t want = g.symbol_equal(node, seq[j - 1]) ? cur : cur - x;
+        for (int32_t p : preds_oldest(node))
+          if (getM(p, j - 1) == want) {
+            bt_node = p;
+            bt_j = j - 1;
+            bt_state = M;
+            break;
+          }
+      }
+      if (bt_node < 0 && getD(node, j) == cur) {
+        bt_node = node; bt_j = j; bt_state = D;
+      }
+      if (tp && bt_node < 0 && getD2(node, j) == cur) {
+        bt_node = node; bt_j = j; bt_state = D2;
+      }
+      if (bt_node < 0 && getI(node, j) == cur) {
+        bt_node = node; bt_j = j; bt_state = I;
+      }
+      if (tp && bt_node < 0 && getI2(node, j) == cur) {
+        bt_node = node; bt_j = j; bt_state = I2;
+      }
+    } else if (state == D) {
+      for (int32_t p : preds_oldest(node))
+        if (getM(p, j) == cur - o - e) {
+          bt_node = p; bt_j = j; bt_state = M;
+          break;
+        }
+      if (bt_node < 0)
+        for (int32_t p : preds_oldest(node))
+          if (getD(p, j) == cur - e) {
+            bt_node = p; bt_j = j; bt_state = D;
+            break;
+          }
+    } else if (state == D2) {
+      for (int32_t p : preds_oldest(node))
+        if (getD(p, j) == cur - e2) {
+          bt_node = p; bt_j = j; bt_state = D;
+          break;
+        }
+      if (bt_node < 0)
+        for (int32_t p : preds_oldest(node))
+          if (getD2(p, j) == cur - e2) {
+            bt_node = p; bt_j = j; bt_state = D2;
+            break;
+          }
+    } else if (state == I) {
+      if (j > 0) {
+        if (getM(node, j - 1) == cur - o - e) {
+          bt_node = node; bt_j = j - 1; bt_state = M;
+        } else if (getI(node, j - 1) == cur - e) {
+          bt_node = node; bt_j = j - 1; bt_state = I;
+        } else if (tp && getI2(node, j - 1) == cur - o - e) {
+          bt_node = node; bt_j = j - 1; bt_state = I2;
+        }
+      }
+    } else {  // I2
+      if (j > 0) {
+        if (getI(node, j - 1) == cur - e2) {
+          bt_node = node; bt_j = j - 1; bt_state = I;
+        } else if (getI2(node, j - 1) == cur - e2) {
+          bt_node = node; bt_j = j - 1; bt_state = I2;
+        }
+      }
+    }
+
+    if (bt_node < 0) break;
+
+    if (state == M && bt_state != M) {
+      node = bt_node;
+      j = bt_j;
+      state = bt_state;
+      continue;
+    }
+
+    if (state == M)
+      pairs.push_back({node, (int32_t)(j - 1)});
+    else if (state == I || state == I2)
+      pairs.push_back({-1, (int32_t)(j - 1)});
+    else
+      pairs.push_back({node, -1});
+
+    if (bt_node == g.start_node) break;
+    node = bt_node;
+    j = bt_j;
+    state = bt_state;
+  }
+
+  std::reverse(pairs.begin(), pairs.end());
+  if ((int64_t)pairs.size() > cap) return -2;
+  int64_t count = 0;
+  for (auto& [rp, qp] : pairs) {
+    out_rpos[count] = rp;
+    out_qpos[count] = qp;
+    ++count;
+  }
+  return count;
+}
+
+template <typename T>
+int64_t align_anchored_impl(void* ptr, const uint8_t* seq, int64_t n,
+                              int32_t end_node, int64_t end_j,
+                              int32_t mismatch, int32_t gap_open,
+                              int32_t gap_extend, int32_t gap_extend2,
+                              int32_t two_piece, int32_t free_start,
+                              int64_t expected_score, int32_t* out_rpos,
+                              int32_t* out_qpos, int64_t cap,
+                              int64_t* out_score) {
+  // End-anchored corridor alignment (one- or two-piece): the device fill
+  // has already computed the read's optimal ends-free score AND its end
+  // state (end_node, end_j); this fills only the sub-DAG that can reach
+  // the anchor within the path-length budget D = end_j + K + 1 edges
+  // (found by a bounded reverse BFS; topo-index proxies are unsound on
+  // fused graphs, where a path's index span exceeds its edge count).
+  // Per visited node the offset window is
+  //   [end_j - maxpath(v->anchor) - K,  end_j - mindist(v->anchor) + K].
+  //
+  // K ladder: K_full = (S - open)/cheapest-extend bounds any single gap
+  // on an <=S path, so a K_full corridor is PROVEN sufficient — but the
+  // typical read's true diagonal drift is far smaller than its score
+  // implies (score is mostly mismatches + many short gaps, not one long
+  // one).  Attempts therefore start at K_full/16 and widen 4x; a
+  // verified narrow attempt (anchor score == device score) is exact by
+  // DP monotonicity — restricting the corridor can only raise scores,
+  // so equality certifies an optimal in-corridor path.  Failed narrow
+  // attempts cost <=1/3 extra work in the worst case (geometric sum).
+  auto& eng = *static_cast<Engine*>(ptr);
+  const Graph& g = eng.g;
+  ensure_banded_meta(eng);
+  const int32_t o = gap_open, e = gap_extend, x = mismatch;
+  const int32_t e2 = gap_extend2;
+  const bool tp = two_piece != 0;
+  const int32_t INF = table_inf<T>();
+  // same int32 INF-clamping bound as poasta_align_banded's row pass
+  if (o > (1 << 20) || e > (1 << 20) || x > (1 << 20) || e2 > (1 << 20))
+    return -5;
+  const int64_t S = expected_score;
+
+  std::vector<int32_t> tpos(g.n);
+  for (int32_t rt = 0; rt < g.n; ++rt) tpos[eng.topo[rt]] = rt;
+
+  for (int i = 0; i < 6; ++i) g_anchor_stats[i] = 0;
+  using Clock = std::chrono::steady_clock;
+  auto ns_since = [](Clock::time_point t0) {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+               Clock::now() - t0)
+        .count();
+  };
+
+  const int64_t cheap_e = tp ? std::min(e, e2) : e;
+  const int64_t K_full = (S >= o + cheap_e) ? (S - o) / cheap_e : 0;
+  std::vector<int64_t> ladder;
+  for (int64_t k = std::max<int64_t>(16, K_full / 16); k < K_full; k *= 4)
+    ladder.push_back(k);
+  ladder.push_back(K_full);           // proven-sufficient window
+  ladder.push_back(2 * K_full + 64);  // defensive (should never trigger)
+
+  for (int attempt = 0; attempt < (int)ladder.size(); ++attempt) {
+    auto t_corridor = Clock::now();
+    const int64_t K = ladder[attempt];
+    const int64_t D = end_j + K + 1;
+
+    // bounded reverse BFS from the anchor over predecessor edges
+    std::vector<int64_t> dist_r(g.n, -1);
+    std::deque<int32_t> q;
+    dist_r[end_node] = 0;
+    q.push_back(end_node);
+    std::vector<int32_t> nodes;  // visited, any order
+    nodes.push_back(end_node);
+    while (!q.empty()) {
+      int32_t v = q.front();
+      q.pop_front();
+      if (dist_r[v] >= D) continue;
+      for (int32_t p : g.preds[v])
+        if (dist_r[p] < 0) {
+          dist_r[p] = dist_r[v] + 1;
+          nodes.push_back(p);
+          q.push_back(p);
+        }
+    }
+    std::sort(nodes.begin(), nodes.end(),
+              [&](int32_t a, int32_t b) { return tpos[a] < tpos[b]; });
+    const int32_t nr = (int32_t)nodes.size();
+
+    // longest path to the anchor within the sub-DAG (upper bound on
+    // query consumed after v), reverse topo order; capped at D
+    std::vector<int64_t> mp(g.n, -1);
+    std::vector<int32_t> lidx(g.n, -1);
+    for (int32_t i = 0; i < nr; ++i) lidx[nodes[i]] = i;
+    for (int32_t i = nr - 1; i >= 0; --i) {
+      int32_t v = nodes[i];
+      if (v == end_node) {
+        mp[v] = 0;
+        continue;
+      }
+      int64_t best = -1;
+      for (int32_t s : g.succs[v])
+        if (lidx[s] >= 0 && mp[s] >= 0) best = std::max(best, mp[s] + 1);
+      mp[v] = best < 0 ? -1 : std::min(best, D);
+    }
+
+    std::vector<int64_t> lo(nr), hi(nr), base(nr + 1, 0);
+    for (int32_t i = 0; i < nr; ++i) {
+      int32_t nd = nodes[i];
+      if (mp[nd] < 0) {  // cannot reach anchor (pred-only artifact)
+        lo[i] = 1;
+        hi[i] = 0;
+      } else {
+        lo[i] = std::max<int64_t>(0, end_j - mp[nd] - K);
+        hi[i] = std::min<int64_t>(std::min<int64_t>(n, end_j),
+                                  end_j - dist_r[nd] + K);
+      }
+      base[i + 1] = base[i] + std::max<int64_t>(0, hi[i] - lo[i] + 1);
+    }
+    const int64_t total = base[nr];
+    g_anchor_stats[0] += ns_since(t_corridor);
+    g_anchor_stats[3] += nr;
+    g_anchor_stats[4] += total;
+    g_anchor_stats[5] = attempt + 1;
+    auto t_fill = Clock::now();
+    RawTable<T> Mb(total), Ib(total), Db(total);
+    RawTable<T> I2b(tp ? total : 0), D2b(tp ? total : 0);
+
+    auto stored = [&](int32_t nd, int64_t j) -> bool {
+      int32_t i = lidx[nd];
+      return i >= 0 && j >= lo[i] && j <= hi[i];
+    };
+    auto gM = [&](int32_t nd, int64_t j) -> int32_t {
+      return stored(nd, j) ? Mb[base[lidx[nd]] + (j - lo[lidx[nd]])] : INF;
+    };
+    auto gI = [&](int32_t nd, int64_t j) -> int32_t {
+      return stored(nd, j) ? Ib[base[lidx[nd]] + (j - lo[lidx[nd]])] : INF;
+    };
+    auto gD = [&](int32_t nd, int64_t j) -> int32_t {
+      return stored(nd, j) ? Db[base[lidx[nd]] + (j - lo[lidx[nd]])] : INF;
+    };
+    auto gI2 = [&](int32_t nd, int64_t j) -> int32_t {
+      return (tp && stored(nd, j))
+                 ? I2b[base[lidx[nd]] + (j - lo[lidx[nd]])]
+                 : INF;
+    };
+    auto gD2 = [&](int32_t nd, int64_t j) -> int32_t {
+      return (tp && stored(nd, j))
+                 ? D2b[base[lidx[nd]] + (j - lo[lidx[nd]])]
+                 : INF;
+    };
+
+    // Row-pass fill: per node, (1) gather predecessor M/D row minima
+    // into contiguous scratch rows over the window (plain overlap-range
+    // min loops the compiler auto-vectorizes), (2) compute D and the
+    // match-dependent A row vectorized over offsets, (3) a short serial
+    // scan for the affine insertion chain.  Values are bit-identical to
+    // the per-cell formulation (INF = 2^28, adds of <=2^10 never
+    // overflow int32; every stored value is re-clamped to INF).
+    // ~3x over the per-cell loop at pangenome serving shapes; the
+    // lambda accessors stay for the backtrace, whose work is O(path).
+    int64_t maxw = 0;
+    for (int32_t i = 0; i < nr; ++i)
+      maxw = std::max(maxw, hi[i] - lo[i] + 1);
+    // pmrow[k] = min over preds of M[lo-1+k] (k = 0..w; one extra lane
+    // on the left so the diagonal term reads pmrow[k] = pm[j-1])
+    std::vector<T> pmrow(maxw + 1), pdrow(maxw), pd2row, Arow(maxw);
+    if (tp) pd2row.resize(maxw);
+    for (int32_t i = 0; i < nr; ++i) {
+      int32_t nd = nodes[i];
+      if (hi[i] < lo[i]) continue;
+      const bool is_end_nd = nd == g.end_node;
+      const bool origin = (free_start && !is_end_nd) || nd == g.start_node;
+      const int32_t sym = g.symbols[nd];
+      const int64_t jlo = lo[i], jhi = hi[i];
+      const int64_t w = jhi - jlo + 1;
+      std::fill(pmrow.begin(), pmrow.begin() + w + 1, INF);
+      std::fill(pdrow.begin(), pdrow.begin() + w, INF);
+      if (tp) std::fill(pd2row.begin(), pd2row.begin() + w, INF);
+      for (int32_t p : g.preds[nd]) {
+        int32_t pi = lidx[p];
+        if (pi < 0 || hi[pi] < lo[pi]) continue;
+        const int64_t b = base[pi] - lo[pi];
+        const T* prM = Mb.data() + b;
+        const T* prD = Db.data() + b;
+        // M overlap over [jlo-1, jhi] (feeds both same-j and diagonal)
+        const int64_t ms = std::max(jlo - 1, lo[pi]);
+        const int64_t me = std::min(jhi, hi[pi]);
+        T* pm = pmrow.data() + 1 - jlo;  // pm[j] = pmrow[j-(jlo-1)]
+        for (int64_t j = ms; j <= me; ++j)
+          pm[j] = std::min(pm[j], prM[j]);
+        const int64_t ds = std::max(jlo, lo[pi]);
+        T* pd = pdrow.data() - jlo;
+        for (int64_t j = ds; j <= me; ++j)
+          pd[j] = std::min(pd[j], prD[j]);
+        if (tp) {
+          const T* prD2 = D2b.data() + b;
+          T* pd2 = pd2row.data() - jlo;
+          for (int64_t j = ds; j <= me; ++j)
+            pd2[j] = std::min(pd2[j], prD2[j]);
+        }
+      }
+      const int64_t bI = base[i] - jlo;
+      T* Mrow = Mb.data() + bI;
+      T* Irow = Ib.data() + bI;
+      T* Drow = Db.data() + bI;
+      T* I2row = tp ? I2b.data() + bI : nullptr;
+      T* D2row = tp ? D2b.data() + bI : nullptr;
+      if (is_end_nd) {
+        // virtual end: zero-cost same-offset hop from the best pred M
+        for (int64_t k = 0; k < w; ++k) {
+          Mrow[jlo + k] = pmrow[k + 1];
+          Irow[jlo + k] = INF;
+          Drow[jlo + k] = INF;
+        }
+        if (tp)
+          for (int64_t k = 0; k < w; ++k) {
+            I2row[jlo + k] = INF;
+            D2row[jlo + k] = INF;
+          }
+        continue;
+      }
+      if (!tp) {
+        for (int64_t k = 0; k < w; ++k)
+          Drow[jlo + k] = std::min(
+              std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
+      } else {
+        for (int64_t k = 0; k < w; ++k) {
+          Drow[jlo + k] = std::min(
+              std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
+          D2row[jlo + k] =
+              std::min(std::min(pdrow[k], pd2row[k]) + e2, INF);
+        }
+      }
+      // A row: diagonal + match cost vs D (and D2); query byte compares
+      // are per-offset and branch-free
+      {
+        const int64_t k0 = jlo == 0 ? 1 : 0;  // j>=1 guard
+        if (jlo == 0)
+          Arow[0] = origin ? 0
+                           : std::min<int32_t>(
+                                 Drow[jlo], tp ? (int32_t)D2row[jlo] : INF);
+        const uint8_t* sq = seq + (jlo + k0 - 1);  // sq[k-k0] = seq[jlo+k-1]
+        for (int64_t k = k0; k < w; ++k) {
+          const int32_t match = (sym == (int32_t)sq[k - k0]) ? 0 : x;
+          const int32_t diag = std::min(pmrow[k] + match, INF);
+          const int32_t dv = tp ? std::min(Drow[jlo + k], D2row[jlo + k])
+                                : Drow[jlo + k];
+          Arow[k] = std::min(diag, dv);
+        }
+      }
+      // serial affine insertion scan + M
+      int32_t prevA = INF, prevI = INF, prevI2 = INF;
+      if (!tp) {
+        for (int64_t k = 0; k < w; ++k) {
+          const int32_t Iv =
+              std::min(std::min(prevA + (o + e), prevI + e), INF);
+          Irow[jlo + k] = Iv;
+          Mrow[jlo + k] = std::min<int32_t>(Arow[k], Iv);
+          prevA = Arow[k];
+          prevI = Iv;
+        }
+      } else {
+        for (int64_t k = 0; k < w; ++k) {
+          const int32_t Iv = std::min(
+              std::min(std::min(prevA, prevI2) + (o + e), prevI + e), INF);
+          const int32_t I2v =
+              std::min(std::min(prevI, prevI2) + e2, INF);
+          Irow[jlo + k] = Iv;
+          I2row[jlo + k] = I2v;
+          Mrow[jlo + k] = std::min<int32_t>(Arow[k], std::min(Iv, I2v));
+          prevA = Arow[k];
+          prevI = Iv;
+          prevI2 = I2v;
+        }
+      }
+    }
+
+    int64_t got = gM(end_node, end_j);
+    g_anchor_stats[1] += ns_since(t_fill);
+    if (got != S) continue;  // corridor too tight (defensive): widen
+    out_score[0] = got;
+    auto t_bt = Clock::now();
+
+    auto preds_oldest = [&](int32_t nd) {
+      return std::vector<int32_t>(g.preds[nd].rbegin(), g.preds[nd].rend());
+    };
+    int32_t node = end_node;
+    int64_t j = end_j;
+    int state = M;
+    if (node == g.end_node) {  // virtual end: hop to the carrying pred
+      int32_t nn = -1;
+      for (int32_t p : preds_oldest(g.end_node))
+        if (gM(p, j) == got) {
+          nn = p;
+          break;
+        }
+      if (nn < 0) return -3;
+      node = nn;
+    }
+    std::vector<std::pair<int32_t, int32_t>> pairs;
+    while (true) {
+      int32_t cur = state == M    ? gM(node, j)
+                    : state == D  ? gD(node, j)
+                    : state == I  ? gI(node, j)
+                    : state == D2 ? gD2(node, j)
+                                  : gI2(node, j);
+      bool origin_nd =
+          (free_start && node != g.end_node) || node == g.start_node;
+      if (state == M && j == 0 && cur == 0 && origin_nd) break;
+      int32_t bt_node = -1;
+      int64_t bt_j = 0;
+      int bt_state = M;
+      if (state == M) {
+        if (j > 0) {
+          int32_t want = g.symbol_equal(node, seq[j - 1]) ? cur : cur - x;
+          for (int32_t p : preds_oldest(node))
+            if (gM(p, j - 1) == want) {
+              bt_node = p;
+              bt_j = j - 1;
+              bt_state = M;
+              break;
+            }
+        }
+        if (bt_node < 0 && gD(node, j) == cur) {
+          bt_node = node; bt_j = j; bt_state = D;
+        }
+        if (tp && bt_node < 0 && gD2(node, j) == cur) {
+          bt_node = node; bt_j = j; bt_state = D2;
+        }
+        if (bt_node < 0 && gI(node, j) == cur) {
+          bt_node = node; bt_j = j; bt_state = I;
+        }
+        if (tp && bt_node < 0 && gI2(node, j) == cur) {
+          bt_node = node; bt_j = j; bt_state = I2;
+        }
+      } else if (state == D) {
+        for (int32_t p : preds_oldest(node))
+          if (gM(p, j) == cur - o - e) {
+            bt_node = p; bt_j = j; bt_state = M;
+            break;
+          }
+        if (bt_node < 0)
+          for (int32_t p : preds_oldest(node))
+            if (gD(p, j) == cur - e) {
+              bt_node = p; bt_j = j; bt_state = D;
+              break;
+            }
+      } else if (state == D2) {
+        for (int32_t p : preds_oldest(node))
+          if (gD(p, j) == cur - e2) {
+            bt_node = p; bt_j = j; bt_state = D;
+            break;
+          }
+        if (bt_node < 0)
+          for (int32_t p : preds_oldest(node))
+            if (gD2(p, j) == cur - e2) {
+              bt_node = p; bt_j = j; bt_state = D2;
+              break;
+            }
+      } else if (state == I) {
+        if (j > 0) {
+          if (gM(node, j - 1) == cur - o - e) {
+            bt_node = node; bt_j = j - 1; bt_state = M;
+          } else if (gI(node, j - 1) == cur - e) {
+            bt_node = node; bt_j = j - 1; bt_state = I;
+          } else if (tp && gI2(node, j - 1) == cur - o - e) {
+            bt_node = node; bt_j = j - 1; bt_state = I2;
+          }
+        }
+      } else {  // I2
+        if (j > 0) {
+          if (gI(node, j - 1) == cur - e2) {
+            bt_node = node; bt_j = j - 1; bt_state = I;
+          } else if (gI2(node, j - 1) == cur - e2) {
+            bt_node = node; bt_j = j - 1; bt_state = I2;
+          }
+        }
+      }
+      if (bt_node < 0) break;
+      if (state == M && bt_state != M) {
+        node = bt_node;
+        j = bt_j;
+        state = bt_state;
+        continue;
+      }
+      if (state == M)
+        pairs.push_back({node, (int32_t)(j - 1)});
+      else if (state == I || state == I2)
+        pairs.push_back({-1, (int32_t)(j - 1)});
+      else
+        pairs.push_back({node, -1});
+      if (bt_node == g.start_node) break;
+      node = bt_node;
+      j = bt_j;
+      state = bt_state;
+    }
+    std::reverse(pairs.begin(), pairs.end());
+    if ((int64_t)pairs.size() > cap) return -2;
+    int64_t count = 0;
+    for (auto& [rp, qp] : pairs) {
+      out_rpos[count] = rp;
+      out_qpos[count] = qp;
+      ++count;
+    }
+    g_anchor_stats[2] += ns_since(t_bt);
+    return count;
+  }
+  return -4;  // corridor never verified: caller falls back
+}
+
 }  // namespace
 
 extern "C" {
@@ -962,335 +1716,20 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
                             int32_t two_piece, int64_t ub,
                             int32_t* out_rpos, int32_t* out_qpos, int64_t cap,
                             int64_t* out_score) {
-  auto& eng = *static_cast<Engine*>(ptr);
-  const Graph& g = eng.g;
-  ensure_banded_meta(eng);
-  const int32_t o = gap_open, e = gap_extend, x = mismatch;
-  const int32_t e2 = gap_extend2;
-  const bool tp = two_piece != 0;
-  constexpr int32_t INF = 1 << 28;
-  // the row-pass fill clamps INF + cost in int32; bound the costs so
-  // that can't overflow (any real scoring scheme is orders below this)
-  if (o > (1 << 20) || e > (1 << 20) || x > (1 << 20) || e2 > (1 << 20))
-    return -5;
-
-  // per-node windows [lo, hi] (query offsets), width prefix offsets.
-  // K = max gap length whose cheapest cost fits under ub; for two-piece
-  // the cheapest long gap is open + switch-to-piece-2, so dividing by e2
-  // over-covers (safe: a wider band only costs work, never exactness).
-  const int64_t cheap_e = tp ? e2 : e;
-  const int64_t K = (ub >= o + cheap_e) ? (ub - o) / cheap_e : 0;
-  std::vector<int64_t> lo(g.n), hi(g.n), base(g.n + 1, 0);
-  for (int32_t r = 0; r < g.n; ++r) {
-    int32_t nd = eng.topo[r];
-    int64_t de_min = eng.bi.min_dist_to_end[nd];
-    int64_t de_max = eng.bi.max_dist_to_end[nd];
-    int64_t l = std::max<int64_t>(
-        0, std::max(eng.ds_min[nd] - K, (n - de_max + 1) - K));
-    // a node deeper than n + K has l > n; clamp so the fill never reads
-    // seq[] past the query (offsets > n cannot be on any path to (end, n))
-    l = std::min<int64_t>(l, n);
-    int64_t h = std::min<int64_t>(
-        n, std::min(eng.ds_max[nd] + K, (n - de_min + 1) + K));
-    h = std::max(h, l);
-    lo[nd] = l;
-    hi[nd] = h;
-  }
-  for (int32_t nd = 0; nd < g.n; ++nd) base[nd + 1] = hi[nd] - lo[nd] + 1;
-  for (int32_t nd = 0; nd < g.n; ++nd) base[nd + 1] += base[nd];
-  const int64_t total = base[g.n];
-  RawTable Mb(total), Ib(total), Db(total);
-  RawTable I2b(tp ? total : 0), D2b(tp ? total : 0);
-
-  auto idx = [&](int32_t nd, int64_t j) -> int64_t {
-    return base[nd] + (j - lo[nd]);
-  };
-  auto in_band = [&](int32_t nd, int64_t j) -> bool {
-    return j >= lo[nd] && j <= hi[nd];
-  };
-  auto getM = [&](int32_t nd, int64_t j) -> int32_t {
-    return in_band(nd, j) ? Mb[idx(nd, j)] : INF;
-  };
-  auto getI = [&](int32_t nd, int64_t j) -> int32_t {
-    return in_band(nd, j) ? Ib[idx(nd, j)] : INF;
-  };
-  auto getD = [&](int32_t nd, int64_t j) -> int32_t {
-    return in_band(nd, j) ? Db[idx(nd, j)] : INF;
-  };
-  auto getI2 = [&](int32_t nd, int64_t j) -> int32_t {
-    return (tp && in_band(nd, j)) ? I2b[idx(nd, j)] : INF;
-  };
-  auto getD2 = [&](int32_t nd, int64_t j) -> int32_t {
-    return (tp && in_band(nd, j)) ? D2b[idx(nd, j)] : INF;
-  };
-
-  // fill in topological order (row semantics of ops/dp_rows*.py).
-  // Row-pass structure, same as poasta_align_anchored's fill: (1) gather
-  // predecessor M/D row minima into contiguous scratch rows over each
-  // pred's overlap segment (branch-free min loops the compiler
-  // auto-vectorizes), (2) compute the D and match-dependent A rows
-  // vectorized over offsets, (3) a short serial scan for the affine
-  // insertion chain.  Values are bit-identical to the per-cell
-  // formulation (INF = 2^28, adds of <=2^10 never overflow int32; every
-  // stored value is re-clamped to INF), so the backtrace is unchanged.
-  // NB round 1 measured a DIFFERENT restructure (full-row masked
-  // temporaries re-scanned per pred) 3x slower; the overlap-segment
-  // row pass measured ~3x FASTER on the anchored corridor and the A/B
-  // for this fill is in scripts/native_banded_bench.py.
-  int64_t maxw = 0;
-  for (int32_t nd = 0; nd < g.n; ++nd)
-    maxw = std::max(maxw, hi[nd] - lo[nd] + 1);
-  // pmrow[k] = min over preds of M[lo-1+k] (one extra lane on the left
-  // so the diagonal term reads pmrow[k] = pred_M[j-1])
-  std::vector<int32_t> pmrow(maxw + 1), pdrow(maxw), pd2row, Arow(maxw);
-  if (tp) pd2row.resize(maxw);
-  for (int32_t r = 0; r < g.n; ++r) {
-    const int32_t nd = eng.topo[r];
-    const bool is_start = nd == g.start_node;
-    const bool is_end = nd == g.end_node;
-    const int32_t sym = g.symbols[nd];
-    const int64_t jlo = lo[nd], jhi = hi[nd];
-    const int64_t w = jhi - jlo + 1;
-    std::fill(pmrow.begin(), pmrow.begin() + w + 1, INF);
-    std::fill(pdrow.begin(), pdrow.begin() + w, INF);
-    if (tp) std::fill(pd2row.begin(), pd2row.begin() + w, INF);
-    for (int32_t p : g.preds[nd]) {
-      const int64_t b = base[p] - lo[p];
-      const int32_t* prM = Mb.data() + b;
-      const int32_t* prD = Db.data() + b;
-      // M overlap over [jlo-1, jhi] (feeds both same-j and diagonal)
-      const int64_t ms = std::max(jlo - 1, lo[p]);
-      const int64_t me = std::min(jhi, hi[p]);
-      int32_t* pm = pmrow.data() + 1 - jlo;  // pm[j] = pmrow[j-(jlo-1)]
-      for (int64_t j = ms; j <= me; ++j)
-        pm[j] = std::min(pm[j], prM[j]);
-      const int64_t ds = std::max(jlo, lo[p]);
-      int32_t* pd = pdrow.data() - jlo;
-      for (int64_t j = ds; j <= me; ++j)
-        pd[j] = std::min(pd[j], prD[j]);
-      if (tp) {
-        const int32_t* prD2 = D2b.data() + b;
-        int32_t* pd2 = pd2row.data() - jlo;
-        for (int64_t j = ds; j <= me; ++j)
-          pd2[j] = std::min(pd2[j], prD2[j]);
-      }
-    }
-    const int64_t bI = base[nd] - jlo;
-    int32_t* Mrow = Mb.data() + bI;
-    int32_t* Irow = Ib.data() + bI;
-    int32_t* Drow = Db.data() + bI;
-    int32_t* I2row = tp ? I2b.data() + bI : nullptr;
-    int32_t* D2row = tp ? D2b.data() + bI : nullptr;
-    if (is_end) {
-      // virtual end: zero-cost same-offset hop from the best pred M
-      for (int64_t k = 0; k < w; ++k) {
-        Mrow[jlo + k] = pmrow[k + 1];
-        Irow[jlo + k] = INF;
-        Drow[jlo + k] = INF;
-      }
-      if (tp)
-        for (int64_t k = 0; k < w; ++k) {
-          I2row[jlo + k] = INF;
-          D2row[jlo + k] = INF;
-        }
-      continue;
-    }
-    if (!tp) {
-      for (int64_t k = 0; k < w; ++k)
-        Drow[jlo + k] = std::min(
-            std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
-    } else {
-      for (int64_t k = 0; k < w; ++k) {
-        Drow[jlo + k] = std::min(
-            std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
-        D2row[jlo + k] =
-            std::min(std::min(pdrow[k], pd2row[k]) + e2, INF);
-      }
-    }
-    // A row: diagonal + match cost vs D (and D2); query byte compares
-    // are per-offset and branch-free
-    {
-      const int64_t k0 = jlo == 0 ? 1 : 0;  // j>=1 guard
-      if (jlo == 0)
-        Arow[0] = is_start ? 0
-                           : std::min(Drow[jlo], tp ? D2row[jlo] : INF);
-      const uint8_t* sq = seq + (jlo + k0 - 1);  // sq[k-k0] = seq[jlo+k-1]
-      for (int64_t k = k0; k < w; ++k) {
-        const int32_t match = (sym == (int32_t)sq[k - k0]) ? 0 : x;
-        const int32_t diag = std::min(pmrow[k] + match, INF);
-        const int32_t dv = tp ? std::min(Drow[jlo + k], D2row[jlo + k])
-                              : Drow[jlo + k];
-        Arow[k] = std::min(diag, dv);
-      }
-    }
-    // serial affine insertion scan + M
-    // I1[j] = min(A[j-1]+o+e, I1[j-1]+e, I2[j-1]+o+e)
-    // I2[j] = min(I1[j-1], I2[j-1]) + e2
-    int32_t prevA = INF, prevI = INF, prevI2 = INF;
-    if (!tp) {
-      for (int64_t k = 0; k < w; ++k) {
-        const int32_t Iv =
-            std::min(std::min(prevA + (o + e), prevI + e), INF);
-        Irow[jlo + k] = Iv;
-        Mrow[jlo + k] = std::min(Arow[k], Iv);
-        prevA = Arow[k];
-        prevI = Iv;
-      }
-    } else {
-      for (int64_t k = 0; k < w; ++k) {
-        const int32_t Iv = std::min(
-            std::min(std::min(prevA, prevI2) + (o + e), prevI + e), INF);
-        const int32_t I2v =
-            std::min(std::min(prevI, prevI2) + e2, INF);
-        Irow[jlo + k] = Iv;
-        I2row[jlo + k] = I2v;
-        Mrow[jlo + k] = std::min(Arow[k], std::min(Iv, I2v));
-        prevA = Arow[k];
-        prevI = Iv;
-        prevI2 = I2v;
-      }
-    }
-  }
-
-  int64_t score = getM(g.end_node, n);
-  out_score[0] = score;
-  if (score > ub) return -4;
-  if (n == 0) return 0;
-
-  // backtrace — mirrors wavefront.py backtrace_dense (extended with the
-  // two-piece states' transition structure from engine.py backtrace_step)
-  auto preds_oldest = [&](int32_t nd) {
-    return std::vector<int32_t>(g.preds[nd].rbegin(), g.preds[nd].rend());
-  };
-
-  int64_t j = n;
-  int32_t cur = (int32_t)score;
-  int32_t node = -1;
-  for (int32_t p : preds_oldest(g.end_node))
-    if (getM(p, j) == cur) {
-      node = p;
-      break;
-    }
-  if (node < 0) return -3;
-  int state = M;
-
-  std::vector<std::pair<int32_t, int32_t>> pairs;
-  while (true) {
-    switch (state) {
-      case M: cur = getM(node, j); break;
-      case D: cur = getD(node, j); break;
-      case I: cur = getI(node, j); break;
-      case D2: cur = getD2(node, j); break;
-      default: cur = getI2(node, j); break;
-    }
-    int32_t bt_node = -1;
-    int64_t bt_j = 0;
-    int bt_state = M;
-    if (state == M) {
-      if (j > 0) {
-        int32_t want = g.symbol_equal(node, seq[j - 1]) ? cur : cur - x;
-        for (int32_t p : preds_oldest(node))
-          if (getM(p, j - 1) == want) {
-            bt_node = p;
-            bt_j = j - 1;
-            bt_state = M;
-            break;
-          }
-      }
-      if (bt_node < 0 && getD(node, j) == cur) {
-        bt_node = node; bt_j = j; bt_state = D;
-      }
-      if (tp && bt_node < 0 && getD2(node, j) == cur) {
-        bt_node = node; bt_j = j; bt_state = D2;
-      }
-      if (bt_node < 0 && getI(node, j) == cur) {
-        bt_node = node; bt_j = j; bt_state = I;
-      }
-      if (tp && bt_node < 0 && getI2(node, j) == cur) {
-        bt_node = node; bt_j = j; bt_state = I2;
-      }
-    } else if (state == D) {
-      for (int32_t p : preds_oldest(node))
-        if (getM(p, j) == cur - o - e) {
-          bt_node = p; bt_j = j; bt_state = M;
-          break;
-        }
-      if (bt_node < 0)
-        for (int32_t p : preds_oldest(node))
-          if (getD(p, j) == cur - e) {
-            bt_node = p; bt_j = j; bt_state = D;
-            break;
-          }
-    } else if (state == D2) {
-      for (int32_t p : preds_oldest(node))
-        if (getD(p, j) == cur - e2) {
-          bt_node = p; bt_j = j; bt_state = D;
-          break;
-        }
-      if (bt_node < 0)
-        for (int32_t p : preds_oldest(node))
-          if (getD2(p, j) == cur - e2) {
-            bt_node = p; bt_j = j; bt_state = D2;
-            break;
-          }
-    } else if (state == I) {
-      if (j > 0) {
-        if (getM(node, j - 1) == cur - o - e) {
-          bt_node = node; bt_j = j - 1; bt_state = M;
-        } else if (getI(node, j - 1) == cur - e) {
-          bt_node = node; bt_j = j - 1; bt_state = I;
-        } else if (tp && getI2(node, j - 1) == cur - o - e) {
-          bt_node = node; bt_j = j - 1; bt_state = I2;
-        }
-      }
-    } else {  // I2
-      if (j > 0) {
-        if (getI(node, j - 1) == cur - e2) {
-          bt_node = node; bt_j = j - 1; bt_state = I;
-        } else if (getI2(node, j - 1) == cur - e2) {
-          bt_node = node; bt_j = j - 1; bt_state = I2;
-        }
-      }
-    }
-
-    if (bt_node < 0) break;
-
-    if (state == M && bt_state != M) {
-      node = bt_node;
-      j = bt_j;
-      state = bt_state;
-      continue;
-    }
-
-    if (state == M)
-      pairs.push_back({node, (int32_t)(j - 1)});
-    else if (state == I || state == I2)
-      pairs.push_back({-1, (int32_t)(j - 1)});
-    else
-      pairs.push_back({node, -1});
-
-    if (bt_node == g.start_node) break;
-    node = bt_node;
-    j = bt_j;
-    state = bt_state;
-  }
-
-  std::reverse(pairs.begin(), pairs.end());
-  if ((int64_t)pairs.size() > cap) return -2;
-  int64_t count = 0;
-  for (auto& [rp, qp] : pairs) {
-    out_rpos[count] = rp;
-    out_qpos[count] = qp;
-    ++count;
-  }
-  return count;
+  // int16 tables halve the DP-table memory traffic (the bottleneck at
+  // fusion shapes).  Sound whenever ub sits below the int16 INF:
+  // every cell the result or backtrace depends on holds a value
+  // <= ub < 32767 and is stored exactly; saturated cells only
+  // over-estimate, exactly like out-of-band cells.
+  if (ub <= 30000)
+    return align_banded_impl<int16_t>(ptr, seq, n, mismatch, gap_open,
+                                      gap_extend, gap_extend2, two_piece,
+                                      ub, out_rpos, out_qpos, cap,
+                                      out_score);
+  return align_banded_impl<int32_t>(ptr, seq, n, mismatch, gap_open,
+                                    gap_extend, gap_extend2, two_piece, ub,
+                                    out_rpos, out_qpos, cap, out_score);
 }
-
-// Last-call phase breakdown of poasta_align_anchored (serving-path
-// profiling): {corridor_ns, fill_ns, backtrace_ns, corridor_nodes,
-// corridor_cells, attempts}.  Thread-local: each pool worker reads its
-// own calls' stats.
-static thread_local int64_t g_anchor_stats[6];
 
 void poasta_last_anchored_stats(int64_t* out6) {
   for (int i = 0; i < 6; ++i) out6[i] = g_anchor_stats[i];
@@ -1304,402 +1743,17 @@ int64_t poasta_align_anchored(void* ptr, const uint8_t* seq, int64_t n,
                               int64_t expected_score, int32_t* out_rpos,
                               int32_t* out_qpos, int64_t cap,
                               int64_t* out_score) {
-  // End-anchored corridor alignment (one- or two-piece): the device fill
-  // has already computed the read's optimal ends-free score AND its end
-  // state (end_node, end_j); this fills only the sub-DAG that can reach
-  // the anchor within the path-length budget D = end_j + K + 1 edges
-  // (found by a bounded reverse BFS; topo-index proxies are unsound on
-  // fused graphs, where a path's index span exceeds its edge count).
-  // Per visited node the offset window is
-  //   [end_j - maxpath(v->anchor) - K,  end_j - mindist(v->anchor) + K].
-  //
-  // K ladder: K_full = (S - open)/cheapest-extend bounds any single gap
-  // on an <=S path, so a K_full corridor is PROVEN sufficient — but the
-  // typical read's true diagonal drift is far smaller than its score
-  // implies (score is mostly mismatches + many short gaps, not one long
-  // one).  Attempts therefore start at K_full/16 and widen 4x; a
-  // verified narrow attempt (anchor score == device score) is exact by
-  // DP monotonicity — restricting the corridor can only raise scores,
-  // so equality certifies an optimal in-corridor path.  Failed narrow
-  // attempts cost <=1/3 extra work in the worst case (geometric sum).
-  auto& eng = *static_cast<Engine*>(ptr);
-  const Graph& g = eng.g;
-  ensure_banded_meta(eng);
-  const int32_t o = gap_open, e = gap_extend, x = mismatch;
-  const int32_t e2 = gap_extend2;
-  const bool tp = two_piece != 0;
-  constexpr int32_t INF = 1 << 28;
-  // same int32 INF-clamping bound as poasta_align_banded's row pass
-  if (o > (1 << 20) || e > (1 << 20) || x > (1 << 20) || e2 > (1 << 20))
-    return -5;
-  const int64_t S = expected_score;
-
-  std::vector<int32_t> tpos(g.n);
-  for (int32_t rt = 0; rt < g.n; ++rt) tpos[eng.topo[rt]] = rt;
-
-  for (int i = 0; i < 6; ++i) g_anchor_stats[i] = 0;
-  using Clock = std::chrono::steady_clock;
-  auto ns_since = [](Clock::time_point t0) {
-    return std::chrono::duration_cast<std::chrono::nanoseconds>(
-               Clock::now() - t0)
-        .count();
-  };
-
-  const int64_t cheap_e = tp ? std::min(e, e2) : e;
-  const int64_t K_full = (S >= o + cheap_e) ? (S - o) / cheap_e : 0;
-  std::vector<int64_t> ladder;
-  for (int64_t k = std::max<int64_t>(16, K_full / 16); k < K_full; k *= 4)
-    ladder.push_back(k);
-  ladder.push_back(K_full);           // proven-sufficient window
-  ladder.push_back(2 * K_full + 64);  // defensive (should never trigger)
-
-  for (int attempt = 0; attempt < (int)ladder.size(); ++attempt) {
-    auto t_corridor = Clock::now();
-    const int64_t K = ladder[attempt];
-    const int64_t D = end_j + K + 1;
-
-    // bounded reverse BFS from the anchor over predecessor edges
-    std::vector<int64_t> dist_r(g.n, -1);
-    std::deque<int32_t> q;
-    dist_r[end_node] = 0;
-    q.push_back(end_node);
-    std::vector<int32_t> nodes;  // visited, any order
-    nodes.push_back(end_node);
-    while (!q.empty()) {
-      int32_t v = q.front();
-      q.pop_front();
-      if (dist_r[v] >= D) continue;
-      for (int32_t p : g.preds[v])
-        if (dist_r[p] < 0) {
-          dist_r[p] = dist_r[v] + 1;
-          nodes.push_back(p);
-          q.push_back(p);
-        }
-    }
-    std::sort(nodes.begin(), nodes.end(),
-              [&](int32_t a, int32_t b) { return tpos[a] < tpos[b]; });
-    const int32_t nr = (int32_t)nodes.size();
-
-    // longest path to the anchor within the sub-DAG (upper bound on
-    // query consumed after v), reverse topo order; capped at D
-    std::vector<int64_t> mp(g.n, -1);
-    std::vector<int32_t> lidx(g.n, -1);
-    for (int32_t i = 0; i < nr; ++i) lidx[nodes[i]] = i;
-    for (int32_t i = nr - 1; i >= 0; --i) {
-      int32_t v = nodes[i];
-      if (v == end_node) {
-        mp[v] = 0;
-        continue;
-      }
-      int64_t best = -1;
-      for (int32_t s : g.succs[v])
-        if (lidx[s] >= 0 && mp[s] >= 0) best = std::max(best, mp[s] + 1);
-      mp[v] = best < 0 ? -1 : std::min(best, D);
-    }
-
-    std::vector<int64_t> lo(nr), hi(nr), base(nr + 1, 0);
-    for (int32_t i = 0; i < nr; ++i) {
-      int32_t nd = nodes[i];
-      if (mp[nd] < 0) {  // cannot reach anchor (pred-only artifact)
-        lo[i] = 1;
-        hi[i] = 0;
-      } else {
-        lo[i] = std::max<int64_t>(0, end_j - mp[nd] - K);
-        hi[i] = std::min<int64_t>(std::min<int64_t>(n, end_j),
-                                  end_j - dist_r[nd] + K);
-      }
-      base[i + 1] = base[i] + std::max<int64_t>(0, hi[i] - lo[i] + 1);
-    }
-    const int64_t total = base[nr];
-    g_anchor_stats[0] += ns_since(t_corridor);
-    g_anchor_stats[3] += nr;
-    g_anchor_stats[4] += total;
-    g_anchor_stats[5] = attempt + 1;
-    auto t_fill = Clock::now();
-    RawTable Mb(total), Ib(total), Db(total);
-    RawTable I2b(tp ? total : 0), D2b(tp ? total : 0);
-
-    auto stored = [&](int32_t nd, int64_t j) -> bool {
-      int32_t i = lidx[nd];
-      return i >= 0 && j >= lo[i] && j <= hi[i];
-    };
-    auto gM = [&](int32_t nd, int64_t j) -> int32_t {
-      return stored(nd, j) ? Mb[base[lidx[nd]] + (j - lo[lidx[nd]])] : INF;
-    };
-    auto gI = [&](int32_t nd, int64_t j) -> int32_t {
-      return stored(nd, j) ? Ib[base[lidx[nd]] + (j - lo[lidx[nd]])] : INF;
-    };
-    auto gD = [&](int32_t nd, int64_t j) -> int32_t {
-      return stored(nd, j) ? Db[base[lidx[nd]] + (j - lo[lidx[nd]])] : INF;
-    };
-    auto gI2 = [&](int32_t nd, int64_t j) -> int32_t {
-      return (tp && stored(nd, j))
-                 ? I2b[base[lidx[nd]] + (j - lo[lidx[nd]])]
-                 : INF;
-    };
-    auto gD2 = [&](int32_t nd, int64_t j) -> int32_t {
-      return (tp && stored(nd, j))
-                 ? D2b[base[lidx[nd]] + (j - lo[lidx[nd]])]
-                 : INF;
-    };
-
-    // Row-pass fill: per node, (1) gather predecessor M/D row minima
-    // into contiguous scratch rows over the window (plain overlap-range
-    // min loops the compiler auto-vectorizes), (2) compute D and the
-    // match-dependent A row vectorized over offsets, (3) a short serial
-    // scan for the affine insertion chain.  Values are bit-identical to
-    // the per-cell formulation (INF = 2^28, adds of <=2^10 never
-    // overflow int32; every stored value is re-clamped to INF).
-    // ~3x over the per-cell loop at pangenome serving shapes; the
-    // lambda accessors stay for the backtrace, whose work is O(path).
-    int64_t maxw = 0;
-    for (int32_t i = 0; i < nr; ++i)
-      maxw = std::max(maxw, hi[i] - lo[i] + 1);
-    // pmrow[k] = min over preds of M[lo-1+k] (k = 0..w; one extra lane
-    // on the left so the diagonal term reads pmrow[k] = pm[j-1])
-    std::vector<int32_t> pmrow(maxw + 1), pdrow(maxw), pd2row, Arow(maxw);
-    if (tp) pd2row.resize(maxw);
-    for (int32_t i = 0; i < nr; ++i) {
-      int32_t nd = nodes[i];
-      if (hi[i] < lo[i]) continue;
-      const bool is_end_nd = nd == g.end_node;
-      const bool origin = (free_start && !is_end_nd) || nd == g.start_node;
-      const int32_t sym = g.symbols[nd];
-      const int64_t jlo = lo[i], jhi = hi[i];
-      const int64_t w = jhi - jlo + 1;
-      std::fill(pmrow.begin(), pmrow.begin() + w + 1, INF);
-      std::fill(pdrow.begin(), pdrow.begin() + w, INF);
-      if (tp) std::fill(pd2row.begin(), pd2row.begin() + w, INF);
-      for (int32_t p : g.preds[nd]) {
-        int32_t pi = lidx[p];
-        if (pi < 0 || hi[pi] < lo[pi]) continue;
-        const int64_t b = base[pi] - lo[pi];
-        const int32_t* prM = Mb.data() + b;
-        const int32_t* prD = Db.data() + b;
-        // M overlap over [jlo-1, jhi] (feeds both same-j and diagonal)
-        const int64_t ms = std::max(jlo - 1, lo[pi]);
-        const int64_t me = std::min(jhi, hi[pi]);
-        int32_t* pm = pmrow.data() + 1 - jlo;  // pm[j] = pmrow[j-(jlo-1)]
-        for (int64_t j = ms; j <= me; ++j)
-          pm[j] = std::min(pm[j], prM[j]);
-        const int64_t ds = std::max(jlo, lo[pi]);
-        int32_t* pd = pdrow.data() - jlo;
-        for (int64_t j = ds; j <= me; ++j)
-          pd[j] = std::min(pd[j], prD[j]);
-        if (tp) {
-          const int32_t* prD2 = D2b.data() + b;
-          int32_t* pd2 = pd2row.data() - jlo;
-          for (int64_t j = ds; j <= me; ++j)
-            pd2[j] = std::min(pd2[j], prD2[j]);
-        }
-      }
-      const int64_t bI = base[i] - jlo;
-      int32_t* Mrow = Mb.data() + bI;
-      int32_t* Irow = Ib.data() + bI;
-      int32_t* Drow = Db.data() + bI;
-      int32_t* I2row = tp ? I2b.data() + bI : nullptr;
-      int32_t* D2row = tp ? D2b.data() + bI : nullptr;
-      if (is_end_nd) {
-        // virtual end: zero-cost same-offset hop from the best pred M
-        for (int64_t k = 0; k < w; ++k) {
-          Mrow[jlo + k] = pmrow[k + 1];
-          Irow[jlo + k] = INF;
-          Drow[jlo + k] = INF;
-        }
-        if (tp)
-          for (int64_t k = 0; k < w; ++k) {
-            I2row[jlo + k] = INF;
-            D2row[jlo + k] = INF;
-          }
-        continue;
-      }
-      if (!tp) {
-        for (int64_t k = 0; k < w; ++k)
-          Drow[jlo + k] = std::min(
-              std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
-      } else {
-        for (int64_t k = 0; k < w; ++k) {
-          Drow[jlo + k] = std::min(
-              std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
-          D2row[jlo + k] =
-              std::min(std::min(pdrow[k], pd2row[k]) + e2, INF);
-        }
-      }
-      // A row: diagonal + match cost vs D (and D2); query byte compares
-      // are per-offset and branch-free
-      {
-        const int64_t k0 = jlo == 0 ? 1 : 0;  // j>=1 guard
-        if (jlo == 0)
-          Arow[0] = origin ? 0
-                           : std::min(Drow[jlo],
-                                      tp ? D2row[jlo] : INF);
-        const uint8_t* sq = seq + (jlo + k0 - 1);  // sq[k-k0] = seq[jlo+k-1]
-        for (int64_t k = k0; k < w; ++k) {
-          const int32_t match = (sym == (int32_t)sq[k - k0]) ? 0 : x;
-          const int32_t diag = std::min(pmrow[k] + match, INF);
-          const int32_t dv = tp ? std::min(Drow[jlo + k], D2row[jlo + k])
-                                : Drow[jlo + k];
-          Arow[k] = std::min(diag, dv);
-        }
-      }
-      // serial affine insertion scan + M
-      int32_t prevA = INF, prevI = INF, prevI2 = INF;
-      if (!tp) {
-        for (int64_t k = 0; k < w; ++k) {
-          const int32_t Iv =
-              std::min(std::min(prevA + (o + e), prevI + e), INF);
-          Irow[jlo + k] = Iv;
-          Mrow[jlo + k] = std::min(Arow[k], Iv);
-          prevA = Arow[k];
-          prevI = Iv;
-        }
-      } else {
-        for (int64_t k = 0; k < w; ++k) {
-          const int32_t Iv = std::min(
-              std::min(std::min(prevA, prevI2) + (o + e), prevI + e), INF);
-          const int32_t I2v =
-              std::min(std::min(prevI, prevI2) + e2, INF);
-          Irow[jlo + k] = Iv;
-          I2row[jlo + k] = I2v;
-          Mrow[jlo + k] = std::min(Arow[k], std::min(Iv, I2v));
-          prevA = Arow[k];
-          prevI = Iv;
-          prevI2 = I2v;
-        }
-      }
-    }
-
-    int64_t got = gM(end_node, end_j);
-    g_anchor_stats[1] += ns_since(t_fill);
-    if (got != S) continue;  // corridor too tight (defensive): widen
-    out_score[0] = got;
-    auto t_bt = Clock::now();
-
-    auto preds_oldest = [&](int32_t nd) {
-      return std::vector<int32_t>(g.preds[nd].rbegin(), g.preds[nd].rend());
-    };
-    int32_t node = end_node;
-    int64_t j = end_j;
-    int state = M;
-    if (node == g.end_node) {  // virtual end: hop to the carrying pred
-      int32_t nn = -1;
-      for (int32_t p : preds_oldest(g.end_node))
-        if (gM(p, j) == got) {
-          nn = p;
-          break;
-        }
-      if (nn < 0) return -3;
-      node = nn;
-    }
-    std::vector<std::pair<int32_t, int32_t>> pairs;
-    while (true) {
-      int32_t cur = state == M    ? gM(node, j)
-                    : state == D  ? gD(node, j)
-                    : state == I  ? gI(node, j)
-                    : state == D2 ? gD2(node, j)
-                                  : gI2(node, j);
-      bool origin_nd =
-          (free_start && node != g.end_node) || node == g.start_node;
-      if (state == M && j == 0 && cur == 0 && origin_nd) break;
-      int32_t bt_node = -1;
-      int64_t bt_j = 0;
-      int bt_state = M;
-      if (state == M) {
-        if (j > 0) {
-          int32_t want = g.symbol_equal(node, seq[j - 1]) ? cur : cur - x;
-          for (int32_t p : preds_oldest(node))
-            if (gM(p, j - 1) == want) {
-              bt_node = p;
-              bt_j = j - 1;
-              bt_state = M;
-              break;
-            }
-        }
-        if (bt_node < 0 && gD(node, j) == cur) {
-          bt_node = node; bt_j = j; bt_state = D;
-        }
-        if (tp && bt_node < 0 && gD2(node, j) == cur) {
-          bt_node = node; bt_j = j; bt_state = D2;
-        }
-        if (bt_node < 0 && gI(node, j) == cur) {
-          bt_node = node; bt_j = j; bt_state = I;
-        }
-        if (tp && bt_node < 0 && gI2(node, j) == cur) {
-          bt_node = node; bt_j = j; bt_state = I2;
-        }
-      } else if (state == D) {
-        for (int32_t p : preds_oldest(node))
-          if (gM(p, j) == cur - o - e) {
-            bt_node = p; bt_j = j; bt_state = M;
-            break;
-          }
-        if (bt_node < 0)
-          for (int32_t p : preds_oldest(node))
-            if (gD(p, j) == cur - e) {
-              bt_node = p; bt_j = j; bt_state = D;
-              break;
-            }
-      } else if (state == D2) {
-        for (int32_t p : preds_oldest(node))
-          if (gD(p, j) == cur - e2) {
-            bt_node = p; bt_j = j; bt_state = D;
-            break;
-          }
-        if (bt_node < 0)
-          for (int32_t p : preds_oldest(node))
-            if (gD2(p, j) == cur - e2) {
-              bt_node = p; bt_j = j; bt_state = D2;
-              break;
-            }
-      } else if (state == I) {
-        if (j > 0) {
-          if (gM(node, j - 1) == cur - o - e) {
-            bt_node = node; bt_j = j - 1; bt_state = M;
-          } else if (gI(node, j - 1) == cur - e) {
-            bt_node = node; bt_j = j - 1; bt_state = I;
-          } else if (tp && gI2(node, j - 1) == cur - o - e) {
-            bt_node = node; bt_j = j - 1; bt_state = I2;
-          }
-        }
-      } else {  // I2
-        if (j > 0) {
-          if (gI(node, j - 1) == cur - e2) {
-            bt_node = node; bt_j = j - 1; bt_state = I;
-          } else if (gI2(node, j - 1) == cur - e2) {
-            bt_node = node; bt_j = j - 1; bt_state = I2;
-          }
-        }
-      }
-      if (bt_node < 0) break;
-      if (state == M && bt_state != M) {
-        node = bt_node;
-        j = bt_j;
-        state = bt_state;
-        continue;
-      }
-      if (state == M)
-        pairs.push_back({node, (int32_t)(j - 1)});
-      else if (state == I || state == I2)
-        pairs.push_back({-1, (int32_t)(j - 1)});
-      else
-        pairs.push_back({node, -1});
-      if (bt_node == g.start_node) break;
-      node = bt_node;
-      j = bt_j;
-      state = bt_state;
-    }
-    std::reverse(pairs.begin(), pairs.end());
-    if ((int64_t)pairs.size() > cap) return -2;
-    int64_t count = 0;
-    for (auto& [rp, qp] : pairs) {
-      out_rpos[count] = rp;
-      out_qpos[count] = qp;
-      ++count;
-    }
-    g_anchor_stats[2] += ns_since(t_bt);
-    return count;
-  }
-  return -4;  // corridor never verified: caller falls back
+  // same int16 gate as poasta_align_banded: the device-certified score
+  // bounds every value the certificate and backtrace depend on
+  if (expected_score <= 30000)
+    return align_anchored_impl<int16_t>(
+        ptr, seq, n, end_node, end_j, mismatch, gap_open, gap_extend,
+        gap_extend2, two_piece, free_start, expected_score, out_rpos,
+        out_qpos, cap, out_score);
+  return align_anchored_impl<int32_t>(
+      ptr, seq, n, end_node, end_j, mismatch, gap_open, gap_extend,
+      gap_extend2, two_piece, free_start, expected_score, out_rpos,
+      out_qpos, cap, out_score);
 }
 
 }  // extern "C"

@@ -109,6 +109,21 @@ def test_native_banded_exact_and_matches_dense_backtrace(seed):
         ]
 
 
+def test_native_banded_int32_gate_side():
+    """ub > 30000 routes the fill to the int32 table instantiation (the
+    int16 saturating tables serve ub <= 30000); both sides of the gate
+    must return identical scores and alignments."""
+    g, queries = _case(5)
+    na = NativeAligner(g)
+    for q in queries[:3]:
+        sc16, aln16 = na.align_banded(q, COSTS, ub=30000, max_retries=1)
+        sc32, aln32 = na.align_banded(q, COSTS, ub=30001, max_retries=1)
+        assert sc16 == sc32
+        assert [(p.rpos, p.qpos) for p in aln16] == [
+            (p.rpos, p.qpos) for p in aln32
+        ]
+
+
 def test_batch_mapper_banded_path():
     from poasta_tpu.parallel import BatchMapper
     from poasta_tpu.aligner.wavefront import alignment_cost
