@@ -817,18 +817,29 @@ int64_t align_banded_impl(void* ptr, const uint8_t* seq, int64_t n,
         Arow[k] = std::min(diag, dv);
       }
     }
-    // serial affine insertion scan + M
+    // affine insertion closure + M.
+    // One-piece: I[k] = o + e*k + min_{m<k}(A[m] - e*m) — the tilted
+    // form; kBig lifts INF/saturated lanes so erosion by e*m can never
+    // dip below the clamp, and the int64 accumulators keep e*w exact.
+    // Stored values are identical to the clamped serial chain
+    // min(A[k-1]+o+e, I[k-1]+e, INF): both compute the same closure
+    // and clamp at INF.  The loop-carried dependency shrinks from
+    // add+min on I to one running min.  Two-piece keeps the coupled
+    // chain (the I1/I2 closures interlock through both extend rates):
     // I1[j] = min(A[j-1]+o+e, I1[j-1]+e, I2[j-1]+o+e)
     // I2[j] = min(I1[j-1], I2[j-1]) + e2
     int32_t prevA = INF, prevI = INF, prevI2 = INF;
     if (!tp) {
-      for (int64_t k = 0; k < w; ++k) {
+      constexpr int64_t kBig = (int64_t)1 << 55;
+      int64_t rm = kBig;  // min over m<k of tilted A
+      int64_t ek = 0;     // e * k
+      for (int64_t k = 0; k < w; ++k, ek += e) {
         const int32_t Iv =
-            std::min(std::min(prevA + (o + e), prevI + e), INF);
+            (int32_t)std::min<int64_t>(rm + o + ek, INF);
         Irow[jlo + k] = Iv;
         Mrow[jlo + k] = std::min<int32_t>(Arow[k], Iv);
-        prevA = Arow[k];
-        prevI = Iv;
+        const int64_t a = Arow[k];
+        rm = std::min(rm, (a >= INF ? kBig : a) - ek);
       }
     } else {
       for (int64_t k = 0; k < w; ++k) {
@@ -1227,16 +1238,20 @@ int64_t align_anchored_impl(void* ptr, const uint8_t* seq, int64_t n,
           Arow[k] = std::min(diag, dv);
         }
       }
-      // serial affine insertion scan + M
+      // affine insertion closure + M (tilted one-piece form — see the
+      // twin comment in align_banded_impl; stored values identical)
       int32_t prevA = INF, prevI = INF, prevI2 = INF;
       if (!tp) {
-        for (int64_t k = 0; k < w; ++k) {
+        constexpr int64_t kBig = (int64_t)1 << 55;
+        int64_t rm = kBig;  // min over m<k of tilted A
+        int64_t ek = 0;     // e * k (int64: e*w can pass 2^31)
+        for (int64_t k = 0; k < w; ++k, ek += e) {
           const int32_t Iv =
-              std::min(std::min(prevA + (o + e), prevI + e), INF);
+              (int32_t)std::min<int64_t>(rm + o + ek, INF);
           Irow[jlo + k] = Iv;
           Mrow[jlo + k] = std::min<int32_t>(Arow[k], Iv);
-          prevA = Arow[k];
-          prevI = Iv;
+          const int64_t a = Arow[k];
+          rm = std::min(rm, (a >= INF ? kBig : a) - ek);
         }
       } else {
         for (int64_t k = 0; k < w; ++k) {
