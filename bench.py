@@ -147,6 +147,25 @@ def main():
     extras["host_baseline_reads_per_sec"] = round(host_reads_per_sec, 4)
     extras["host_baseline_sample"] = len(sample)
 
+    # --- hybrid end-to-end alignments (device scores + native seeded
+    # backtrace — the lasagna long-read serving path; exercises round
+    # 3's native fill work: row-pass, uninit tables, int16, tilted
+    # insertion closure) ------------------------------------------------
+    try:
+        from poasta_tpu.parallel import BatchMapper
+
+        hmap = BatchMapper(graph, costs)
+        hsample = reads[:32]
+        hout = hmap.align_batch(hsample)  # warm (device compile + seed)
+        t0 = time.perf_counter()
+        hout = hmap.align_batch(hsample)
+        el_h = time.perf_counter() - t0
+        for i, (s, _aln) in enumerate(hout):
+            assert s == int(scores[i]), (s, int(scores[i]))
+        extras["hybrid_align_reads_per_sec"] = round(len(hsample) / el_h, 2)
+    except Exception as exc:  # never fail the bench on the extra config
+        extras["hybrid_align_error"] = str(exc)[:120]
+
     # --- mixed-divergence config (tiered retry) -----------------------
     rng = random.Random(11)
     base = "".join(rng.choice("ACGT") for _ in range(5000))
