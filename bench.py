@@ -163,7 +163,9 @@ def main():
         for i, (s, _aln) in enumerate(hout):
             assert s == int(scores[i]), (s, int(scores[i]))
         extras["hybrid_align_reads_per_sec"] = round(len(hsample) / el_h, 2)
-    except Exception as exc:  # never fail the bench on the extra config
+    except AssertionError:
+        raise  # a device-vs-native score mismatch must fail the run
+    except Exception as exc:  # env-only leniency for the extra config
         extras["hybrid_align_error"] = str(exc)[:120]
 
     # --- mixed-divergence config (tiered retry) -----------------------

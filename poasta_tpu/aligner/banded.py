@@ -277,6 +277,12 @@ def ins_run_cap(costs, ub: int, width: int) -> int:
     return cap if cap < width else 0
 
 
+# After a ladder falls through on INF (unalignable) rows, callers skip
+# the ladder for this many calls of that shape before re-probing — one
+# outlier batch must not disable capping for the process lifetime.
+LADDER_INF_SKIP = 8
+
+
 def run_capped_ladder(costs, L: int, ub0: int, fill_capped, fill_plain):
     """Shared verify-and-retry insertion-run-cap ladder (exactness
     argument in :func:`ins_run_cap`).
@@ -1164,19 +1170,28 @@ class BandedScorer:
             key = ("ef_full_ub",) + (entry[1] if entry is not None
                                      and entry[0] is lengths else (L,))
             hint = self._ub_hint.get(key)
-            if hint == 0:
-                # INF (unalignable) rows seen at this shape: no ub can
-                # verify them, so the ladder would re-climb every call
+            if hint is not None and hint <= 0:
+                # INF (unalignable) rows seen recently at this shape: no
+                # ub can verify them, so skip the ladder — but re-probe
+                # after the countdown (one outlier batch must not
+                # disable capping for the process lifetime)
+                if hint < 0:
+                    self._ub_hint[key] = hint + 1
+                else:
+                    self._ub_hint.pop(key)
                 return fill_plain()[0]
             ub = hint or ((costs.gap_open + costs.gap_extend) * 4
                           + costs.mismatch * max(L // 16, 4))
             out, vmax = run_capped_ladder(costs, L, ub, fill_capped,
                                           fill_plain)
-            if vmax is None:
+            if vmax == 0:
+                self._ub_hint[key] = -LADDER_INF_SKIP  # INF: back off
+            elif vmax is None:
                 finite = out[0][out[0] < INF]
-                vmax = max(int(finite.max()), 1) if finite.size else None
-            if vmax is not None:
-                self._ub_hint[key] = vmax  # 0 = INF rows: don't cap
+                if finite.size:
+                    self._ub_hint[key] = max(int(finite.max()), 1)
+            else:
+                self._ub_hint[key] = vmax
             return out[0]
         if (self.mesh is not None
                 and int(qshift.shape[0]) % self.mesh.shape.get("dp", 1) == 0

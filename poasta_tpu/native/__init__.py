@@ -82,6 +82,13 @@ def _build() -> Optional[str]:
         return str(exc)
 
 
+def _check_abi(lib) -> int:
+    try:
+        return int(lib.poasta_abi_version())
+    except Exception:
+        return -1
+
+
 def _load():
     global _lib, _build_error
     with _lock:
@@ -92,14 +99,27 @@ def _load():
             _build_error = err
             return None
         lib = ctypes.CDLL(_lib_path)
-        # Refuse ABI-mismatched binaries outright: a fresh checkout gives
-        # every file the same mtime, so the freshness gates in _build()
-        # cannot tell a stale shipped .so from a current one.  Keep in
-        # sync with poasta_abi_version() in engine.cpp.
-        try:
-            got_abi = lib.poasta_abi_version()
-        except Exception:
-            got_abi = -1
+        # Refuse ABI-mismatched binaries: a fresh checkout gives every
+        # file the same mtime, so the freshness gates in _build() cannot
+        # tell a stale prebuilt from a current one.  Keep in sync with
+        # poasta_abi_version() in engine.cpp.  A mismatched LOCAL build
+        # (e.g. mtime-preserving sync shipped an old gitignored .so) is
+        # recoverable: drop it and rebuild from source once.
+        got_abi = _check_abi(lib)
+        if got_abi != _ABI_VERSION and shutil.which("g++") is not None:
+            try:
+                del lib  # release before replacing the file
+                for p in (_LIB_LOCAL, _LIB_LOCAL + ".info"):
+                    if os.path.exists(p):
+                        os.remove(p)
+            except Exception:
+                pass
+            err = _build()
+            if err is not None:
+                _build_error = err
+                return None
+            lib = ctypes.CDLL(_lib_path)
+            got_abi = _check_abi(lib)
         if got_abi != _ABI_VERSION:
             _build_error = (
                 f"native library {_lib_path} has ABI {got_abi}, "
@@ -347,6 +367,9 @@ class NativeAligner:
                 # GUARANTEES the next attempt verifies — but a too-narrow
                 # band can over-estimate wildly, making that next fill very
                 # wide.  Grow geometrically, capped by the guarantee.
+                # (An int16 attempt whose score saturated carries no such
+                # guarantee; the dispatcher reports those as the >=2^28
+                # no-bound sentinel, landing in the pure-doubling branch.)
                 banded = int(out_score[0])
                 grown = max(int(ub) * 2, int(ub) + 256)
                 ub = min(banded, grown) if banded < (1 << 28) else grown * 2

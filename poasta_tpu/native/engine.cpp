@@ -648,6 +648,166 @@ static BtStep backtrace_step(const Engine& eng, const Visited& v,
 // own calls' stats.
 thread_local int64_t g_anchor_stats[6];
 
+
+// Shared row-pass DP fill over windowed rows — the core of BOTH
+// align_banded_impl and align_anchored_impl (they differ only in row
+// indexing, pred-window lookup, and origin semantics, injected via the
+// functors).  Per row: (1) gather predecessor M/D row minima into
+// contiguous scratch rows over each pred's overlap segment (branch-free
+// min loops the compiler auto-vectorizes), (2) compute the D and
+// match-dependent A rows vectorized over offsets, (3) the affine
+// insertion closure — tilted one-piece form (I[k] = o + e*k +
+// min_{m<k}(A[m] - e*m), int64 accumulators, kBig lifts INF/saturated
+// lanes so erosion by e*m can never dip below the clamp; stored values
+// identical to the clamped serial chain min(A[k-1]+o+e, I[k-1]+e, INF))
+// or the coupled two-piece chain
+//   I1[j] = min(A[j-1]+o+e, I1[j-1]+e, I2[j-1]+o+e)
+//   I2[j] = min(I1[j-1], I2[j-1]) + e2
+// whose closures interlock through both extend rates.  All values are
+// re-clamped to INF; for int16 tables that clamp IS a saturating add
+// whose over-estimates the verify ladders absorb.  NB round 1 measured
+// a DIFFERENT restructure (full-row masked temporaries re-scanned per
+// pred) 3x slower; this overlap-segment row pass measured ~3x faster
+// on the anchored corridor (A/B: scripts/native_banded_bench.py).
+//
+// Functors:
+//   row_node(i)                         node id of row i (topo order)
+//   row_window(i, nd, &jlo, &jhi, &rb)  window + storage offset of row
+//                                       i; false skips the row
+//   pred_window(p, &plo, &phi, &pb)     same for a predecessor NODE;
+//                                       false = no stored row (outside
+//                                       a corridor)
+//   origin_at(nd)                       rows whose j=0 cell is a free
+//                                       origin (A = 0)
+template <typename T, typename RowNode, typename RowWin, typename PredWin,
+          typename OriginAt>
+void fill_rows(const Graph& g, const uint8_t* seq, int32_t o, int32_t e,
+               int32_t x, int32_t e2, bool tp, int32_t INF, int32_t nr,
+               RowNode row_node, RowWin row_window, PredWin pred_window,
+               OriginAt origin_at, RawTable<T>& Mb, RawTable<T>& Ib,
+               RawTable<T>& Db, RawTable<T>& I2b, RawTable<T>& D2b) {
+  int64_t maxw = 0;
+  for (int32_t i = 0; i < nr; ++i) {
+    int64_t jlo, jhi, rb;
+    if (row_window(i, row_node(i), jlo, jhi, rb))
+      maxw = std::max(maxw, jhi - jlo + 1);
+  }
+  // pmrow[k] = min over preds of M[lo-1+k] (one extra lane on the left
+  // so the diagonal term reads pmrow[k] = pred_M[j-1])
+  std::vector<T> pmrow(maxw + 1), pdrow(maxw), pd2row, Arow(maxw);
+  if (tp) pd2row.resize(maxw);
+  for (int32_t i = 0; i < nr; ++i) {
+    const int32_t nd = row_node(i);
+    int64_t jlo, jhi, rb;
+    if (!row_window(i, nd, jlo, jhi, rb)) continue;
+    const bool is_end = nd == g.end_node;
+    const bool origin = origin_at(nd);
+    const int32_t sym = g.symbols[nd];
+    const int64_t w = jhi - jlo + 1;
+    std::fill(pmrow.begin(), pmrow.begin() + w + 1, INF);
+    std::fill(pdrow.begin(), pdrow.begin() + w, INF);
+    if (tp) std::fill(pd2row.begin(), pd2row.begin() + w, INF);
+    for (int32_t p : g.preds[nd]) {
+      int64_t plo, phi, pb;
+      if (!pred_window(p, plo, phi, pb)) continue;
+      const int64_t b = pb - plo;
+      const T* prM = Mb.data() + b;
+      const T* prD = Db.data() + b;
+      // M overlap over [jlo-1, jhi] (feeds both same-j and diagonal)
+      const int64_t ms = std::max(jlo - 1, plo);
+      const int64_t me = std::min(jhi, phi);
+      T* pm = pmrow.data() + 1 - jlo;  // pm[j] = pmrow[j-(jlo-1)]
+      for (int64_t j = ms; j <= me; ++j)
+        pm[j] = std::min(pm[j], prM[j]);
+      const int64_t ds = std::max(jlo, plo);
+      T* pd = pdrow.data() - jlo;
+      for (int64_t j = ds; j <= me; ++j)
+        pd[j] = std::min(pd[j], prD[j]);
+      if (tp) {
+        const T* prD2 = D2b.data() + b;
+        T* pd2 = pd2row.data() - jlo;
+        for (int64_t j = ds; j <= me; ++j)
+          pd2[j] = std::min(pd2[j], prD2[j]);
+      }
+    }
+    const int64_t bI = rb - jlo;
+    T* Mrow = Mb.data() + bI;
+    T* Irow = Ib.data() + bI;
+    T* Drow = Db.data() + bI;
+    T* I2row = tp ? I2b.data() + bI : nullptr;
+    T* D2row = tp ? D2b.data() + bI : nullptr;
+    if (is_end) {
+      // virtual end: zero-cost same-offset hop from the best pred M
+      for (int64_t k = 0; k < w; ++k) {
+        Mrow[jlo + k] = pmrow[k + 1];
+        Irow[jlo + k] = INF;
+        Drow[jlo + k] = INF;
+      }
+      if (tp)
+        for (int64_t k = 0; k < w; ++k) {
+          I2row[jlo + k] = INF;
+          D2row[jlo + k] = INF;
+        }
+      continue;
+    }
+    if (!tp) {
+      for (int64_t k = 0; k < w; ++k)
+        Drow[jlo + k] = std::min(
+            std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
+    } else {
+      for (int64_t k = 0; k < w; ++k) {
+        Drow[jlo + k] = std::min(
+            std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
+        D2row[jlo + k] =
+            std::min(std::min(pdrow[k], pd2row[k]) + e2, INF);
+      }
+    }
+    // A row: diagonal + match cost vs D (and D2); query byte compares
+    // are per-offset and branch-free
+    {
+      const int64_t k0 = jlo == 0 ? 1 : 0;  // j>=1 guard
+      if (jlo == 0)
+        Arow[0] = origin
+            ? 0
+            : std::min<int32_t>(Drow[jlo], tp ? (int32_t)D2row[jlo] : INF);
+      const uint8_t* sq = seq + (jlo + k0 - 1);  // sq[k-k0] = seq[jlo+k-1]
+      for (int64_t k = k0; k < w; ++k) {
+        const int32_t match = (sym == (int32_t)sq[k - k0]) ? 0 : x;
+        const int32_t diag = std::min(pmrow[k] + match, INF);
+        const int32_t dv = tp ? std::min(Drow[jlo + k], D2row[jlo + k])
+                              : Drow[jlo + k];
+        Arow[k] = std::min(diag, dv);
+      }
+    }
+    // affine insertion closure + M (see the function comment)
+    int32_t prevA = INF, prevI = INF, prevI2 = INF;
+    if (!tp) {
+      constexpr int64_t kBig = (int64_t)1 << 55;
+      int64_t rm = kBig;  // min over m<k of tilted A
+      int64_t ek = 0;     // e * k (int64: e*w can pass 2^31)
+      for (int64_t k = 0; k < w; ++k, ek += e) {
+        const int32_t Iv = (int32_t)std::min<int64_t>(rm + o + ek, INF);
+        Irow[jlo + k] = Iv;
+        Mrow[jlo + k] = std::min<int32_t>(Arow[k], Iv);
+        const int64_t a = Arow[k];
+        rm = std::min(rm, (a >= INF ? kBig : a) - ek);
+      }
+    } else {
+      for (int64_t k = 0; k < w; ++k) {
+        const int32_t Iv = std::min(
+            std::min(std::min(prevA, prevI2) + (o + e), prevI + e), INF);
+        const int32_t I2v = std::min(std::min(prevI, prevI2) + e2, INF);
+        Irow[jlo + k] = Iv;
+        I2row[jlo + k] = I2v;
+        Mrow[jlo + k] = std::min<int32_t>(Arow[k], std::min(Iv, I2v));
+        prevA = Arow[k];
+        prevI = Iv;
+        prevI2 = I2v;
+      }
+    }
+  }
+}
+
 template <typename T>
 int64_t align_banded_impl(void* ptr, const uint8_t* seq, int64_t n,
                             int32_t mismatch, int32_t gap_open,
@@ -718,144 +878,23 @@ int64_t align_banded_impl(void* ptr, const uint8_t* seq, int64_t n,
   };
 
   // fill in topological order (row semantics of ops/dp_rows*.py).
-  // Row-pass structure, same as poasta_align_anchored's fill: (1) gather
-  // predecessor M/D row minima into contiguous scratch rows over each
-  // pred's overlap segment (branch-free min loops the compiler
-  // auto-vectorizes), (2) compute the D and match-dependent A rows
-  // vectorized over offsets, (3) a short serial scan for the affine
-  // insertion chain.  Values are bit-identical to the per-cell
-  // formulation (INF = 2^28, adds of <=2^10 never overflow int32; every
-  // stored value is re-clamped to INF), so the backtrace is unchanged.
-  // NB round 1 measured a DIFFERENT restructure (full-row masked
-  // temporaries re-scanned per pred) 3x slower; the overlap-segment
-  // row pass measured ~3x FASTER on the anchored corridor and the A/B
-  // for this fill is in scripts/native_banded_bench.py.
-  int64_t maxw = 0;
-  for (int32_t nd = 0; nd < g.n; ++nd)
-    maxw = std::max(maxw, hi[nd] - lo[nd] + 1);
-  // pmrow[k] = min over preds of M[lo-1+k] (one extra lane on the left
-  // so the diagonal term reads pmrow[k] = pred_M[j-1])
-  std::vector<T> pmrow(maxw + 1), pdrow(maxw), pd2row, Arow(maxw);
-  if (tp) pd2row.resize(maxw);
-  for (int32_t r = 0; r < g.n; ++r) {
-    const int32_t nd = eng.topo[r];
-    const bool is_start = nd == g.start_node;
-    const bool is_end = nd == g.end_node;
-    const int32_t sym = g.symbols[nd];
-    const int64_t jlo = lo[nd], jhi = hi[nd];
-    const int64_t w = jhi - jlo + 1;
-    std::fill(pmrow.begin(), pmrow.begin() + w + 1, INF);
-    std::fill(pdrow.begin(), pdrow.begin() + w, INF);
-    if (tp) std::fill(pd2row.begin(), pd2row.begin() + w, INF);
-    for (int32_t p : g.preds[nd]) {
-      const int64_t b = base[p] - lo[p];
-      const T* prM = Mb.data() + b;
-      const T* prD = Db.data() + b;
-      // M overlap over [jlo-1, jhi] (feeds both same-j and diagonal)
-      const int64_t ms = std::max(jlo - 1, lo[p]);
-      const int64_t me = std::min(jhi, hi[p]);
-      T* pm = pmrow.data() + 1 - jlo;  // pm[j] = pmrow[j-(jlo-1)]
-      for (int64_t j = ms; j <= me; ++j)
-        pm[j] = std::min(pm[j], prM[j]);
-      const int64_t ds = std::max(jlo, lo[p]);
-      T* pd = pdrow.data() - jlo;
-      for (int64_t j = ds; j <= me; ++j)
-        pd[j] = std::min(pd[j], prD[j]);
-      if (tp) {
-        const T* prD2 = D2b.data() + b;
-        T* pd2 = pd2row.data() - jlo;
-        for (int64_t j = ds; j <= me; ++j)
-          pd2[j] = std::min(pd2[j], prD2[j]);
-      }
-    }
-    const int64_t bI = base[nd] - jlo;
-    T* Mrow = Mb.data() + bI;
-    T* Irow = Ib.data() + bI;
-    T* Drow = Db.data() + bI;
-    T* I2row = tp ? I2b.data() + bI : nullptr;
-    T* D2row = tp ? D2b.data() + bI : nullptr;
-    if (is_end) {
-      // virtual end: zero-cost same-offset hop from the best pred M
-      for (int64_t k = 0; k < w; ++k) {
-        Mrow[jlo + k] = pmrow[k + 1];
-        Irow[jlo + k] = INF;
-        Drow[jlo + k] = INF;
-      }
-      if (tp)
-        for (int64_t k = 0; k < w; ++k) {
-          I2row[jlo + k] = INF;
-          D2row[jlo + k] = INF;
-        }
-      continue;
-    }
-    if (!tp) {
-      for (int64_t k = 0; k < w; ++k)
-        Drow[jlo + k] = std::min(
-            std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
-    } else {
-      for (int64_t k = 0; k < w; ++k) {
-        Drow[jlo + k] = std::min(
-            std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
-        D2row[jlo + k] =
-            std::min(std::min(pdrow[k], pd2row[k]) + e2, INF);
-      }
-    }
-    // A row: diagonal + match cost vs D (and D2); query byte compares
-    // are per-offset and branch-free
-    {
-      const int64_t k0 = jlo == 0 ? 1 : 0;  // j>=1 guard
-      if (jlo == 0)
-        Arow[0] = is_start
-            ? 0
-            : std::min<int32_t>(Drow[jlo], tp ? (int32_t)D2row[jlo] : INF);
-      const uint8_t* sq = seq + (jlo + k0 - 1);  // sq[k-k0] = seq[jlo+k-1]
-      for (int64_t k = k0; k < w; ++k) {
-        const int32_t match = (sym == (int32_t)sq[k - k0]) ? 0 : x;
-        const int32_t diag = std::min(pmrow[k] + match, INF);
-        const int32_t dv = tp ? std::min(Drow[jlo + k], D2row[jlo + k])
-                              : Drow[jlo + k];
-        Arow[k] = std::min(diag, dv);
-      }
-    }
-    // affine insertion closure + M.
-    // One-piece: I[k] = o + e*k + min_{m<k}(A[m] - e*m) — the tilted
-    // form; kBig lifts INF/saturated lanes so erosion by e*m can never
-    // dip below the clamp, and the int64 accumulators keep e*w exact.
-    // Stored values are identical to the clamped serial chain
-    // min(A[k-1]+o+e, I[k-1]+e, INF): both compute the same closure
-    // and clamp at INF.  The loop-carried dependency shrinks from
-    // add+min on I to one running min.  Two-piece keeps the coupled
-    // chain (the I1/I2 closures interlock through both extend rates):
-    // I1[j] = min(A[j-1]+o+e, I1[j-1]+e, I2[j-1]+o+e)
-    // I2[j] = min(I1[j-1], I2[j-1]) + e2
-    int32_t prevA = INF, prevI = INF, prevI2 = INF;
-    if (!tp) {
-      constexpr int64_t kBig = (int64_t)1 << 55;
-      int64_t rm = kBig;  // min over m<k of tilted A
-      int64_t ek = 0;     // e * k
-      for (int64_t k = 0; k < w; ++k, ek += e) {
-        const int32_t Iv =
-            (int32_t)std::min<int64_t>(rm + o + ek, INF);
-        Irow[jlo + k] = Iv;
-        Mrow[jlo + k] = std::min<int32_t>(Arow[k], Iv);
-        const int64_t a = Arow[k];
-        rm = std::min(rm, (a >= INF ? kBig : a) - ek);
-      }
-    } else {
-      for (int64_t k = 0; k < w; ++k) {
-        const int32_t Iv = std::min(
-            std::min(std::min(prevA, prevI2) + (o + e), prevI + e), INF);
-        const int32_t I2v =
-            std::min(std::min(prevI, prevI2) + e2, INF);
-        Irow[jlo + k] = Iv;
-        I2row[jlo + k] = I2v;
-        Mrow[jlo + k] = std::min<int32_t>(Arow[k], std::min(Iv, I2v));
-        prevA = Arow[k];
-        prevI = Iv;
-        prevI2 = I2v;
-      }
-    }
-  }
+  fill_rows<T>(
+      g, seq, o, e, x, e2, tp, INF, g.n,
+      [&](int32_t i) { return eng.topo[i]; },
+      [&](int32_t, int32_t nd, int64_t& jlo, int64_t& jhi, int64_t& rb) {
+        jlo = lo[nd];
+        jhi = hi[nd];
+        rb = base[nd];
+        return true;
+      },
+      [&](int32_t p, int64_t& plo, int64_t& phi, int64_t& pb) {
+        plo = lo[p];
+        phi = hi[p];
+        pb = base[p];
+        return true;
+      },
+      [&](int32_t nd) { return nd == g.start_node; }, Mb, Ib, Db, I2b,
+      D2b);
 
   int64_t score = getM(g.end_node, n);
   out_score[0] = score;
@@ -1139,135 +1178,28 @@ int64_t align_anchored_impl(void* ptr, const uint8_t* seq, int64_t n,
                  : INF;
     };
 
-    // Row-pass fill: per node, (1) gather predecessor M/D row minima
-    // into contiguous scratch rows over the window (plain overlap-range
-    // min loops the compiler auto-vectorizes), (2) compute D and the
-    // match-dependent A row vectorized over offsets, (3) a short serial
-    // scan for the affine insertion chain.  Values are bit-identical to
-    // the per-cell formulation (INF = 2^28, adds of <=2^10 never
-    // overflow int32; every stored value is re-clamped to INF).
-    // ~3x over the per-cell loop at pangenome serving shapes; the
-    // lambda accessors stay for the backtrace, whose work is O(path).
-    int64_t maxw = 0;
-    for (int32_t i = 0; i < nr; ++i)
-      maxw = std::max(maxw, hi[i] - lo[i] + 1);
-    // pmrow[k] = min over preds of M[lo-1+k] (k = 0..w; one extra lane
-    // on the left so the diagonal term reads pmrow[k] = pm[j-1])
-    std::vector<T> pmrow(maxw + 1), pdrow(maxw), pd2row, Arow(maxw);
-    if (tp) pd2row.resize(maxw);
-    for (int32_t i = 0; i < nr; ++i) {
-      int32_t nd = nodes[i];
-      if (hi[i] < lo[i]) continue;
-      const bool is_end_nd = nd == g.end_node;
-      const bool origin = (free_start && !is_end_nd) || nd == g.start_node;
-      const int32_t sym = g.symbols[nd];
-      const int64_t jlo = lo[i], jhi = hi[i];
-      const int64_t w = jhi - jlo + 1;
-      std::fill(pmrow.begin(), pmrow.begin() + w + 1, INF);
-      std::fill(pdrow.begin(), pdrow.begin() + w, INF);
-      if (tp) std::fill(pd2row.begin(), pd2row.begin() + w, INF);
-      for (int32_t p : g.preds[nd]) {
-        int32_t pi = lidx[p];
-        if (pi < 0 || hi[pi] < lo[pi]) continue;
-        const int64_t b = base[pi] - lo[pi];
-        const T* prM = Mb.data() + b;
-        const T* prD = Db.data() + b;
-        // M overlap over [jlo-1, jhi] (feeds both same-j and diagonal)
-        const int64_t ms = std::max(jlo - 1, lo[pi]);
-        const int64_t me = std::min(jhi, hi[pi]);
-        T* pm = pmrow.data() + 1 - jlo;  // pm[j] = pmrow[j-(jlo-1)]
-        for (int64_t j = ms; j <= me; ++j)
-          pm[j] = std::min(pm[j], prM[j]);
-        const int64_t ds = std::max(jlo, lo[pi]);
-        T* pd = pdrow.data() - jlo;
-        for (int64_t j = ds; j <= me; ++j)
-          pd[j] = std::min(pd[j], prD[j]);
-        if (tp) {
-          const T* prD2 = D2b.data() + b;
-          T* pd2 = pd2row.data() - jlo;
-          for (int64_t j = ds; j <= me; ++j)
-            pd2[j] = std::min(pd2[j], prD2[j]);
-        }
-      }
-      const int64_t bI = base[i] - jlo;
-      T* Mrow = Mb.data() + bI;
-      T* Irow = Ib.data() + bI;
-      T* Drow = Db.data() + bI;
-      T* I2row = tp ? I2b.data() + bI : nullptr;
-      T* D2row = tp ? D2b.data() + bI : nullptr;
-      if (is_end_nd) {
-        // virtual end: zero-cost same-offset hop from the best pred M
-        for (int64_t k = 0; k < w; ++k) {
-          Mrow[jlo + k] = pmrow[k + 1];
-          Irow[jlo + k] = INF;
-          Drow[jlo + k] = INF;
-        }
-        if (tp)
-          for (int64_t k = 0; k < w; ++k) {
-            I2row[jlo + k] = INF;
-            D2row[jlo + k] = INF;
-          }
-        continue;
-      }
-      if (!tp) {
-        for (int64_t k = 0; k < w; ++k)
-          Drow[jlo + k] = std::min(
-              std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
-      } else {
-        for (int64_t k = 0; k < w; ++k) {
-          Drow[jlo + k] = std::min(
-              std::min(pmrow[k + 1] + (o + e), pdrow[k] + e), INF);
-          D2row[jlo + k] =
-              std::min(std::min(pdrow[k], pd2row[k]) + e2, INF);
-        }
-      }
-      // A row: diagonal + match cost vs D (and D2); query byte compares
-      // are per-offset and branch-free
-      {
-        const int64_t k0 = jlo == 0 ? 1 : 0;  // j>=1 guard
-        if (jlo == 0)
-          Arow[0] = origin ? 0
-                           : std::min<int32_t>(
-                                 Drow[jlo], tp ? (int32_t)D2row[jlo] : INF);
-        const uint8_t* sq = seq + (jlo + k0 - 1);  // sq[k-k0] = seq[jlo+k-1]
-        for (int64_t k = k0; k < w; ++k) {
-          const int32_t match = (sym == (int32_t)sq[k - k0]) ? 0 : x;
-          const int32_t diag = std::min(pmrow[k] + match, INF);
-          const int32_t dv = tp ? std::min(Drow[jlo + k], D2row[jlo + k])
-                                : Drow[jlo + k];
-          Arow[k] = std::min(diag, dv);
-        }
-      }
-      // affine insertion closure + M (tilted one-piece form — see the
-      // twin comment in align_banded_impl; stored values identical)
-      int32_t prevA = INF, prevI = INF, prevI2 = INF;
-      if (!tp) {
-        constexpr int64_t kBig = (int64_t)1 << 55;
-        int64_t rm = kBig;  // min over m<k of tilted A
-        int64_t ek = 0;     // e * k (int64: e*w can pass 2^31)
-        for (int64_t k = 0; k < w; ++k, ek += e) {
-          const int32_t Iv =
-              (int32_t)std::min<int64_t>(rm + o + ek, INF);
-          Irow[jlo + k] = Iv;
-          Mrow[jlo + k] = std::min<int32_t>(Arow[k], Iv);
-          const int64_t a = Arow[k];
-          rm = std::min(rm, (a >= INF ? kBig : a) - ek);
-        }
-      } else {
-        for (int64_t k = 0; k < w; ++k) {
-          const int32_t Iv = std::min(
-              std::min(std::min(prevA, prevI2) + (o + e), prevI + e), INF);
-          const int32_t I2v =
-              std::min(std::min(prevI, prevI2) + e2, INF);
-          Irow[jlo + k] = Iv;
-          I2row[jlo + k] = I2v;
-          Mrow[jlo + k] = std::min<int32_t>(Arow[k], std::min(Iv, I2v));
-          prevA = Arow[k];
-          prevI = Iv;
-          prevI2 = I2v;
-        }
-      }
-    }
+    fill_rows<T>(
+        g, seq, o, e, x, e2, tp, INF, nr,
+        [&](int32_t i) { return nodes[i]; },
+        [&](int32_t i, int32_t, int64_t& jlo, int64_t& jhi, int64_t& rb) {
+          if (hi[i] < lo[i]) return false;
+          jlo = lo[i];
+          jhi = hi[i];
+          rb = base[i];
+          return true;
+        },
+        [&](int32_t p, int64_t& plo, int64_t& phi, int64_t& pb) {
+          int32_t pi = lidx[p];
+          if (pi < 0 || hi[pi] < lo[pi]) return false;
+          plo = lo[pi];
+          phi = hi[pi];
+          pb = base[pi];
+          return true;
+        },
+        [&](int32_t nd) {
+          return (free_start && nd != g.end_node) || nd == g.start_node;
+        },
+        Mb, Ib, Db, I2b, D2b);
 
     int64_t got = gM(end_node, end_j);
     g_anchor_stats[1] += ns_since(t_fill);
@@ -1736,11 +1668,19 @@ int64_t poasta_align_banded(void* ptr, const uint8_t* seq, int64_t n,
   // every cell the result or backtrace depends on holds a value
   // <= ub < 32767 and is stored exactly; saturated cells only
   // over-estimate, exactly like out-of-band cells.
-  if (ub <= 30000)
-    return align_banded_impl<int16_t>(ptr, seq, n, mismatch, gap_open,
-                                      gap_extend, gap_extend2, two_piece,
-                                      ub, out_rpos, out_qpos, cap,
-                                      out_score);
+  if (ub <= 30000) {
+    int64_t rc = align_banded_impl<int16_t>(ptr, seq, n, mismatch, gap_open,
+                                            gap_extend, gap_extend2,
+                                            two_piece, ub, out_rpos,
+                                            out_qpos, cap, out_score);
+    // A failed (-4) int16 attempt whose score hit the clamp is NOT a
+    // true upper bound on the banded score (the int32 invariant the
+    // retry ladder leans on); report the no-usable-bound sentinel so
+    // the caller's ladder keeps doubling instead of pinning ub at the
+    // saturated value below the truth.
+    if (rc == -4 && out_score[0] >= 32767) out_score[0] = (int64_t)1 << 28;
+    return rc;
+  }
   return align_banded_impl<int32_t>(ptr, seq, n, mismatch, gap_open,
                                     gap_extend, gap_extend2, two_piece, ub,
                                     out_rpos, out_qpos, cap, out_score);

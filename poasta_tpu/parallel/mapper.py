@@ -475,7 +475,7 @@ class BatchMapper:
         ins_run_cap's two-piece bound follows the coupled recurrence's
         run cost (o1 + extensions at >= min(e1, e2)).
         """
-        from ..aligner.banded import run_capped_ladder
+        from ..aligner.banded import LADDER_INF_SKIP, run_capped_ladder
         from ..aligner.wavefront import INF as _INF
         from ..aligner.wavefront import dp_fill_ends_free_with_ends
 
@@ -501,19 +501,28 @@ class BatchMapper:
 
         key = (n_min, n_max)
         hint = self._ef_ub_hint.get(key)
-        if hint == 0:
-            # a previous batch of this shape held INF (unalignable) rows,
-            # which no ub can verify — don't re-climb the ladder
+        if hint is not None and hint <= 0:
+            # a recent batch of this shape held INF (unalignable) rows,
+            # which no ub can verify — skip the ladder, but re-probe
+            # after the countdown so one outlier batch doesn't disable
+            # capping for the process lifetime
+            if hint < 0:
+                self._ef_ub_hint[key] = hint + 1
+            else:
+                self._ef_ub_hint.pop(key)
             return fill_plain()
         guess = ((costs.gap_open + costs.gap_extend) * 4
                  + costs.mismatch * max(n_max // 16, 4))
         out, vmax = run_capped_ladder(costs, L, hint or guess,
                                       fill_capped, fill_plain)
-        if vmax is None:
+        if vmax == 0:
+            self._ef_ub_hint[key] = -LADDER_INF_SKIP  # INF rows: back off
+        elif vmax is None:
             finite = out[0][out[0] < _INF]
-            vmax = max(int(finite.max()), 1) if finite.size else None
-        if vmax is not None:
-            self._ef_ub_hint[key] = vmax  # 0 = INF rows seen: don't cap
+            if finite.size:
+                self._ef_ub_hint[key] = max(int(finite.max()), 1)
+        else:
+            self._ef_ub_hint[key] = vmax
         return out
 
     def _align_batch_ends_free(self, queries, qshift, lengths, two_piece):

@@ -140,6 +140,15 @@ def test_ladder_disables_on_unalignable_rows(monkeypatch):
     sc2, _, _ = bm._fill_ends_free_capped(qshift, lengths, False)
     assert sc2.tolist() == [40, INF]
     assert calls == [("auto", 0)], "ladder re-climbed on a known-INF shape"
+    # ...but the back-off is a countdown, not a life sentence: after it
+    # drains, the ladder re-probes (a capped pallas attempt reappears)
+    for _ in range(16):
+        calls.clear()
+        bm._fill_ends_free_capped(qshift, lengths, False)
+        if any(e == "pallas" for e, _ in calls):
+            break
+    else:
+        raise AssertionError("ladder never re-probed a known-INF shape")
 
 
 def test_caps_grow_with_ub():
