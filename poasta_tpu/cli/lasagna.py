@@ -194,6 +194,12 @@ def _flush_sorted(mapper, chunk, batch_size, emit_record, verbose=0):
             msg += (f" (device fills: {s['fills']}, cells: {s['cells_filled']}"
                     f", tiers: {s['tiers']})")
             scorer.reset_stats()
+        ef = getattr(mapper, "last_ends_free_stats", None)
+        if ef:
+            msg += (f" [anchored path: device {ef['device_s']:.2f}s,"
+                    f" host {ef['host_s']:.2f}s,"
+                    f" ok {ef['anchored_ok']},"
+                    f" exact-fallback {ef['exact_fallback']}]")
         print(msg, file=sys.stderr)
 
 
