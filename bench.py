@@ -296,4 +296,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as exc:  # still emit the one JSON line, then
+        # fail loudly — a drivers' artifact should never be a bare
+        # traceback, and a correctness assert must not exit 0
+        print(json.dumps({
+            "metric": "poa_affine_fill_cells_per_sec_per_chip",
+            "value": 0,
+            "unit": "cells/s",
+            "vs_baseline": 0,
+            "error": f"{type(exc).__name__}: {str(exc)[:200]}",
+        }))
+        raise

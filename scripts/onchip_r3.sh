@@ -23,9 +23,16 @@ stage() {
   return $rc
 }
 
-stage run_tpu_tests 3600 python run_tpu_tests.py || exit 1
+GATE_RC=0
+stage run_tpu_tests 3600 python run_tpu_tests.py || GATE_RC=$?
+if [ "$GATE_RC" != 0 ]; then
+  echo "!!! correctness gates FAILED (rc=$GATE_RC) — continuing so the"
+  echo "!!! remaining stages leave diagnosis logs; bench's own asserts"
+  echo "!!! still protect its numbers.  Tilt revert candidate: a3fd38f."
+fi
 stage runcap_ab     2400 python scripts/runcap_ab.py
 stage chainskip_ab  2400 python scripts/chainskip_ab.py
 stage bench         2400 python bench.py
 stage profile_anchored 1800 python scripts/profile_anchored.py
-echo "=== all stages done; logs in $LOG ==="
+echo "=== all stages done (gates rc=$GATE_RC); logs in $LOG ==="
+exit $GATE_RC
