@@ -188,6 +188,29 @@ def test_bounded_ends_free_with_ends(costs):
     assert (np.asarray(ej) == np.asarray(ej_r)).all()
 
 
+@pytest.mark.parametrize("seed", [41, 43, 47])
+def test_banded_tilted_randomized_costs(seed):
+    """The tilt math (rows store X - e*j, I' = prefmin(A') + o, match
+    costs -e / x-e, +e*length untilt) is cost-parameterized — run the
+    production banded route under random (x, e, o), not just the
+    defaults, against the exact engine."""
+    rng = random.Random(seed)
+    x = rng.randrange(1, 9)
+    e = rng.randrange(1, 5)
+    o = rng.randrange(0, 12)
+    costs = GapAffine(x, e, o)
+    g, base = _fused(rng, 260, n_seqs=3, div=0.04, costs=costs)
+    flat = g.flatten()
+    reads = [_mutate(rng, base, 0.05).encode() for _ in range(64)]
+    na = NativeAligner(g)
+    ref = np.array([na.align(q, costs)[0] for q in reads])
+    qshift, lengths = pack_queries(reads)
+    with accel_sim():
+        scorer = BandedScorer(flat, costs)
+        got = np.asarray(scorer.scores(qshift, lengths))
+    assert (got == ref).all(), (x, e, o)
+
+
 def test_bounded_ends_free_run_cap_truncates_exactly():
     """max_run small enough to truncate rounds must still verify ≤ub
     semantics: scores at or below the implied ub are exact."""
