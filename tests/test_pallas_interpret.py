@@ -211,6 +211,34 @@ def test_banded_tilted_randomized_costs(seed):
     assert (got == ref).all(), (x, e, o)
 
 
+@pytest.mark.parametrize("seed", [53, 59])
+def test_bounded_with_ends_randomized_costs(seed):
+    """Anchor extraction (scores + end ranks/offsets) under random
+    costs — the run-capped prefix scans and the largest-offset
+    tie-break are cost-parameterized too."""
+    rng = random.Random(seed)
+    costs = GapAffine(rng.randrange(1, 9), rng.randrange(1, 5),
+                      rng.randrange(0, 12))
+    g, base = _fused(rng, 220, costs=costs)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    reads = []
+    for _ in range(64):
+        a = rng.randrange(0, 70)
+        b = rng.randrange(a + 40, 220)
+        reads.append(_mutate(rng, base[a:b], 0.04).encode())
+    qshift, lengths = pack_queries(reads)
+    cfg = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+    sc_r, er_r, ej_r = dp_fill_ends_free_with_ends(
+        dg, flat, qshift, lengths, costs, cfg, engine="xla")
+    with accel_sim():
+        sc, er, ej = dp_fill_ends_free_with_ends(
+            dg, flat, qshift, lengths, costs, cfg, engine="pallas")
+    assert (np.asarray(sc) == np.asarray(sc_r)).all()
+    assert (np.asarray(er) == np.asarray(er_r)).all()
+    assert (np.asarray(ej) == np.asarray(ej_r)).all()
+
+
 def test_bounded_ends_free_run_cap_truncates_exactly():
     """max_run small enough to truncate rounds must still verify ≤ub
     semantics: scores at or below the implied ub are exact."""
