@@ -33,6 +33,7 @@ fi
 stage runcap_ab     2400 python scripts/runcap_ab.py
 stage chainskip_ab  2400 python scripts/chainskip_ab.py
 stage bench         2400 python bench.py
+stage bigbanded_40k 1800 python scripts/bigbanded_40k.py
 stage profile_anchored 1800 python scripts/profile_anchored.py
 echo "=== all stages done (gates rc=$GATE_RC); logs in $LOG ==="
 exit $GATE_RC
