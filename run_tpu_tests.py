@@ -129,6 +129,23 @@ def main():
     assert (np.asarray(bs.scores(qshift, lengths)) == full).all()
     print("OK")
 
+    # the tilt/untilt and run-cap math is cost-parameterized — validate
+    # the Mosaic-compiled banded route under random (x, e, o), not just
+    # the defaults (twin of tests/test_pallas_interpret.py's
+    # test_banded_tilted_randomized_costs)
+    import random as _rnd
+
+    for seed in (41, 43):
+        rr = _rnd.Random(seed)
+        rcosts = GapAffine(rr.randrange(1, 9), rr.randrange(1, 5),
+                           rr.randrange(0, 12))
+        print(f"  pallas banded, randomized costs {rcosts} ...", end=" ",
+              flush=True)
+        r_oracle = np.asarray(dp_fill_scores(dg, qshift, lengths, rcosts))
+        r_bs = BandedScorer(flat, rcosts, dg=dg)
+        assert (np.asarray(r_bs.scores(qshift, lengths)) == r_oracle).all()
+        print("OK")
+
     print("drifting-window banded fill (pallas, mixed-length SV batch):")
     base2 = "".join(rng.choice("ACGT") for _ in range(2200))
     variant2 = base2[:300] + base2[1900:]  # 1.6 kb deletion allele
