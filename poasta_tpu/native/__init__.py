@@ -40,6 +40,14 @@ def _build() -> Optional[str]:
         marker = _LIB_LOCAL + ".info"
         host = {"machine": platform.machine(), "node": platform.node()}
         src_mtime = os.path.getmtime(_SRC)
+        if os.environ.get("POASTA_NATIVE_PORTABLE"):
+            # test hook: load the shipped generic-ISA build even when a
+            # toolchain could produce a faster -march=native one, so the
+            # binary that toolchain-less hosts actually run is exercised
+            if os.path.exists(_LIB):
+                _lib_path = _LIB
+                return None
+            return "POASTA_NATIVE_PORTABLE set but no prebuilt library"
         if os.path.exists(_LIB_LOCAL) \
                 and os.path.getmtime(_LIB_LOCAL) >= src_mtime:
             # A -march=native binary from another host can SIGILL; reuse
