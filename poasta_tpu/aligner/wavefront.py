@@ -165,7 +165,13 @@ class DeviceGraph:
     write_slots: jnp.ndarray = None  # (Np,) int32 ring slot each rank writes
 
     @staticmethod
-    def build(flat: FlatGraph, node_bucket: int = 64) -> "DeviceGraph":
+    def build(flat: FlatGraph, node_bucket: int = 64,
+              place_on_device: bool = True) -> "DeviceGraph":
+        """``place_on_device=False`` keeps every array host-side (numpy):
+        jnp ops coerce them per call, so it trades per-call uploads for
+        never touching the backend — for entry points that must not
+        block on device init (a tethered accelerator's first device op
+        hangs indefinitely when the link is down)."""
         n = flat.n_nodes
         P = _next_pow2(max(1, flat.max_in_degree))
         np_nodes = _round_up(n, node_bucket)
@@ -199,31 +205,35 @@ class DeviceGraph:
         pred_valid[readers, cols] = True
         pred_ranks[readers, cols] = preds
 
+        put = jnp.asarray if place_on_device else np.asarray
         return DeviceGraph(
-            symbols=jnp.asarray(symbols),
-            pred_slots=jnp.asarray(pred_slots),
-            pred_valid=jnp.asarray(pred_valid),
-            end_rank=jnp.asarray(n - 1, dtype=jnp.int32),
+            symbols=put(symbols),
+            pred_slots=put(pred_slots),
+            pred_valid=put(pred_valid),
+            end_rank=put(np.int32(n - 1)),
             window=window,
             n_nodes_padded=np_nodes,
             n_nodes=n,
             pred_ranks_np=pred_ranks,
             pred_valid_np=pred_valid,
             end_rank_i=n - 1,
-            pred_slots_flat=jnp.asarray(pred_slots.reshape(-1)),
-            pred_valid_flat=jnp.asarray(pred_valid.reshape(-1).astype(np.int32)),
+            pred_slots_flat=put(pred_slots.reshape(-1)),
+            pred_valid_flat=put(pred_valid.reshape(-1).astype(np.int32)),
             # loop bound is the true rank count: bucket padding never runs
-            meta=jnp.asarray([n, n - 1, 0, 0], dtype=np.int32),
-            write_slots=jnp.asarray(write_slots),
+            meta=put(np.asarray([n, n - 1, 0, 0], dtype=np.int32)),
+            write_slots=put(write_slots),
         )
 
 
-def pack_queries(queries, pad_to: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def pack_queries(queries, pad_to: Optional[int] = None,
+                 place_on_device: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack byte-string reads into a padded (B, L) batch + (B,) lengths.
 
     Column ``j`` holds ``q[j-1]`` (offset j consumes query char j-1);
     column 0 and the padding are 0, which matches no nucleotide symbol.
     ``L`` is rounded up to a multiple of 128 so offsets fill whole lanes.
+    ``place_on_device=False`` returns numpy (see DeviceGraph.build).
     """
     maxlen = max((len(q) for q in queries), default=0)
     L = _round_up(max(pad_to or 0, maxlen) + 1, 128)
@@ -234,6 +244,8 @@ def pack_queries(queries, pad_to: Optional[int] = None) -> Tuple[jnp.ndarray, jn
         qa = np.frombuffer(bytes(q), dtype=np.uint8).astype(np.int32)
         arr[b, 1 : len(q) + 1] = qa
         lengths[b] = len(q)
+    if not place_on_device:
+        return arr, lengths
     return jnp.asarray(arr), jnp.asarray(lengths)
 
 
