@@ -188,6 +188,23 @@ def test_bounded_ends_free_with_ends(costs):
     assert (np.asarray(ej) == np.asarray(ej_r)).all()
 
 
+@pytest.mark.parametrize("nreads", [1, 3, 65])
+def test_banded_odd_batch_sizes(nreads):
+    """lasagna's last chunk can be any size — the accelerator route must
+    pad non-multiple-of-B_BLK batches itself (pallas_banded_scores
+    asserts B % B_BLK == 0)."""
+    rng = random.Random(5)
+    g, base = _fused(rng, 300, n_seqs=2)
+    flat = g.flatten()
+    na = NativeAligner(g)
+    reads = [_mutate(rng, base, 0.05).encode() for _ in range(nreads)]
+    ref = np.array([na.align(q, COSTS)[0] for q in reads])
+    qshift, lengths = pack_queries(reads)
+    with accel_sim():
+        got = np.asarray(BandedScorer(flat, COSTS).scores(qshift, lengths))
+    assert (got == ref).all()
+
+
 @pytest.mark.parametrize("seed", [41, 43, 47])
 def test_banded_tilted_randomized_costs(seed):
     """The tilt math (rows store X - e*j, I' = prefmin(A') + o, match
