@@ -205,6 +205,27 @@ def test_banded_odd_batch_sizes(nreads):
     assert (got == ref).all()
 
 
+@pytest.mark.parametrize("nreads", [1, 3, 65])
+def test_with_ends_odd_batch_sizes(nreads):
+    """Same edge for the bounded with-ends dispatcher (its padding is
+    separate from BandedScorer's)."""
+    rng = random.Random(7)
+    g, base = _fused(rng, 250, n_seqs=2)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    cfg = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+    reads = [_mutate(rng, base[rng.randrange(0, 60):], 0.04).encode()
+             for _ in range(nreads)]
+    qshift, lengths = pack_queries(reads)
+    ref = dp_fill_ends_free_with_ends(dg, flat, qshift, lengths, COSTS,
+                                      cfg, engine="xla")
+    with accel_sim():
+        got = dp_fill_ends_free_with_ends(dg, flat, qshift, lengths,
+                                          COSTS, cfg, engine="pallas")
+    for a, b in zip(got, ref):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
 @pytest.mark.parametrize("seed", [41, 43, 47])
 def test_banded_tilted_randomized_costs(seed):
     """The tilt math (rows store X - e*j, I' = prefmin(A') + o, match
