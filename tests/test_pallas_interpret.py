@@ -249,6 +249,33 @@ def test_banded_tilted_randomized_costs(seed):
     assert (got == ref).all(), (x, e, o)
 
 
+@pytest.mark.parametrize("seed", [61, 67])
+def test_drift_randomized_costs(seed):
+    """The drift kernel is tilted too (per-read frame rolls preserve the
+    global-j tilt) — run it under random costs on a mixed-length batch."""
+    rng = random.Random(seed)
+    costs = GapAffine(rng.randrange(1, 9), rng.randrange(1, 5),
+                      rng.randrange(0, 12))
+    base = "".join(rng.choice("ACGT") for _ in range(800))
+    variant = base[:100] + base[700:]
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * len(base))
+    _, aln, _ = NativeAligner(g).align(variant.encode(), costs)
+    g.add_alignment_with_weights("s1", variant.encode(), aln,
+                                 [1] * len(variant))
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    reads = [_mutate(rng, base if i % 2 else variant, 0.015).encode()
+             for i in range(64)]
+    qshift, lengths = pack_queries(reads)
+    ref = np.asarray(dp_fill_scores(dg, qshift, lengths, costs,
+                                    engine="xla"))
+    with accel_sim():
+        got = np.asarray(BandedScorer(flat, costs, dg=dg).scores(
+            qshift, lengths))
+    assert (got == ref).all(), (costs,)
+
+
 @pytest.mark.parametrize("seed", [53, 59])
 def test_bounded_with_ends_randomized_costs(seed):
     """Anchor extraction (scores + end ranks/offsets) under random
