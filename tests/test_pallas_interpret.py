@@ -304,6 +304,35 @@ def test_bounded_with_ends_randomized_costs(seed):
     assert (np.asarray(ej) == np.asarray(ej_r)).all()
 
 
+@pytest.mark.parametrize("seed", [71, 73])
+def test_bounded_with_ends_2p_randomized_costs(seed):
+    """2p anchor extraction under random costs — the coupled I1/I2
+    run-cap bound (max over both pieces) is cost-parameterized."""
+    rng = random.Random(seed)
+    e = rng.randrange(2, 6)
+    e2 = rng.randrange(1, e + 1)
+    costs = GapAffine2Piece(rng.randrange(1, 9), e, rng.randrange(0, 12),
+                            e2, rng.randrange(12, 30))
+    g, base = _fused(rng, 200, costs=costs)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    reads = []
+    for _ in range(64):
+        a = rng.randrange(0, 60)
+        b = rng.randrange(a + 40, 200)
+        reads.append(_mutate(rng, base[a:b], 0.04).encode())
+    qshift, lengths = pack_queries(reads)
+    cfg = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+    sc_r, er_r, ej_r = dp_fill_ends_free_with_ends(
+        dg, flat, qshift, lengths, costs, cfg, engine="xla")
+    with accel_sim():
+        sc, er, ej = dp_fill_ends_free_with_ends(
+            dg, flat, qshift, lengths, costs, cfg, engine="pallas")
+    assert (np.asarray(sc) == np.asarray(sc_r)).all(), (costs,)
+    assert (np.asarray(er) == np.asarray(er_r)).all()
+    assert (np.asarray(ej) == np.asarray(ej_r)).all()
+
+
 def test_bounded_ends_free_run_cap_truncates_exactly():
     """max_run small enough to truncate rounds must still verify ≤ub
     semantics: scores at or below the implied ub are exact."""
