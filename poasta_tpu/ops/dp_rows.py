@@ -28,8 +28,14 @@ import jax.numpy as jnp
 
 # Large sentinel standing in for the reference's Score::Unvisited
 # (``scoring/mod.rs:64-70``); int32 with enough headroom that adding
-# costs never overflows.
-INF = jnp.int32(1 << 28)
+# costs never overflows.  Deliberately a plain Python int, NOT
+# ``jnp.int32(...)``: a module-level device scalar forces backend init
+# at import, and any ``numpy_value >= INF`` comparison on the host side
+# would build a lazy jax array whose truth test is a device round-trip
+# — ~30 ms per call on a tethered chip, measured as 16x the entire
+# anchored backtrace in the pangenome serving path.  As a weak-typed
+# int it still promotes to int32 inside jitted code.
+INF = 1 << 28
 
 
 def insertion_row(A: jnp.ndarray, gap_open: int, gap_extend: int) -> jnp.ndarray:
