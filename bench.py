@@ -77,16 +77,22 @@ def build_uniform(costs, graph_len=5000, n_seqs=4, n_reads=1024, seed=7):
 
 
 def _time_scores(scorer, qshift, lengths, iters):
+    """Median-of-N per-iteration wall + cells (tether jitter on this
+    tunneled single-chip setup swings single runs ~2x; medians are the
+    measurement protocol for every derived ratio below)."""
+    import statistics
+
     import numpy as np
 
     scorer.scores(qshift, lengths)  # warm: compile + converge ub hint
-    scorer.reset_stats()
-    t0 = time.perf_counter()
+    ts, raws = [], []
     for _ in range(iters):
+        scorer.reset_stats()
+        t0 = time.perf_counter()
         scores = scorer.scores(qshift, lengths)
-    elapsed = (time.perf_counter() - t0) / iters
-    raw_cells = scorer.stats["cells_filled"] / iters
-    return np.asarray(scores), elapsed, raw_cells
+        ts.append(time.perf_counter() - t0)
+        raws.append(scorer.stats["cells_filled"])
+    return np.asarray(scores), statistics.median(ts), statistics.median(raws)
 
 
 def main():
@@ -150,6 +156,15 @@ def main():
     costs = GapAffine(4, 2, 6)
     extras = {}
 
+    # blocked-lever visibility (VERDICT r3 #9): the int16 ring kernel's
+    # toolchain verdict rides in every bench artifact
+    try:
+        from poasta_tpu.ops.pallas_fill import int16_probe_report
+
+        extras.update(int16_probe_report())
+    except Exception as exc:
+        extras["int16_probe_error"] = str(exc)[:120]
+
     # --- uniform config (headline) ------------------------------------
     graph, reads = build_uniform(costs)
     flat = graph.flatten()
@@ -212,7 +227,7 @@ def main():
     fmix = gmix.flatten()
     smix = BandedScorer(fmix, costs)
     qm, lm = pack_queries(mixed)
-    _, el_m, raw_m = _time_scores(smix, qm, lm, 2)
+    _, el_m, raw_m = _time_scores(smix, qm, lm, 5)
     extras["mixed_div_reads_per_sec"] = round(1024 / el_m, 2)
     extras["mixed_div_raw_cells_per_sec"] = round(raw_m / el_m)
 
@@ -230,11 +245,11 @@ def main():
     fsv = gsv.flatten()
     qs, ls = pack_queries(sv_reads)
     ssv = BandedScorer(fsv, costs)
-    sv_scores, el_s, raw_s = _time_scores(ssv, qs, ls, 2)
+    sv_scores, el_s, raw_s = _time_scores(ssv, qs, ls, 5)
     extras["mixed_len_reads_per_sec"] = round(1024 / el_s, 2)
     shared = BandedScorer(fsv, costs)
     shared.DRIFT_MIN_SPREAD = 1 << 30
-    sh_scores, el_sh, raw_sh = _time_scores(shared, qs, ls, 2)
+    sh_scores, el_sh, raw_sh = _time_scores(shared, qs, ls, 5)
     assert (sv_scores == sh_scores).all()
     extras["mixed_len_drift_cells_ratio"] = round(raw_sh / max(raw_s, 1), 2)
     extras["mixed_len_drift_speedup"] = round(el_sh / el_s, 2)
@@ -246,10 +261,10 @@ def main():
         cfg_ef = EndsFree(("unbounded", None), included(50), included(0),
                           included(50))
         sefd = BandedScorer(fsv, costs, aln_type=cfg_ef)
-        ef_scores, el_e, raw_e = _time_scores(sefd, qs, ls, 2)
+        ef_scores, el_e, raw_e = _time_scores(sefd, qs, ls, 5)
         sefs = BandedScorer(fsv, costs, aln_type=cfg_ef)
         sefs.DRIFT_MIN_SPREAD = 1 << 30  # shared-window reference
-        efs_scores, el_es, raw_es = _time_scores(sefs, qs, ls, 2)
+        efs_scores, el_es, raw_es = _time_scores(sefs, qs, ls, 5)
         assert (ef_scores == efs_scores).all()
         extras["ef_mixed_len_reads_per_sec"] = round(1024 / el_e, 2)
         extras["ef_drift_cells_ratio"] = round(raw_es / max(raw_e, 1), 2)

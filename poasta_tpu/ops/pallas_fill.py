@@ -147,6 +147,23 @@ def _int16_supported() -> bool:
     return ok
 
 
+def int16_probe_report() -> dict:
+    """The int16-kernel toolchain verdict + the toolchain it was probed
+    against, for bench artifacts (VERDICT r3 #9): the blocked 2x ring
+    lever stays visible in driver JSON instead of only in BACKLOG prose.
+    Forces the probe if it hasn't run this process."""
+    try:
+        import importlib.metadata as _ilm
+
+        toolchain = _ilm.version("libtpu")
+    except Exception:
+        toolchain = "unknown"
+    return {
+        "int16_kernel_supported": _int16_supported(),
+        "int16_probe_toolchain": f"jax {jax.__version__} / libtpu {toolchain}",
+    }
+
+
 def score_dtype(n_nodes: int, L: int, o: int, e: int, x: int):
     """int16 when the worst finite DP value provably fits and the
     toolchain can compile the int16 kernel (see :func:`_int16_supported`),

@@ -20,19 +20,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _mutate(rng, s, rate):
-    out = []
-    for ch in s:
-        r = rng.random()
-        if r < rate * 0.6:
-            out.append(rng.choice("ACGT"))
-        elif r < rate * 0.8:
-            continue
-        else:
-            out.append(ch)
-            if r > 1 - rate * 0.2:
-                out.append(rng.choice("ACGT"))
-    return "".join(out)
+# the probe must generate bench.py's exact read set (same error model,
+# same rng stream) or the band widths / retry tiers it profiles won't be
+# the ones the benchmark pays for
+from bench import _mutate  # noqa: E402
 
 
 def main():
@@ -42,7 +33,7 @@ def main():
     from poasta_tpu.graphs.poa import POAGraph
     from poasta_tpu.native import NativeAligner
 
-    costs = GapAffine(4, 6, 2)
+    costs = GapAffine(4, 2, 6)  # bench.py's cost model (mismatch, e, o)
 
     rng = random.Random(13)
     base = "".join(rng.choice("ACGT") for _ in range(5000))
@@ -100,8 +91,10 @@ def main():
         }
         out[name]["scores_sum"] = int(np.asarray(sc).sum())
 
-    assert out["drift"]["scores_sum"] == out["shared"]["scores_sum"]
+    # print first: a parity failure must not discard minutes of on-chip
+    # timing data collected above
     print(json.dumps(out, indent=1))
+    assert out["drift"]["scores_sum"] == out["shared"]["scores_sum"]
 
 
 if __name__ == "__main__":
