@@ -652,13 +652,13 @@ class BatchMapper:
             from ..aligner.banded import BandedScorer
 
             native = NativeAligner(self.graph)
-            if not two_piece:
-                # device scorer seeds each read's band with its exact
-                # score; the two-piece device band isn't built yet, so
-                # 2p reads use the native verify-and-retry on its own
-                self._banded_scorer = BandedScorer(self.flat, self.costs,
-                                                  mesh=self.mesh,
-                                                  dg=self.dg)
+            # device scorer seeds each read's band with its exact score;
+            # both cost models route through it — BandedScorer serves 2p
+            # via the 5-state banded kernels (ops/pallas_fill.py
+            # pallas_banded_scores_2p / pallas_banded_scores_drift_2p)
+            self._banded_scorer = BandedScorer(self.flat, self.costs,
+                                               mesh=self.mesh,
+                                               dg=self.dg)
             # cache only once every required object constructed — a
             # partial init would skip this block next call and crash on
             # the missing scorer instead of falling back to dense
@@ -670,19 +670,8 @@ class BatchMapper:
     def _device_scores(self, qshift, lengths, two_piece):
         """The scoring phase of the banded path (device-side; the
         pipelined serving loop runs it on a background thread while the
-        host backtraces the previous batch)."""
-        if two_piece:
-            # seed with device scores from the full two-piece fill (no
-            # banded 2p device kernel yet); exactness is unconditional,
-            # the seed only skips the retry ramp
-            try:
-                from ..aligner.wavefront import dp_fill_scores
-
-                return np.asarray(
-                    dp_fill_scores(self.dg, qshift, lengths, self.costs)
-                )
-            except Exception:
-                return None
+        host backtraces the previous batch).  Both cost models score
+        through the banded scorer — exact via verify-and-retry."""
         return np.asarray(self._banded_scorer.scores(qshift, lengths))
 
     def takes_banded_path(self, queries) -> bool:
@@ -730,22 +719,14 @@ class BatchMapper:
         if scores is None:
             scores = self._device_scores(qshift, lengths, two_piece)
 
-        if two_piece:
-            seeds = scores if scores is not None else [None] * len(queries)
-
-            def one(a):
-                q, s = a
-                return na.align_banded(
-                    q, self.costs, ub=None if s is None else int(s)
-                )
-            args = list(zip(queries, seeds))
-        else:
-            def one(a):
-                q, s = a
-                score, aln = na.align_banded(q, self.costs, ub=int(s))
-                assert score == int(s), (score, int(s))
-                return score, aln
-            args = list(zip(queries, scores))
+        # both cost models: the device score is exact (banded verify-and-
+        # retry), so it seeds the native band AND certifies the backtrace
+        def one(a):
+            q, s = a
+            score, aln = na.align_banded(q, self.costs, ub=int(s))
+            assert score == int(s), (score, int(s))
+            return score, aln
+        args = list(zip(queries, scores))
 
         workers = max(1, min(len(queries), os.cpu_count() or 4))
         with ThreadPoolExecutor(max_workers=workers) as pool:
