@@ -228,11 +228,18 @@ def set_interpret_mode(on: bool) -> None:
         os.environ["POASTA_PALLAS_INTERPRET"] = "1"
     else:
         os.environ.pop("POASTA_PALLAS_INTERPRET", None)
-    mod = sys.modules[__name__]
-    for name in dir(mod):
-        fn = getattr(mod, name)
-        if callable(fn) and hasattr(fn, "cache_clear"):
-            fn.cache_clear()
+    mods = [sys.modules[__name__]]
+    try:
+        from . import pallas_trace as _pt
+
+        mods.append(_pt)
+    except Exception:
+        pass
+    for mod in mods:
+        for name in dir(mod):
+            fn = getattr(mod, name)
+            if callable(fn) and hasattr(fn, "cache_clear"):
+                fn.cache_clear()
     _INT16_PROBE.clear()  # a verdict memoized under the other mode is stale
     from ..aligner import wavefront as _wf
 

@@ -565,8 +565,35 @@ class BatchMapper:
             stats = self.last_ends_free_stats = {
                 "device_s": time.perf_counter() - t0,
                 "anchored_ok": 0, "exact_fallback": 0, "host_s": 0.0,
+                "device_traced": 0,
             }
             node_of_rank = self.flat.node_of_rank
+
+            # device traceback first (one-piece): the anchored corridor
+            # refill + decode runs on the chip; reads the widest tier
+            # can't verify fall through to the host corridor below
+            traced = [None] * len(queries)
+            if not two_piece:
+                try:
+                    from ..ops.pallas_trace import (
+                        pallas_trace_align,
+                        trace_enabled,
+                    )
+
+                    if trace_enabled():
+                        t1 = time.perf_counter()
+                        traced = pallas_trace_align(
+                            self.dg, self.flat, qshift, lengths,
+                            self.costs, sc, anchor_r=er, anchor_j=ej,
+                            free_start=free_start)
+                        stats["device_s"] += time.perf_counter() - t1
+                        stats["device_traced"] = sum(
+                            a is not None for a in traced)
+                except Exception as exc:
+                    if os.environ.get("POASTA_TRACE_DEBUG"):
+                        raise
+                    stats["trace_error"] = f"{type(exc).__name__}: {exc}"
+                    traced = [None] * len(queries)
 
             def one(args):
                 b, q = args
@@ -574,6 +601,8 @@ class BatchMapper:
                     raise RuntimeError(
                         "ends-free alignment: unsatisfiable bounds"
                     )
+                if traced[b] is not None:
+                    return "anchored_ok", (int(sc[b]), traced[b])
                 try:
                     out = native.align_anchored(
                         q, self.costs, int(node_of_rank[er[b]]),
@@ -719,15 +748,49 @@ class BatchMapper:
         if scores is None:
             scores = self._device_scores(qshift, lengths, two_piece)
 
-        # both cost models: the device score is exact (banded verify-and-
-        # retry), so it seeds the native band AND certifies the backtrace
-        def one(a):
-            q, s = a
-            score, aln = na.align_banded(q, self.costs, ub=int(s))
-            assert score == int(s), (score, int(s))
-            return score, aln
-        args = list(zip(queries, scores))
+        # device traceback first (one-piece): the pointer-emitting
+        # corridor kernel + batched decode reconstructs every verified
+        # read's alignment on the chip, byte-identical to the native
+        # backtrace (tests/test_trace.py); unverified reads (or 2p)
+        # fall through to the host path below
+        out = [None] * len(queries)
+        self.last_banded_stats = {"device_traced": 0, "host_backtraced": 0}
+        if not two_piece:
+            try:
+                from ..ops.pallas_trace import (
+                    pallas_trace_align,
+                    trace_enabled,
+                )
 
-        workers = max(1, min(len(queries), os.cpu_count() or 4))
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            return list(pool.map(one, args))
+                if trace_enabled():
+                    traced = pallas_trace_align(self.dg, self.flat,
+                                                qshift, lengths,
+                                                self.costs, scores)
+                    for b, aln in enumerate(traced):
+                        if aln is not None:
+                            out[b] = (int(scores[b]), aln)
+                            self.last_banded_stats["device_traced"] += 1
+            except Exception as exc:
+                # host path serves the whole batch
+                if os.environ.get("POASTA_TRACE_DEBUG"):
+                    raise
+                self.last_banded_stats["trace_error"] = (
+                    f"{type(exc).__name__}: {exc}")
+
+        rest = [b for b in range(len(queries)) if out[b] is None]
+        if rest:
+            # both cost models: the device score is exact (banded
+            # verify-and-retry), so it seeds the native band AND
+            # certifies the backtrace
+            def one(b):
+                score, aln = na.align_banded(queries[b], self.costs,
+                                             ub=int(scores[b]))
+                assert score == int(scores[b]), (score, int(scores[b]))
+                return score, aln
+
+            self.last_banded_stats["host_backtraced"] = len(rest)
+            workers = max(1, min(len(rest), os.cpu_count() or 4))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for b, res in zip(rest, pool.map(one, rest)):
+                    out[b] = res
+        return out
