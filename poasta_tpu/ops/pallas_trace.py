@@ -56,7 +56,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dp_rows import INF
 from .pallas_fill import (
-    _check_prefetch_fits,
+    BIG_CHUNK,
+    SMEM_PREFETCH_BUDGET,
     _ge_masks,
     _pallas_call,
     _prefix_min_rows,
@@ -77,17 +78,44 @@ _PMAX = 32  # pointer pred fields are 5 bits
 OP_STOP, OP_DIAG, OP_DEL, OP_INS, OP_HOP = 0, 1, 2, 3, 4
 
 
-def trace_enabled() -> bool:
-    """Whether the device traceback path should be attempted: a live
-    accelerator backend (or interpret mode, for CPU tests), not disabled
-    via POASTA_DEVICE_TRACE=0."""
+def trace_enabled(dg=None) -> bool:
+    """Whether the device traceback path should be attempted.
+
+    POASTA_DEVICE_TRACE: ``0`` off; ``all`` every graph size; default
+    auto — small graphs only (prefetch-table kernel).  Auto rationale,
+    measured on one v5e (scripts/trace_onchip.py): small graphs the
+    device trace wins 2.7-4x end-to-end; past the SMEM budget the
+    HBM-streamed big-trace kernel works (byte-equal) but the score fill
+    dominates the batch wall and one host core backtraces the anchored
+    corridors faster than the extra trace pass + decode (0.12 s vs
+    0.67 s at 64 x 5 kb on a 50k-rank pangenome) — ``all`` is for hosts
+    whose cores are the bottleneck, where trading chip time to free the
+    host pays."""
     import os
 
     from .pallas_fill import _interpret_mode
 
-    if os.environ.get("POASTA_DEVICE_TRACE", "1") == "0":
+    mode = os.environ.get("POASTA_DEVICE_TRACE", "")
+    if mode == "0":
         return False
-    return _interpret_mode() or jax.default_backend() != "cpu"
+    if not _interpret_mode() and jax.default_backend() == "cpu":
+        return False
+    if dg is not None and not _prefetch_fits(dg, 2) and mode != "all":
+        return False
+    return True
+
+
+def _stage_ranks(B_BLK: int, Wb: int) -> int:
+    """Pointer rows staged per DMA: per-rank row DMAs cost ~latency each
+    (measured 0.8 Gcells/s on the 50k-rank pangenome trace — 40x below
+    the fill kernels), so S ranks batch into one transfer under a ~4 MiB
+    double-buffered staging budget.  Power of two so BIG_CHUNK stays a
+    multiple."""
+    cap = (4 << 20) // (2 * B_BLK * Wb * 4)
+    S = 1
+    while S * 2 <= min(cap, 64):
+        S *= 2
+    return S
 
 
 def _trace_kernel(
@@ -110,10 +138,10 @@ def _trace_kernel(
     m_ring, d_ring,   # (W, B_BLK, Wb)
     q_cur,            # (B_BLK, LQ)
     words_tile,       # (B_BLK, 128) int32 — rolling step-word tile
-    stage,            # (2, B_BLK, Wb) int32 — DMA staging
+    stage,            # (2*S, B_BLK, Wb) int32 — grouped DMA staging
     sems,             # (2,) DMA semaphores
     *, W: int, P: int, Wb: int, o: int, e: int, x: int, B_BLK: int,
-    free_start: bool,
+    free_start: bool, S: int,
 ):
     """Tilted banded fill (see _banded_kernel_drift) with per-read step
     schedules, pointer emission, and anchor extraction.  int32 only —
@@ -135,15 +163,16 @@ def _trace_kernel(
     ar_col = anchor_r_ref[:][:, :1]
     aj_col = anchor_j_ref[:][:, :1]
 
-    def wait_dma(r):
-        # matches the copy started at rank r (descriptor shapes only
-        # matter for bookkeeping; the semaphore is the sync object)
-        buf = jax.lax.rem(r, 2)
-        pltpu.make_async_copy(
-            stage.at[buf],
-            ptr_hbm.at[r, pl.ds(i_blk * B_BLK, B_BLK)],
+    # pointer rows for S consecutive ranks stage in VMEM and leave as ONE
+    # DMA per group (per-rank row copies are latency-bound)
+    def _group_copy(g):
+        buf = jax.lax.rem(g, 2)
+        return pltpu.make_async_copy(
+            stage.at[pl.ds(buf * S, S)],
+            ptr_hbm.at[pl.ds(pl.multiple_of(g * S, S), S),
+                       pl.ds(i_blk * B_BLK, B_BLK)],
             sems.at[buf],
-        ).wait()
+        )
 
     def body(r, sig):
         sym = symbols_ref[r]
@@ -263,19 +292,19 @@ def _trace_kernel(
         aval_ref[:] = jnp.minimum(
             aval_ref[:], jnp.where(matched, M_final + e * j32, inf))
 
-        # pointer row out: double-buffered rank DMA
-        buf = jax.lax.rem(r, 2)
+        # pointer row out: grouped double-buffered DMA
+        g = r // S
+        i_in = r - g * S
 
-        @pl.when(r >= 2)
+        @pl.when(jnp.logical_and(i_in == 0, g >= 2))
         def _():
-            wait_dma(r - 2)
+            _group_copy(g - 2).wait()
 
-        stage[buf] = word
-        pltpu.make_async_copy(
-            stage.at[buf],
-            ptr_hbm.at[r, pl.ds(i_blk * B_BLK, B_BLK)],
-            sems.at[buf],
-        ).start()
+        stage[jax.lax.rem(g, 2) * S + i_in] = word
+
+        @pl.when(jnp.logical_or(i_in == S - 1, r == n_nodes - 1))
+        def _():
+            _group_copy(g).start()
 
         m_ring[wslot_ref[r]] = M_final
         d_ring[wslot_ref[r]] = jnp.where(is_end, inf, D)
@@ -284,21 +313,26 @@ def _trace_kernel(
     sig0 = jnp.zeros((B_BLK, 1), jnp.int32)
     jax.lax.fori_loop(0, n_nodes, body, sig0)
 
-    @pl.when(n_nodes >= 2)
+    g_last = (n_nodes - 1) // S
+
+    @pl.when(jnp.logical_and(n_nodes >= 1, g_last >= 1))
     def _():
-        wait_dma(n_nodes - 2)
+        _group_copy(g_last - 1).wait()
 
     @pl.when(n_nodes >= 1)
     def _():
-        wait_dma(n_nodes - 1)
+        _group_copy(g_last).wait()
 
 
 @functools.lru_cache(maxsize=None)
 def _trace_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
                 LQ: int, o: int, e: int, x: int, B_BLK: int,
                 free_start: bool):
+    S = _stage_ranks(B_BLK, Wb)
+    Np_s = -(-Np // S) * S
     kernel = functools.partial(_trace_kernel, W=W, P=P, Wb=Wb, o=o, e=e,
-                               x=x, B_BLK=B_BLK, free_start=free_start)
+                               x=x, B_BLK=B_BLK, free_start=free_start,
+                               S=S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nblocks,),
@@ -322,7 +356,7 @@ def _trace_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
             pltpu.VMEM((W, B_BLK, Wb), jnp.int32),
             pltpu.VMEM((B_BLK, LQ), jnp.int32),
             pltpu.VMEM((B_BLK, 128), jnp.int32),
-            pltpu.VMEM((2, B_BLK, Wb), jnp.int32),
+            pltpu.VMEM((2 * S, B_BLK, Wb), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -330,7 +364,7 @@ def _trace_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), jnp.int32),
-            jax.ShapeDtypeStruct((Np, nblocks * B_BLK, Wb), jnp.int32),
+            jax.ShapeDtypeStruct((Np_s, nblocks * B_BLK, Wb), jnp.int32),
         ],
         grid_spec=grid_spec,
     )
@@ -348,6 +382,338 @@ def _trace_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
         return jnp.min(aval, axis=1), ptr
 
     return fn
+
+
+def _trace_kernel_big(
+    # scalar prefetch
+    meta_ref,         # (4,): [n_real_ranks, end_rank, R, _]
+    # inputs
+    tab_hbm,          # (Np_pad*R,) int32 HBM: [sym, wslot, slots*P, valid*P]
+    anystep_hbm,      # (Np_pad,) int32 HBM: 1 if any read steps at r
+    qshift_ref,       # (B_BLK, LQ) VMEM
+    stepbits_ref,     # (B_BLK, SW) VMEM
+    anchor_r_ref,     # (B_BLK, 128) VMEM int32
+    anchor_j_ref,     # (B_BLK, 128) VMEM int32
+    # outputs
+    aval_ref,         # (B_BLK, Wb) VMEM
+    ptr_hbm,          # (Np, Btot, Wb) int32 ANY
+    # scratch
+    m_ring, d_ring,   # (W, B_BLK, Wb)
+    q_cur,            # (B_BLK, LQ)
+    words_tile,       # (B_BLK, 128)
+    stage,            # (2*S, B_BLK, Wb)
+    tab_s,            # (2 * C * R,) SMEM
+    any_s,            # (2 * C,) SMEM
+    sems,             # (2,) pointer-group DMA semaphores
+    tsem,             # (2,) table-chunk DMA semaphores
+    *, W: int, P: int, Wb: int, o: int, e: int, x: int, B_BLK: int,
+    free_start: bool, S: int,
+):
+    """Trace kernel for graphs past the scalar-prefetch SMEM budget:
+    per-rank records [sym, wslot, pred_slot*P, pred_valid*P] plus the
+    per-tier any-step flags stream HBM -> SMEM in double-buffered
+    BIG_CHUNK chunks (the ``_fill_kernel_bounded_big`` pattern,
+    ``pallas_fill.py``), while pointer rows DMA out per rank exactly
+    like :func:`_trace_kernel`."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    R = 2 + 2 * P
+    i_blk = pl.program_id(0)
+    inf = INF
+    C = BIG_CHUNK
+    CW = C * R
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, Wb), inf, dtype=jnp.int32)
+        d_ring[w] = jnp.full((B_BLK, Wb), inf, dtype=jnp.int32)
+    q_cur[:] = qshift_ref[:]
+    aval_ref[:] = jnp.full((B_BLK, Wb), inf, dtype=jnp.int32)
+
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
+    masks = _ge_masks(col32, Wb)
+    ar_col = anchor_r_ref[:][:, :1]
+    aj_col = anchor_j_ref[:][:, :1]
+
+    n_chunks = (n_nodes + C - 1) // C
+
+    def tab_dma(k, buf):
+        return pltpu.make_async_copy(
+            tab_hbm.at[pl.ds(k * CW, CW)],
+            tab_s.at[pl.ds(buf * CW, CW)],
+            tsem.at[buf])
+
+    def any_dma(k, buf):
+        return pltpu.make_async_copy(
+            anystep_hbm.at[pl.ds(k * C, C)],
+            any_s.at[pl.ds(buf * C, C)],
+            tsem.at[buf])
+
+    tab_dma(0, 0).start()
+    any_dma(0, 0).start()
+
+    def _group_copy(g):
+        buf = jax.lax.rem(g, 2)
+        return pltpu.make_async_copy(
+            stage.at[pl.ds(buf * S, S)],
+            ptr_hbm.at[pl.ds(pl.multiple_of(g * S, S), S),
+                       pl.ds(i_blk * B_BLK, B_BLK)],
+            sems.at[buf],
+        )
+
+    def chunk_body(k, sig):
+        buf = jax.lax.rem(k, 2)
+        # two half-waits: tab + anystep signalled the same semaphore
+        tab_dma(k, buf).wait()
+        any_dma(k, buf).wait()
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            nbuf = jax.lax.rem(k + 1, 2)
+            tab_dma(k + 1, nbuf).start()
+            any_dma(k + 1, nbuf).start()
+
+        base0 = buf * CW
+        abase = buf * C
+
+        def body(i, sig):
+            r = k * C + i
+            rec = base0 + i * R
+            sym = tab_s[rec]
+            wslot = tab_s[rec + 1]
+            any_step_r = any_s[abase + i]
+
+            at_word = jax.lax.rem(r, 32) == 0
+            at_tile = jax.lax.rem(r, 4096) == 0
+
+            @pl.when(at_tile)
+            def _():
+                base = pl.multiple_of((r // 4096) * 128, 128)
+                words_tile[:] = stepbits_ref[:, pl.ds(base, 128)]
+
+            @pl.when(jnp.logical_and(at_word, jnp.logical_not(at_tile)))
+            def _():
+                words_tile[:] = _roll_lanes(words_tile[:], 127)
+
+            stepw = words_tile[:, :1]
+            stepped = jnp.logical_and(
+                any_step_r == 1, ((stepw >> (r % 32)) & 1) == 1)
+            sig = sig + jnp.where(stepped, 128, 0)
+
+            @pl.when(any_step_r == 1)
+            def _():
+                qroll = jnp.concatenate(
+                    [q_cur[:, 128:], jnp.zeros((B_BLK, 128), jnp.int32)],
+                    axis=1)
+                q_cur[:] = jnp.where(stepped, qroll, q_cur[:])
+
+                def _ring_roll(row):
+                    if Wb == 128:
+                        return jnp.full((B_BLK, Wb), inf, jnp.int32)
+                    return jnp.concatenate(
+                        [row[:, 128:],
+                         jnp.full((B_BLK, 128), inf, jnp.int32)], axis=1)
+
+                for w in range(W):
+                    mw = m_ring[w]
+                    dw = d_ring[w]
+                    m_ring[w] = jnp.where(stepped, _ring_roll(mw), mw)
+                    d_ring[w] = jnp.where(stepped, _ring_roll(dw), dw)
+
+            j32 = col32 + sig
+
+            slot0 = tab_s[rec + 2]
+            min_pm = m_ring[slot0]
+            min_pd = d_ring[slot0]
+            pmidx = jnp.zeros((B_BLK, Wb), jnp.int32)
+            pdidx = jnp.zeros((B_BLK, Wb), jnp.int32)
+            for p in range(1, P):
+                slot = tab_s[rec + 2 + p]
+                valid = tab_s[rec + 2 + P + p]
+                keep = valid == 1
+                am = jnp.where(keep, m_ring[slot], inf)
+                ad = jnp.where(keep, d_ring[slot], inf)
+                pmidx = jnp.where(am <= min_pm, p, pmidx)
+                pdidx = jnp.where(ad <= min_pd, p, pdidx)
+                min_pm = jnp.minimum(min_pm, am)
+                min_pd = jnp.minimum(min_pd, ad)
+
+            d_open = min_pm + (o + e)
+            D = jnp.minimum(d_open, min_pd + e)
+            dsrc = jnp.where(D == d_open, 0, 1)
+            dpidx = jnp.where(D == d_open, pmidx, pdidx)
+
+            diag_src = _roll_lanes(min_pm, 1)
+            diag_src = jnp.where(masks[1], diag_src, inf)
+            diag_idx = _roll_lanes(pmidx, 1)
+            qwin = q_cur[:, :Wb]
+            match_cost = jnp.where(qwin == sym, jnp.int32(-e),
+                                   jnp.int32(x - e))
+            diag = diag_src + match_cost
+
+            A = jnp.minimum(diag, D)
+            if free_start:
+                org = r != end_rank
+            else:
+                org = r == 0
+            zero_at_origin = jnp.where(j32 == 0, jnp.int32(0),
+                                       jnp.int32(inf))
+            A = jnp.where(org, jnp.minimum(A, zero_at_origin), A)
+
+            pref = _prefix_min_rows(A, Wb, jnp.int32(inf), col32, masks)
+            pref_m1 = _roll_lanes(pref, 1)
+            pref_m1 = jnp.where(masks[1], pref_m1, inf)
+            I = jnp.minimum(pref_m1 + o, inf)
+
+            M = jnp.minimum(A, I)
+            is_end = r == end_rank
+
+            msrc = jnp.where(M == diag, MSRC_DIAG,
+                             jnp.where(M == D, MSRC_D, MSRC_I))
+            at_origin = jnp.logical_and(j32 == 0, M == 0)
+            msrc = jnp.where(jnp.logical_and(org, at_origin),
+                             MSRC_ORIGIN, msrc)
+            isrc = jnp.where(I == _roll_lanes(M, 1) + o, 0, 1)
+            msrc = jnp.where(is_end, MSRC_DIAG, msrc)
+            didx_eff = jnp.where(is_end, pmidx, diag_idx)
+            word = (msrc | (didx_eff << 2) | (isrc << 7) | (dsrc << 8)
+                    | (dpidx << 9))
+
+            M_final = jnp.where(is_end, min_pm, M)
+
+            matched = jnp.logical_and(ar_col == r, j32 == aj_col)
+            aval_ref[:] = jnp.minimum(
+                aval_ref[:], jnp.where(matched, M_final + e * j32, inf))
+
+            g = r // S
+            i_in = r - g * S
+
+            @pl.when(jnp.logical_and(i_in == 0, g >= 2))
+            def _():
+                _group_copy(g - 2).wait()
+
+            stage[jax.lax.rem(g, 2) * S + i_in] = word
+
+            @pl.when(jnp.logical_or(i_in == S - 1, r == n_nodes - 1))
+            def _():
+                _group_copy(g).start()
+
+            m_ring[wslot] = M_final
+            d_ring[wslot] = jnp.where(is_end, inf, D)
+            return sig
+
+        n_here = jnp.minimum(C, n_nodes - k * C)
+        return jax.lax.fori_loop(0, n_here, body, sig)
+
+    sig0 = jnp.zeros((B_BLK, 1), jnp.int32)
+    jax.lax.fori_loop(0, n_chunks, chunk_body, sig0)
+
+    g_last = (n_nodes - 1) // S
+
+    @pl.when(jnp.logical_and(n_nodes >= 1, g_last >= 1))
+    def _():
+        _group_copy(g_last - 1).wait()
+
+    @pl.when(n_nodes >= 1)
+    def _():
+        _group_copy(g_last).wait()
+
+
+@functools.lru_cache(maxsize=None)
+def _trace_exec_big(nblocks: int, Np: int, W: int, P: int, Wb: int,
+                    SW: int, LQ: int, o: int, e: int, x: int, B_BLK: int,
+                    free_start: bool):
+    S = _stage_ranks(B_BLK, Wb)
+    Np_s = -(-Np // S) * S
+    kernel = functools.partial(_trace_kernel_big, W=W, P=P, Wb=Wb, o=o,
+                               e=e, x=x, B_BLK=B_BLK,
+                               free_start=free_start, S=S)
+    R = 2 + 2 * P
+    CW = BIG_CHUNK * R
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # rank table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # anystep stays in HBM
+            pl.BlockSpec((B_BLK, LQ), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, SW), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B_BLK, Wb), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, Wb), jnp.int32),
+            pltpu.VMEM((W, B_BLK, Wb), jnp.int32),
+            pltpu.VMEM((B_BLK, LQ), jnp.int32),
+            pltpu.VMEM((B_BLK, 128), jnp.int32),
+            pltpu.VMEM((2 * S, B_BLK, Wb), jnp.int32),
+            pltpu.SMEM((2 * CW,), jnp.int32),
+            pltpu.SMEM((2 * BIG_CHUNK,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = _pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), jnp.int32),
+            jax.ShapeDtypeStruct((Np_s, nblocks * B_BLK, Wb), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(tab, anystep, meta, qshift, stepbits, anchor_r, anchor_j):
+        def tile(v):
+            return jnp.broadcast_to(
+                v[:, None], (v.shape[0], 128)).astype(jnp.int32)
+
+        aval, ptr = call(meta, tab, anystep, qshift, stepbits,
+                         tile(anchor_r), tile(anchor_j))
+        return jnp.min(aval, axis=1), ptr
+
+    return fn
+
+
+# (dg id -> (dg, tab, meta)) static per-rank records for the big trace
+# kernel (any-step flags stream separately, they change per tier)
+_TRACE_TABLES: dict = {}
+
+
+def _trace_big_table(dg):
+    key = id(dg)
+    ent = _TRACE_TABLES.get(key)
+    if ent is not None and ent[0] is dg:
+        return ent[1], ent[2]
+    P = int(dg.pred_slots.shape[1])
+    R = 2 + 2 * P
+    Np = dg.n_nodes_padded
+    Np_pad = ((Np + BIG_CHUNK - 1) // BIG_CHUNK) * BIG_CHUNK
+    tab = np.zeros((Np_pad, R), dtype=np.int32)
+    tab[:Np, 0] = np.asarray(dg.symbols)
+    tab[:Np, 1] = np.asarray(dg.write_slots)
+    tab[:Np, 2:2 + P] = np.asarray(dg.pred_slots)
+    tab[:Np, 2 + P:2 + 2 * P] = np.asarray(dg.pred_valid).astype(np.int32)
+    tab_dev = jnp.asarray(tab.reshape(-1))
+    ent = (dg, tab_dev, Np_pad)
+    _TRACE_TABLES[key] = ent
+    while len(_TRACE_TABLES) > 8:
+        _TRACE_TABLES.pop(next(iter(_TRACE_TABLES)))
+    return tab_dev, Np_pad
+
+
+def _prefetch_fits(dg, extra_per_rank_words: int) -> bool:
+    P = int(dg.pred_slots.shape[1])
+    words = dg.n_nodes_padded * (2 + 2 * P + extra_per_rank_words) + 8
+    return words * 4 <= SMEM_PREFETCH_BUDGET
 
 
 @functools.lru_cache(maxsize=None)
@@ -412,9 +778,77 @@ def _decode_exec(T_MAX: int, Np: int, B: int, Wb: int, P: int):
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _schedule_exec(Wb: int, Np: int, SW: int):
+    """Device-side schedule construction (jitted): the (B, Np) bound
+    arrays never touch the host — at pangenome scale the numpy version
+    spent 1.5 s/call on them plus a 12.8 MB starts upload (measured
+    on-chip), vs ~ms of XLA elementwise + cummax scans."""
+
+    @jax.jit
+    def fn(dmin, dmax, lengths, k, aj, a_dmin, a_dmax, n_real):
+        i64 = jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32
+        K = jnp.maximum(k, 0).astype(i64)[:, None]
+        nb = lengths.astype(i64)[:, None]
+        ajc = aj.astype(i64)[:, None]
+        lo = ajc - (a_dmax.astype(i64)[:, None] - dmax[None, :]) - K
+        hi = jnp.minimum(
+            ajc - (a_dmin.astype(i64)[:, None] - dmin[None, :]) + K, nb)
+        ridx = jnp.arange(Np, dtype=i64)[None, :]
+        nonempty = jnp.logical_and(ridx < n_real,
+                                   jnp.logical_and(lo <= hi, hi >= 0))
+        need = jnp.where(nonempty, hi - (Wb - 1), 0)
+        A = -(-jnp.maximum(need, 0) // 128)
+        t = A - ridx
+        req = jnp.flip(jax.lax.cummax(jnp.flip(t, 1), axis=1), 1) + ridx
+        s = jax.lax.cummax(jnp.maximum(req, 0), axis=1)
+        start = (s * 128).astype(jnp.int32)
+        start = jnp.where(ridx < n_real, start, 0).astype(jnp.int32)
+        viol = jnp.logical_and(
+            nonempty,
+            jnp.logical_or(start.astype(i64) > jnp.maximum(lo, 0),
+                           start.astype(i64) + Wb - 1 < hi))
+        ok = jnp.logical_not(viol.any(axis=1))
+        prev = jnp.concatenate(
+            [jnp.zeros((start.shape[0], 1), jnp.int32), start[:, :-1]],
+            axis=1)
+        bits = (start - prev) > 0
+        any_step = bits.any(axis=0).astype(jnp.int32)
+        pad = SW * 32 - Np
+        bits_p = jnp.pad(bits, ((0, 0), (0, pad))).astype(jnp.uint32)
+        lane = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        words = (bits_p.reshape(bits_p.shape[0], SW, 32) << lane).sum(
+            axis=-1, dtype=jnp.uint32)
+        packed = jax.lax.bitcast_convert_type(words, jnp.int32)
+        return packed, any_step, start, ok
+
+    return fn
+
+
+# (flat id -> (flat, dmin_dev, dmax_dev)) padded distance potentials
+_SCHED_POTS: dict = {}
+
+
+def _sched_potentials(flat, Np: int):
+    key = (id(flat), Np)
+    ent = _SCHED_POTS.get(key)
+    if ent is not None and ent[0] is flat:
+        return ent[1], ent[2]
+    n = flat.n_nodes
+    dmin = np.zeros((Np,), np.int32)
+    dmax = np.zeros((Np,), np.int32)
+    dmin[:n] = flat.min_dist_from_start[:n]
+    dmax[:n] = flat.max_dist_from_start[:n]
+    ent = (flat, jnp.asarray(dmin), jnp.asarray(dmax))
+    _SCHED_POTS[key] = ent
+    while len(_SCHED_POTS) > 8:
+        _SCHED_POTS.pop(next(iter(_SCHED_POTS)))
+    return ent[1], ent[2]
+
+
 def build_trace_schedule(flat, lengths_np, k_np, Wb: int, Np: int,
                          anchor_r_np=None, anchor_j_np=None):
-    """Per-read monotone 128-quantized window-start schedule (host).
+    """Per-read monotone 128-quantized window-start schedule.
 
     Sound coverage bounds for any path of cost <= ub_b ending at the
     anchor: with dmin/dmax = min/max_dist_from_start (per-edge deltas
@@ -424,66 +858,43 @@ def build_trace_schedule(flat, lengths_np, k_np, Wb: int, Np: int,
     K = (ub - o) / e).  For the global case (anchor = virtual end at
     j = n) this reduces to the native align_banded window formula.
 
-    Returns (stepbits (B, SW) uint32-as-int32, any_step (Np,), starts
-    (B, Np) int32, ok (B,) bool) — ok[b] False when width Wb provably
-    cannot cover read b's bounds (caller widens or falls back).
+    The kernel can roll the window at most one 128-lane step per rank,
+    so the start schedule must have slope <= 128/rank.  hi is NOT
+    monotone in rank order (a short bubble branch ranked after a long
+    one drops dmin), so stepping lazily at the rank that needs it can
+    leave the schedule permanently behind a >128 jump.  Step EARLY
+    instead: in 128-lane units, the minimal slope-limited schedule
+    covering every future need is req[r] = max_{r2>=r}(A[r2]-(r2-r)),
+    a reverse running max of A[r]-r (then monotonized forward).
+
+    Returns DEVICE arrays (stepbits (B, SW) int32, any_step (Np,) int32,
+    starts (B, Np) int32) + host ok (B,) bool — ok[b] False when width
+    Wb provably cannot cover read b's bounds (caller widens or falls
+    back).  The (B, Np)-sized intermediates live on the device only.
     """
     n = flat.n_nodes
     B = lengths_np.shape[0]
-    dmin = flat.min_dist_from_start.astype(np.int64)[:n]
-    dmax = flat.max_dist_from_start.astype(np.int64)[:n]
-    K = np.maximum(k_np.astype(np.int64), 0)[:, None]  # (B,1) gap budget
-    nb = lengths_np.astype(np.int64)[:, None]
+    dmin_d, dmax_d = _sched_potentials(flat, Np)
+    dmin = flat.min_dist_from_start
+    dmax = flat.max_dist_from_start
     if anchor_r_np is None:
         # global: anchor = virtual end rank at j = n_b
-        aj = nb
-        a_dmin = np.full((B, 1), dmin[n - 1])
-        a_dmax = np.full((B, 1), dmax[n - 1])
+        aj = lengths_np.astype(np.int32)
+        a_dmin = np.full((B,), dmin[n - 1], np.int32)
+        a_dmax = np.full((B,), dmax[n - 1], np.int32)
     else:
-        aj = anchor_j_np.astype(np.int64)[:, None]
-        a_dmin = dmin[anchor_r_np.astype(np.int64)][:, None]
-        a_dmax = dmax[anchor_r_np.astype(np.int64)][:, None]
+        ar = anchor_r_np.astype(np.int64)
+        aj = anchor_j_np.astype(np.int32)
+        a_dmin = dmin[ar].astype(np.int32)
+        a_dmax = dmax[ar].astype(np.int32)
 
-    lo = aj - (a_dmax - dmax[None, :]) - K  # (B, Np_real)
-    hi = aj - (a_dmin - dmin[None, :]) + K
-    hi = np.minimum(hi, nb)
-    # The kernel can roll the window at most one 128-lane step per rank,
-    # so the start schedule must have slope <= 128/rank.  hi is NOT
-    # monotone in rank order (a short bubble branch ranked after a long
-    # one drops dmin), so stepping lazily at the rank that needs it can
-    # leave the schedule permanently behind a >128 jump.  Step EARLY
-    # instead: in 128-lane units, the minimal slope-limited schedule
-    # covering every future need is req[r] = max_{r2>=r}(A[r2]-(r2-r)),
-    # a reverse running max of A[r]-r (then monotonized forward).
-    nonempty = np.logical_and(lo <= hi, hi >= 0)
-    need = np.where(nonempty, hi - (Wb - 1), 0)  # empty ranks: no bound
-    A = -(-np.maximum(need, 0) // 128)  # ceil to 128-lane units
-    ridx = np.arange(A.shape[1], dtype=np.int64)[None, :]
-    t = A - ridx
-    req = (np.flip(np.maximum.accumulate(np.flip(t, axis=1), axis=1),
-                   axis=1) + ridx)
-    s = np.maximum.accumulate(np.maximum(req, 0), axis=1)
-    start = s * 128
-    # coverage check: window [start, start+Wb) must contain [lo, hi]
-    # wherever the bounds are non-empty (stepping early can overshoot
-    # max(lo, 0) when the corridor is wider than Wb allows)
-    viol = np.logical_and(
-        nonempty,
-        np.logical_or(start > np.maximum(lo, 0), start + Wb - 1 < hi))
-    ok = ~viol.any(axis=1)
-
-    bits = (np.diff(start, axis=1, prepend=0) > 0)
-    any_step_real = bits.any(axis=0)
     SW = ((Np + 31) // 32 + 127) // 128 * 128
-    packed = np.zeros((B, SW), dtype=np.uint32)
-    rr = np.nonzero(bits)
-    packed[rr[0], rr[1] // 32] |= np.uint32(1) << (rr[1] % 32).astype(
-        np.uint32)
-    any_step = np.zeros((Np,), dtype=np.int32)
-    any_step[:n] = any_step_real.astype(np.int32)
-    starts_full = np.zeros((B, Np), dtype=np.int32)
-    starts_full[:, :n] = start.astype(np.int32)
-    return packed.view(np.int32), any_step, starts_full, ok
+    fn = _schedule_exec(Wb, Np, SW)
+    packed, any_step, starts, ok = fn(
+        dmin_d, dmax_d, jnp.asarray(lengths_np.astype(np.int32)),
+        jnp.asarray(k_np.astype(np.int32)), jnp.asarray(aj),
+        jnp.asarray(a_dmin), jnp.asarray(a_dmax), np.int32(n))
+    return packed, any_step, starts, np.asarray(ok)
 
 
 def replay_steps(ops_row, anchor_j, node_of_rank):
@@ -539,9 +950,10 @@ def pallas_trace_align(dg, flat, qshift, lengths, costs, scores,
     P = int(dg.pred_slots.shape[1])
     if P > _PMAX:
         return [None] * B
-    _check_prefetch_fits(dg, 2)
+    big = not _prefetch_fits(dg, 2)
     lengths_np = np.asarray(lengths)
     scores_np = np.asarray(scores).astype(np.int64)
+    qshift_np = np.asarray(qshift)
     o, e, x = costs.gap_open, costs.gap_extend, costs.mismatch
     k_full = np.maximum(scores_np - o, 0) // max(e, 1) + 1
     anchor_r_np = None if anchor_r is None else np.asarray(anchor_r)
@@ -560,64 +972,82 @@ def pallas_trace_align(dg, flat, qshift, lengths, costs, scores,
 
     spread = int((flat.max_dist_from_start[:n].astype(np.int64)
                   - flat.min_dist_from_start[:n]).max()) if n else 0
-    blk0 = 64 if B % 64 == 0 else 32
-    Bp0 = -(-B // blk0) * blk0
-    wb_max = min(4096, PLANE_BYTES_BUDGET // (Np * Bp0 * 4) // 128 * 128)
+    pr_flat = np.zeros((Np, P), np.int32)
+    pr_flat[:dg.pred_ranks_np.shape[0]] = dg.pred_ranks_np
+    pr_dev = None  # uploaded once, on first decode
 
     for Wb in (256, 512, 1024, 2048, 4096):
-        if pending.size == 0 or Wb > wb_max:
+        if pending.size == 0:
             break
+        # pending reads compact into their own padded sub-batch: wider
+        # tiers only pay for the reads that still need them, and the
+        # HBM pointer-plane budget is spent on the sub-batch, not B
+        sub = pending
+        nsub = sub.size
+        blk = 64 if nsub % 64 == 0 else 32
+        Bp = -(-nsub // blk) * blk
+        if Np * Bp * Wb * 4 > PLANE_BYTES_BUDGET:
+            break  # planes over budget; remaining reads -> host path
         k_tier = np.minimum(k_full,
                             np.maximum((Wb - spread - 160) // 2, 16))
-        at_k_full = bool((k_tier[pending] >= k_full[pending]).all())
+        at_k_full = bool((k_tier[sub] >= k_full[sub]).all())
         stepbits, any_step, starts, ok = build_trace_schedule(
-            flat, lengths_np, k_tier, Wb, Np, anchor_r_np, anchor_j_np)
+            flat, lengths_np[sub], k_tier[sub], Wb, Np,
+            None if anchor_r_np is None else anchor_r_np[sub],
+            None if anchor_j_np is None else anchor_j_np[sub])
+        if not ok.any():
+            if at_k_full:
+                break  # coverage can't improve: budgets already proven
+            continue  # this width covers nobody; try wider
         LQ = max(L, Wb + 128)
-        blk = 64 if B % 64 == 0 else 32
-        Bp = -(-B // blk) * blk  # pad the batch to a whole block
         qpad = np.zeros((Bp, LQ), np.int32)
-        qpad[:B, :L] = np.asarray(qshift)
-        sb = np.zeros((Bp, stepbits.shape[1]), stepbits.dtype)
-        sb[:B] = stepbits
+        qpad[:nsub, :L] = qshift_np[sub]
+        sb = jnp.pad(stepbits, ((0, Bp - nsub), (0, 0)))
         arp = np.zeros((Bp,), np.int32)
-        arp[:B] = ar_full
+        arp[:nsub] = ar_full[sub]
         ajp = np.zeros((Bp,), np.int32)
-        ajp[:B] = aj_full
-        SW = sb.shape[1]
-        fn = _trace_exec(Bp // blk, Np, dg.window, P, Wb, SW, LQ, o, e, x,
-                         blk, bool(free_start))
-        aval, ptr = fn(dg.symbols, dg.pred_slots_flat, dg.pred_valid_flat,
-                       dg.write_slots, jnp.asarray(any_step), dg.meta,
-                       jnp.asarray(qpad), jnp.asarray(sb),
-                       jnp.asarray(arp), jnp.asarray(ajp))
-        aval_np = np.asarray(aval)[:B]
-        verified = np.zeros((B,), bool)
-        verified[pending] = np.logical_and(
-            aval_np[pending] == scores_np[pending], ok[pending])
+        ajp[:nsub] = aj_full[sub]
+        SW = int(sb.shape[1])
+        if big:
+            tab_dev, Np_pad = _trace_big_table(dg)
+            anyp = jnp.pad(any_step, (0, Np_pad - Np))
+            fn = _trace_exec_big(Bp // blk, Np, dg.window, P, Wb, SW, LQ,
+                                 o, e, x, blk, bool(free_start))
+            aval, ptr = fn(tab_dev, anyp, dg.meta,
+                           jnp.asarray(qpad), sb,
+                           jnp.asarray(arp), jnp.asarray(ajp))
+        else:
+            fn = _trace_exec(Bp // blk, Np, dg.window, P, Wb, SW, LQ,
+                             o, e, x, blk, bool(free_start))
+            aval, ptr = fn(dg.symbols, dg.pred_slots_flat,
+                           dg.pred_valid_flat, dg.write_slots,
+                           any_step, dg.meta,
+                           jnp.asarray(qpad), sb,
+                           jnp.asarray(arp), jnp.asarray(ajp))
+        aval_np = np.asarray(aval)[:nsub]
+        verified = np.logical_and(aval_np == scores_np[sub], ok)
         if not verified.any():
             if at_k_full:
                 break  # proven budgets already; wider tiers can't help
             continue
-        T_MAX = int(-(-(int(lengths_np.max()) + int(k_full.max()) + 8)
-                      // 512) * 512)
+        T_MAX = int(-(-(int(lengths_np[sub].max())
+                        + int(k_full[sub].max()) + 8) // 512) * 512)
         dec = _decode_exec(T_MAX, Np, Bp, Wb, P)
-        pr_flat = np.zeros((Np, P), np.int32)
-        pr_flat[:dg.pred_ranks_np.shape[0]] = dg.pred_ranks_np
-        stp = np.zeros((Bp, Np), np.int32)
-        stp[:B] = starts
+        stp = jnp.pad(starts, ((0, Bp - nsub), (0, 0))).reshape(-1)
         vp = np.zeros((Bp,), bool)
-        vp[:B] = verified
-        ops, done = dec(ptr, jnp.asarray(pr_flat.reshape(-1)),
-                        jnp.asarray(stp.reshape(-1)),
+        vp[:nsub] = verified
+        if pr_dev is None:
+            pr_dev = jnp.asarray(pr_flat.reshape(-1))
+        ops, done = dec(ptr, pr_dev, stp,
                         jnp.asarray(arp), jnp.asarray(ajp),
                         jnp.asarray(np.int32(dg.end_rank_i)),
                         jnp.asarray(vp))
         ops_np = np.asarray(ops)
         done_np = np.asarray(done)
         still = []
-        for b in pending:
-            if verified[b] and done_np[b]:
-                rpos, qpos = replay_steps(ops_np[b], int(aj_full[b]),
+        for i, b in enumerate(sub):
+            if verified[i] and done_np[i]:
+                rpos, qpos = replay_steps(ops_np[i], int(aj_full[b]),
                                           flat.node_of_rank)
                 out[b] = ArrayAlignment(rpos, qpos)
             else:

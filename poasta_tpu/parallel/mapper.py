@@ -580,7 +580,7 @@ class BatchMapper:
                         trace_enabled,
                     )
 
-                    if trace_enabled():
+                    if trace_enabled(self.dg):
                         t1 = time.perf_counter()
                         traced = pallas_trace_align(
                             self.dg, self.flat, qshift, lengths,
@@ -762,7 +762,7 @@ class BatchMapper:
                     trace_enabled,
                 )
 
-                if trace_enabled():
+                if trace_enabled(self.dg):
                     traced = pallas_trace_align(self.dg, self.flat,
                                                 qshift, lengths,
                                                 self.costs, scores)

@@ -108,6 +108,10 @@ def main():
         preads.append(_mutate(rng, pbase[a:a + 5000], 0.015).encode())
     cfgp = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
     pmap = BatchMapper(gp, costs, aln_type=cfgp)
+    # the 50k-rank graph is past the prefetch budget: auto mode declines
+    # the trace there (the score fill dominates and the host corridor is
+    # cheaper) — force the big-trace kernel so its A/B stays recorded
+    os.environ["POASTA_DEVICE_TRACE"] = "all"
     pmap.align_batch(preads)  # warm
     el_pdev = median_batches(lambda: pmap.align_batch(preads), iters=3)
     pstats = dict(pmap.last_ends_free_stats)

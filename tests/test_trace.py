@@ -163,6 +163,54 @@ def test_trace_cost_equals_score():
         assert alignment_cost(g, q, outs[b], costs) == int(scores[b])
 
 
+def test_big_trace_matches_native(monkeypatch):
+    """The HBM-streamed big trace kernel (chunked rank-record DMA, the
+    pallas_fill big-kernel pattern) must emit the same pointer chains as
+    the prefetch-table kernel — forced on by stubbing the SMEM fit check,
+    global + anchored ends-free."""
+    import poasta_tpu.ops.pallas_trace as pt
+
+    monkeypatch.setattr(pt, "_prefetch_fits", lambda dg, extra: False)
+    costs = GapAffine(4, 2, 6)
+    rng = random.Random(71)
+    g, base = _fused_graph(rng, costs, length=150, nseq=3)
+    flat = g.flatten()
+    dg = DeviceGraph.build(flat)
+    queries = [_mutate(rng, base, 0.08).encode() for _ in range(4)]
+    queries.append((base[:30] + base[110:]).encode())  # tier-retry read
+    qshift, lengths = pack_queries(queries)
+    scores = np.asarray(dp_fill_scores(dg, qshift, lengths, costs))
+    na = NativeAligner(g)
+    outs = pt.pallas_trace_align(dg, flat, qshift, lengths, costs, scores)
+    for b, q in enumerate(queries):
+        ns, naln = na.align_banded(q, costs, ub=int(scores[b]))
+        assert ns == int(scores[b])
+        _check_identical(outs[b], naln, b)
+
+    # anchored ends-free through the big kernel
+    base2 = "".join(rng.choice("ACGT") for _ in range(500))
+    g2 = POAGraph()
+    g2.add_alignment_with_weights("s0", base2.encode(), None, [1] * 500)
+    flat2 = g2.flatten()
+    dg2 = DeviceGraph.build(flat2)
+    subs = [_mutate(rng, base2[100:300], 0.05).encode() for _ in range(3)]
+    qshift2, lengths2 = pack_queries(subs)
+    cfg = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+    sc, er, ej = (np.asarray(v) for v in dp_fill_ends_free_with_ends(
+        dg2, flat2, qshift2, lengths2, costs, cfg))
+    na2 = NativeAligner(g2)
+    outs2 = pt.pallas_trace_align(dg2, flat2, qshift2, lengths2, costs,
+                                  sc, anchor_r=er, anchor_j=ej,
+                                  free_start=True)
+    node_of_rank = flat2.node_of_rank
+    for b, q in enumerate(subs):
+        ns, naln = na2.align_anchored(q, costs, int(node_of_rank[er[b]]),
+                                      int(ej[b]), int(sc[b]),
+                                      free_start=True)
+        assert ns == int(sc[b])
+        _check_identical(outs2[b], naln, b)
+
+
 def test_mapper_routes_through_device_trace():
     """BatchMapper wiring: with the trace path enabled (interpret mode
     here), the banded global path and the anchored ends-free path must
