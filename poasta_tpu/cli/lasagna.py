@@ -48,17 +48,40 @@ def align_subcommand(args):
     # file so no process ever truncates the shared output path.
     multi_host = False
     out_path = args.output
-    if args.engine != "exact":
+    pid = np_ = None
+    shard_idx = getattr(args, "shard_index", None)
+    shard_cnt = getattr(args, "shard_count", None)
+    if (shard_idx is None) != (shard_cnt is None):
+        raise ValueError(
+            "--shard-index and --shard-count must be given together")
+    if shard_cnt is not None:
+        # standalone shard mode: the recovery path.  Shards are a pure
+        # function of (input order, shard-count, shard-index), so a shard
+        # lost to a mid-stream process failure is regenerated exactly by
+        # re-running just that index — no coordinator, no rendezvous
+        # (docs/DEPLOY.md "Failure handling").
+        if getattr(args, "distributed", False):
+            raise ValueError(
+                "--shard-index/--shard-count cannot be combined with "
+                "--distributed (the process index already selects the "
+                "shard)")
+        if not (0 <= shard_idx < shard_cnt):
+            raise ValueError(
+                f"--shard-index {shard_idx} out of range for "
+                f"--shard-count {shard_cnt}")
+        pid, np_ = shard_idx, shard_cnt
+    elif args.engine != "exact":
         import jax
 
         if jax.process_count() > 1:
             multi_host = True
             pid, np_ = jax.process_index(), jax.process_count()
-            reader = (
-                rec for i, rec in enumerate(reader) if i % np_ == pid
-            )
-            if args.output:
-                out_path = f"{args.output}.part{pid}"
+    if pid is not None:
+        reader = (
+            rec for i, rec in enumerate(reader) if i % np_ == pid
+        )
+        if args.output:
+            out_path = f"{args.output}.part{pid}"
 
     out = open(out_path, "w") if out_path else sys.stdout
 
@@ -251,11 +274,27 @@ def build_parser():
                    help="total process count (with --distributed)")
     a.add_argument("--process-id", type=int, default=None,
                    help="this process's index (with --distributed)")
+    a.add_argument("--shard-index", type=int, default=None,
+                   help="standalone shard recovery: align only round-robin "
+                        "slice K of the read stream and write "
+                        "<output>.partK, without jax.distributed — "
+                        "regenerates a shard lost to a process failure")
+    a.add_argument("--shard-count", type=int, default=None,
+                   help="total shard count for --shard-index (must match "
+                        "the failed run's process count)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if (getattr(args, "distributed", False)
+            and getattr(args, "shard_count", None) is not None):
+        # must be rejected BEFORE jax.distributed.initialize() — a
+        # mis-wired recovery invocation should error, not rendezvous
+        print("Error: --shard-index/--shard-count cannot be combined "
+              "with --distributed (the process index already selects "
+              "the shard)", file=sys.stderr)
+        return 1
     if getattr(args, "distributed", False):
         # must run before anything initializes a backend: the multi-host
         # runtime wires every process's local devices into one global

@@ -69,12 +69,14 @@ def _merge_round_robin(parts):
 def test_multi_host_slicing_and_parts(tmp_path, monkeypatch):
     """Simulated 2-process run (monkeypatched process_count/index): each
     'host' writes its own .part<pid> shard of its round-robin slice, and
-    the merged shards equal the single-process output byte-for-byte."""
+    the merged shards equal the single-process output byte-for-byte.
+    The read count is ODD so the shards are unequal (5 vs 4): slicing
+    must not assume divisibility by the process count."""
     import jax
 
     from poasta_tpu.cli.lasagna import main as lasagna_main
 
-    gfa, reads = _diamond_gfa_and_reads(tmp_path)
+    gfa, reads = _diamond_gfa_and_reads(tmp_path, n_reads=9)
     out_single = tmp_path / "single.gaf"
     rc = lasagna_main(["align", str(gfa), str(reads), "--mesh", "off",
                        "-o", str(out_single)])
@@ -93,6 +95,9 @@ def test_multi_host_slicing_and_parts(tmp_path, monkeypatch):
     assert out_multi.read_text() == "sentinel\n"
     parts = [tmp_path / "multi.gaf.part0", tmp_path / "multi.gaf.part1"]
     assert all(p.exists() for p in parts)
+    # odd read count: round-robin gives process 0 the extra read
+    assert len(parts[0].read_text().splitlines()) == 5
+    assert len(parts[1].read_text().splitlines()) == 4
     merged = _merge_round_robin(parts)
     assert merged == out_single.read_text()
 
@@ -156,3 +161,83 @@ def test_distributed_two_process_lasagna(tmp_path):
     assert all(p.exists() for p in parts)
     merged = _merge_round_robin(parts)
     assert merged == out_single.read_text()
+
+
+def test_shard_failure_recovery(tmp_path):
+    """Mid-stream process failure + the recovery contract (VERDICT r3
+    #8): two REAL jax.distributed processes rendezvous, then process 1
+    dies after init (its reads file does not exist).  Process 0 must
+    still complete and its shard must be valid — dp has no intra-fill
+    collectives, so one host's death never corrupts another's shard.
+    Recovery: shards are a pure function of (input, shard-count,
+    shard-index), so rerunning ONLY the dead index standalone via
+    --shard-index/--shard-count (no coordinator) regenerates the lost
+    shard; the merged result equals the single-process GAF
+    (docs/DEPLOY.md 'Failure handling')."""
+    gfa, reads = _diamond_gfa_and_reads(tmp_path, n_reads=9)
+    out_single = tmp_path / "single.gaf"
+    from poasta_tpu.cli.lasagna import main as lasagna_main
+
+    rc = lasagna_main(["align", str(gfa), str(reads), "--mesh", "off",
+                       "-o", str(out_single)])
+    assert rc in (0, None)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_NUM_CPU_DEVICES"] = "1"
+    shim = ("import jax, sys; "
+            "jax.config.update('jax_platforms', 'cpu'); "
+            "from poasta_tpu.cli.lasagna import main; "
+            "sys.exit(main(sys.argv[1:]))")
+    out_multi = tmp_path / "dist.gaf"
+    # process 1 fails mid-stream: rendezvous succeeds (the graph loads),
+    # then its read stream errors before a single record is aligned
+    read_paths = [str(reads), str(tmp_path / "missing_reads.fa")]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", shim, "align",
+             str(gfa), read_paths[pid], "--mesh", "auto",
+             "-o", str(out_multi), "--distributed",
+             "--coordinator-address", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=300))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+    assert procs[0].returncode == 0, outs[0][1][-2000:]
+    assert procs[1].returncode != 0  # the simulated failure
+    part0 = tmp_path / "dist.gaf.part0"
+    part1 = tmp_path / "dist.gaf.part1"
+    assert part0.exists()
+    # the surviving shard is complete and valid on its own
+    assert len(part0.read_text().splitlines()) == 5
+    assert not part1.exists() or part1.read_text() == ""
+
+    # recovery: regenerate ONLY the lost shard, standalone
+    rc = lasagna_main(["align", str(gfa), str(reads), "--mesh", "off",
+                       "-o", str(out_multi),
+                       "--shard-index", "1", "--shard-count", "2"])
+    assert rc in (0, None)
+    assert len(part1.read_text().splitlines()) == 4
+    merged = _merge_round_robin([part0, part1])
+    assert merged == out_single.read_text()
+
+    # guard rails: out-of-range index and mixing with --distributed
+    assert lasagna_main(["align", str(gfa), str(reads),
+                         "--shard-index", "2", "--shard-count", "2",
+                         "-o", str(out_multi)]) == 1
+    assert lasagna_main(["align", str(gfa), str(reads),
+                         "--shard-index", "0", "--shard-count", "2",
+                         "--distributed", "-o", str(out_multi)]) == 1
