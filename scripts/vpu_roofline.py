@@ -45,7 +45,10 @@ V5E_VPU_PEAK = V5E_CLOCK_HZ * V5E_VPU_OPS_PER_CYCLE  # 6.14e12 int32 op/s
 
 BLK, WB = 64, 512  # microbench tile (matches the bench kernel's shape)
 INNER = 16         # op-steps per loop iteration
-LOOPS = 4096       # fori_loop trip count
+# big enough that the ~25-30 ms tethered dispatch is noise: the ilp8
+# variants run ~1e12 ops/call (first attempt used 4096 loops = 3.4e10
+# ops and measured the tunnel, not the VPU)
+LOOPS = 1 << 17    # fori_loop trip count
 
 
 def _time_fn(fn, *args, iters=5):
