@@ -1,0 +1,423 @@
+"""Seeded corridor scorer: per-read windowed with-ends fill (Pallas).
+
+The third fill family, combining the other two:
+
+* from the with-ends bounded kernels (:mod:`pallas_fill`,
+  ``_fill_kernel_bounded_ends``): per-(read, offset) best-end tracking
+  with the reference's tie-breaks (largest offset, then lowest rank);
+* from the trace kernels (:mod:`pallas_trace`): per-read 128-quantized
+  window step schedules, the tilted coordinates, and the HBM->SMEM
+  table streaming that serves graphs past the scalar-prefetch budget.
+
+Purpose: free-graph-begin (mapping) fills where a k-mer seed pass
+(:mod:`poasta_tpu.aligner.seeds`) has bracketed each read's locus — the
+fill then pays ``n_ranks x corridor_width`` cells instead of
+``n_ranks x L``.  Exactness rides the seeds.py certificate: every cell
+of any cost<=ub alignment lies inside the corridor, windows only raise
+DP values, so a returned score that verifies (<= ub) is the full fill's
+score with the identical optimal end state.
+
+Unlike the score-certified trace corridors (which re-fill around a
+*known* anchor), these corridors are built from hit diagonals BEFORE
+any score exists — the schedule bound is the same potential bracketing,
+anchored at the hits instead of the end state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dp_rows import INF
+from .pallas_fill import (
+    BIG_CHUNK,
+    VMEM_BUDGET,
+    _ge_masks,
+    _pallas_call,
+    _prefix_min_rows,
+    _roll_lanes,
+)
+from .pallas_trace import _schedule_exec, _sched_potentials
+
+
+def _seed_kernel(
+    # scalar prefetch
+    meta_ref,         # (4,): [n_real_ranks, end_rank, _, _]
+    # inputs
+    tab_hbm,          # (Np_pad*R,) int32 HBM: [sym, wslot, end_ok,
+    #                   slots*P, valid*P] per rank
+    anystep_hbm,      # (Np_pad,) int32 HBM
+    qshift_ref,       # (B_BLK, LQ) VMEM — pack_queries layout
+    stepbits_ref,     # (B_BLK, SW) VMEM
+    nb_ref,           # (B_BLK, 128) int32 — read lengths
+    jlo_ref,          # (B_BLK, 128) int32 — lowest permitted end offset
+    # outputs
+    val_ref,          # (B_BLK, Wb) int32 — best end value per lane
+    jout_ref,         # (B_BLK, Wb) int32 — its global offset
+    rout_ref,         # (B_BLK, Wb) int32 — its rank
+    # scratch
+    m_ring, d_ring,   # (W, B_BLK, Wb)
+    q_cur,            # (B_BLK, LQ)
+    words_tile,       # (B_BLK, 128)
+    tab_s,            # (2 * C * R,) SMEM
+    any_s,            # (2 * C,) SMEM
+    tsem,             # (2,) table DMA semaphores
+    *, W: int, P: int, Wb: int, o: int, e: int, x: int, B_BLK: int,
+    free_start: bool,
+):
+    """Tilted corridor fill with per-read step schedules and end-state
+    extraction.  Output lanes are BUCKETS, not offsets: when the window
+    rolls, a lane's recorded best (value, offset, rank) simply stays —
+    offsets are stored explicitly, so no eviction fold is needed and the
+    final cross-lane reduce recovers the batch end states."""
+    n_nodes = meta_ref[0]
+    end_rank = meta_ref[1]
+    R = 3 + 2 * P
+    inf = INF
+    C = BIG_CHUNK
+    CW = C * R
+
+    for w in range(W):
+        m_ring[w] = jnp.full((B_BLK, Wb), inf, dtype=jnp.int32)
+        d_ring[w] = jnp.full((B_BLK, Wb), inf, dtype=jnp.int32)
+    q_cur[:] = qshift_ref[:]
+    val_ref[:] = jnp.full((B_BLK, Wb), inf, dtype=jnp.int32)
+    jout_ref[:] = jnp.full((B_BLK, Wb), -1, dtype=jnp.int32)
+    rout_ref[:] = jnp.full((B_BLK, Wb), jnp.int32(2**30), dtype=jnp.int32)
+
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (B_BLK, Wb), dimension=1)
+    masks = _ge_masks(col32, Wb)
+    nb_col = nb_ref[:][:, :1]
+    jlo_col = jlo_ref[:][:, :1]
+
+    n_chunks = (n_nodes + C - 1) // C
+
+    def tab_dma(k, buf):
+        return pltpu.make_async_copy(
+            tab_hbm.at[pl.ds(k * CW, CW)],
+            tab_s.at[pl.ds(buf * CW, CW)],
+            tsem.at[buf])
+
+    def any_dma(k, buf):
+        return pltpu.make_async_copy(
+            anystep_hbm.at[pl.ds(k * C, C)],
+            any_s.at[pl.ds(buf * C, C)],
+            tsem.at[buf])
+
+    tab_dma(0, 0).start()
+    any_dma(0, 0).start()
+
+    def chunk_body(k, sig):
+        buf = jax.lax.rem(k, 2)
+        tab_dma(k, buf).wait()
+        any_dma(k, buf).wait()
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            nbuf = jax.lax.rem(k + 1, 2)
+            tab_dma(k + 1, nbuf).start()
+            any_dma(k + 1, nbuf).start()
+
+        base0 = buf * CW
+        abase = buf * C
+
+        def body(i, sig):
+            r = k * C + i
+            rec = base0 + i * R
+            sym = tab_s[rec]
+            wslot = tab_s[rec + 1]
+            endok_r = tab_s[rec + 2]
+            any_step_r = any_s[abase + i]
+
+            at_word = jax.lax.rem(r, 32) == 0
+            at_tile = jax.lax.rem(r, 4096) == 0
+
+            @pl.when(at_tile)
+            def _():
+                base = pl.multiple_of((r // 4096) * 128, 128)
+                words_tile[:] = stepbits_ref[:, pl.ds(base, 128)]
+
+            @pl.when(jnp.logical_and(at_word, jnp.logical_not(at_tile)))
+            def _():
+                words_tile[:] = _roll_lanes(words_tile[:], 127)
+
+            stepw = words_tile[:, :1]
+            stepped = jnp.logical_and(
+                any_step_r == 1, ((stepw >> (r % 32)) & 1) == 1)
+            sig = sig + jnp.where(stepped, 128, 0)
+
+            @pl.when(any_step_r == 1)
+            def _():
+                qroll = jnp.concatenate(
+                    [q_cur[:, 128:], jnp.zeros((B_BLK, 128), jnp.int32)],
+                    axis=1)
+                q_cur[:] = jnp.where(stepped, qroll, q_cur[:])
+
+                def _ring_roll(row):
+                    if Wb == 128:
+                        return jnp.full((B_BLK, Wb), inf, jnp.int32)
+                    return jnp.concatenate(
+                        [row[:, 128:],
+                         jnp.full((B_BLK, 128), inf, jnp.int32)], axis=1)
+
+                for w in range(W):
+                    mw = m_ring[w]
+                    dw = d_ring[w]
+                    m_ring[w] = jnp.where(stepped, _ring_roll(mw), mw)
+                    d_ring[w] = jnp.where(stepped, _ring_roll(dw), dw)
+
+            j32 = col32 + sig
+
+            slot0 = tab_s[rec + 3]
+            min_pm = m_ring[slot0]
+            min_pd = d_ring[slot0]
+            for p in range(1, P):
+                slot = tab_s[rec + 3 + p]
+                valid = tab_s[rec + 3 + P + p]
+                keep = valid == 1
+                min_pm = jnp.minimum(
+                    min_pm, jnp.where(keep, m_ring[slot], inf))
+                min_pd = jnp.minimum(
+                    min_pd, jnp.where(keep, d_ring[slot], inf))
+
+            D = jnp.minimum(min_pm + (o + e), min_pd + e)
+
+            diag_src = _roll_lanes(min_pm, 1)
+            diag_src = jnp.where(masks[1], diag_src, inf)
+            qwin = q_cur[:, :Wb]
+            match_cost = jnp.where(qwin == sym, jnp.int32(-e),
+                                   jnp.int32(x - e))
+            diag = diag_src + match_cost
+
+            A = jnp.minimum(diag, D)
+            if free_start:
+                org = r != end_rank
+            else:
+                org = r == 0
+            zero_at_origin = jnp.where(j32 == 0, jnp.int32(0),
+                                       jnp.int32(inf))
+            A = jnp.where(org, jnp.minimum(A, zero_at_origin), A)
+
+            pref = _prefix_min_rows(A, Wb, jnp.int32(inf), col32, masks)
+            pref_m1 = _roll_lanes(pref, 1)
+            pref_m1 = jnp.where(masks[1], pref_m1, inf)
+            I = jnp.minimum(pref_m1 + o, inf)
+
+            M = jnp.minimum(A, I)
+            is_end = r == end_rank
+            M_final = jnp.where(is_end, min_pm, M)
+
+            # end-state extraction (untilted value = stored + e*j); the
+            # virtual end rank always qualifies, like end_ok in
+            # ends_free_device_params
+            elig = jnp.logical_and(
+                jnp.logical_or(endok_r == 1, is_end),
+                jnp.logical_and(j32 >= jlo_col, j32 <= nb_col))
+            cand = jnp.where(elig, jnp.minimum(M_final + e * j32, inf),
+                             inf)
+            better = jnp.logical_or(
+                cand < val_ref[:],
+                jnp.logical_and(cand == val_ref[:], j32 > jout_ref[:]))
+            val_ref[:] = jnp.where(better, cand, val_ref[:])
+            jout_ref[:] = jnp.where(better, j32, jout_ref[:])
+            rout_ref[:] = jnp.where(better, r, rout_ref[:])
+
+            m_ring[wslot] = M_final
+            d_ring[wslot] = jnp.where(is_end, inf, D)
+            return sig
+
+        n_here = jnp.minimum(C, n_nodes - k * C)
+        return jax.lax.fori_loop(0, n_here, body, sig)
+
+    sig0 = jnp.zeros((B_BLK, 1), jnp.int32)
+    jax.lax.fori_loop(0, n_chunks, chunk_body, sig0)
+
+
+@functools.lru_cache(maxsize=None)
+def _seed_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
+               LQ: int, o: int, e: int, x: int, B_BLK: int,
+               free_start: bool):
+    kernel = functools.partial(_seed_kernel, W=W, P=P, Wb=Wb, o=o, e=e,
+                               x=x, B_BLK=B_BLK, free_start=free_start)
+    R = 3 + 2 * P
+    CW = BIG_CHUNK * R
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # rank table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # anystep stays in HBM
+            pl.BlockSpec((B_BLK, LQ), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, SW), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B_BLK, Wb), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, Wb), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, Wb), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, B_BLK, Wb), jnp.int32),
+            pltpu.VMEM((W, B_BLK, Wb), jnp.int32),
+            pltpu.VMEM((B_BLK, LQ), jnp.int32),
+            pltpu.VMEM((B_BLK, 128), jnp.int32),
+            pltpu.SMEM((2 * CW,), jnp.int32),
+            pltpu.SMEM((2 * BIG_CHUNK,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = _pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks * B_BLK, Wb), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+    )
+
+    @jax.jit
+    def fn(tab, anystep, meta, qshift, stepbits, nb, jlo):
+        def tile(v):
+            return jnp.broadcast_to(
+                v[:, None], (v.shape[0], 128)).astype(jnp.int32)
+
+        val, jout, rout = call(meta, tab, anystep, qshift, stepbits,
+                               tile(nb), tile(jlo))
+        score = jnp.min(val, axis=1)
+        tie = val == score[:, None]
+        ej = jnp.max(jnp.where(tie, jout, jnp.int32(-1)), axis=1)
+        at_j = jnp.logical_and(tie, jout == ej[:, None])
+        er = jnp.min(jnp.where(at_j, rout, jnp.int32(2**30)), axis=1)
+        score = jnp.where(score >= INF, jnp.int32(INF), score)
+        return score, er, ej
+
+    return fn
+
+
+# (dg id, end_ok id) -> (dg, end_ok, tab, Np_pad) — static per-rank
+# records; end_ok varies with the graph_free_end bound so it keys too
+_SEED_TABLES: dict = {}
+
+
+def _seed_big_table(dg, end_ok):
+    key = (id(dg), id(end_ok))
+    ent = _SEED_TABLES.get(key)
+    if ent is not None and ent[0] is dg and ent[1] is end_ok:
+        return ent[2], ent[3]
+    P = int(dg.pred_slots.shape[1])
+    R = 3 + 2 * P
+    Np = dg.n_nodes_padded
+    Np_pad = ((Np + BIG_CHUNK - 1) // BIG_CHUNK) * BIG_CHUNK
+    tab = np.zeros((Np_pad, R), dtype=np.int32)
+    tab[:Np, 0] = np.asarray(dg.symbols)
+    tab[:Np, 1] = np.asarray(dg.write_slots)
+    eo = np.asarray(end_ok)
+    tab[:min(Np, eo.shape[0]), 2] = eo[:Np]
+    tab[:Np, 3:3 + P] = np.asarray(dg.pred_slots)
+    tab[:Np, 3 + P:3 + 2 * P] = np.asarray(dg.pred_valid).astype(np.int32)
+    tab_dev = jnp.asarray(tab.reshape(-1))
+    ent = (dg, end_ok, tab_dev, Np_pad)
+    _SEED_TABLES[key] = ent
+    while len(_SEED_TABLES) > 8:
+        _SEED_TABLES.pop(next(iter(_SEED_TABLES)))
+    return tab_dev, Np_pad
+
+
+def build_seed_schedule(flat, lengths_np, k_np, Wb: int, Np: int,
+                        alpha_min, beta_max):
+    """Per-read window schedule from hit-diagonal bounds.
+
+    Same slope-limited 128-quantized construction as the trace schedule
+    (:func:`pallas_trace.build_trace_schedule`), with the coverage bound
+    anchored at the hits:  ``alpha_min + dmax[r] - K <= j <= beta_max +
+    dmin[r] + K`` — algebraically the trace bound with a virtual anchor
+    at ``aj=0``, ``a_dmax=-alpha_min``, ``a_dmin=-beta_max``."""
+    B = lengths_np.shape[0]
+    dmin_d, dmax_d = _sched_potentials(flat, Np)
+    SW = ((Np + 31) // 32 + 127) // 128 * 128
+    fn = _schedule_exec(Wb, Np, SW)
+    i32 = np.int32
+    packed, any_step, starts, ok = fn(
+        dmin_d, dmax_d, jnp.asarray(lengths_np.astype(i32)),
+        jnp.asarray(k_np.astype(i32)),
+        jnp.asarray(np.zeros(B, i32)),
+        jnp.asarray((-beta_max).astype(i32)),
+        jnp.asarray((-alpha_min).astype(i32)),
+        np.int32(flat.n_nodes))
+    return packed, any_step, np.asarray(ok)
+
+
+WB_MAX = 4096  # corridor width budget; wider reads use the full fill
+
+
+def pallas_seed_scores(dg, flat, qshift, lengths, costs, free_start,
+                       end_ok, jlo, alpha_min, beta_max, ub_np):
+    """(scores, end_ranks, end_offsets, ok) via the seeded corridor fill.
+
+    ``alpha_min/beta_max``: per-read hit-diagonal bounds from
+    :meth:`KmerIndex.seed_bounds`; ``ub_np``: per-read score upper
+    bounds the corridor is provably sufficient for (callers verify
+    ``score <= ub`` afterwards).  ``ok[b]`` False marks reads whose
+    corridor did not fit the width budget (fall back to the full fill);
+    their score lanes are INF.
+    """
+    B, L = int(qshift.shape[0]), int(qshift.shape[1])
+    Np = dg.n_nodes_padded
+    P = int(dg.pred_slots.shape[1])
+    o, e, x = costs.gap_open, costs.gap_extend, costs.mismatch
+    lengths_np = np.asarray(lengths)
+    k_np = ub_np // max(e, 1) + 1
+
+    # requested width: hit-diagonal spread + both gap margins + roll
+    # quantization slack
+    spread = np.maximum(beta_max - alpha_min, 0)
+    need = int((spread + 2 * k_np).max()) + 1 if B else 0
+    Wb = max(256, -(-(need + 160) // 128) * 128)
+    if Wb > WB_MAX:
+        return None
+    stepbits, any_step, ok = build_seed_schedule(
+        flat, lengths_np, k_np, Wb, Np, alpha_min, beta_max)
+    if not ok.any():
+        return None
+
+    LQ = -(-max(L, Wb + 128) // 128) * 128
+    if LQ > L:
+        qshift = jnp.pad(jnp.asarray(qshift), ((0, 0), (0, LQ - L)))
+    tab_dev, Np_pad = _seed_big_table(dg, end_ok)
+    anyp = jnp.pad(any_step, (0, Np_pad - Np))
+
+    from .pallas_fill import pick_b_blk
+
+    blk = pick_b_blk(dg.window, Wb, LQ, 4, n_rings=4)
+    while B % blk:
+        blk //= 2
+    if blk < 8:
+        return None
+    SW = int(stepbits.shape[1])
+    fn = _seed_exec(B // blk, Np, dg.window, P, Wb, SW, LQ,
+                    o, e, x, blk, bool(free_start))
+    score, er, ej = fn(tab_dev, anyp, dg.meta, qshift, stepbits,
+                       jnp.asarray(lengths_np.astype(np.int32)),
+                       jnp.asarray(np.asarray(jlo).astype(np.int32)))
+    sc = np.asarray(score)
+    sc = np.where(ok, sc, INF).astype(np.int64)
+    return sc, np.asarray(er), np.asarray(ej), ok
+
+
+# VMEM_BUDGET re-exported check keeps pick_b_blk honest about the four
+# ring-sized buffers this kernel carries (2 rings + 3 outputs ~ 4 rings)
+_ = VMEM_BUDGET

@@ -341,6 +341,11 @@ class BatchMapper:
         # per-length-profile ub hints for the capped ends-free fill
         # ladder (see _fill_ends_free_capped)
         self._ef_ub_hint: dict = {}
+        # k-mer seeding state (see _fill_ends_free_seeded): the index is
+        # built lazily on first eligible batch; False marks an
+        # unsupported graph so the build isn't retried per batch
+        self._seed_index = None
+        self._seed_ub_hint: dict = {}
 
     def score_batch(self, queries) -> np.ndarray:
         from ..aligner.banded import BandedScorer
@@ -525,6 +530,146 @@ class BatchMapper:
             self._ef_ub_hint[key] = vmax
         return out
 
+    # seeding auto-engages above this graph size (the full bounded fill
+    # pays n_ranks x L per read; below this the corridor saves too few
+    # cells to beat the extra dispatch).  POASTA_SEED: "0" off, "all"
+    # every graph size, default auto.
+    SEED_MIN_NODES = 8192
+
+    def _ends_free_scores(self, queries, qshift, lengths, two_piece):
+        """(scores, end_ranks, end_offsets): seeded corridor fill when
+        provably exact and profitable, full bounded fill otherwise and
+        for the unresolved tail.  The seed ub hint is learned from each
+        batch's observed scores either way."""
+        import os
+
+        mode = os.environ.get("POASTA_SEED", "")
+        out = None
+        if mode != "0" and not two_piece and self.mesh is None:
+            try:
+                out = self._fill_ends_free_seeded(queries, qshift,
+                                                  lengths, mode)
+            except Exception:
+                if os.environ.get("POASTA_SEED_DEBUG"):
+                    raise
+                out = None
+        if out is None:
+            out = self._fill_ends_free_capped(qshift, lengths, two_piece)
+            if mode != "0" and not two_piece:
+                self._learn_seed_ub(lengths, out[0])
+        return out
+
+    def _learn_seed_ub(self, lengths, scores):
+        """Set the next batch's seed ub from this batch's scores: a
+        verified corridor only needs ub >= each read's score; +25% +
+        constant headroom keeps marginally-worse future reads out of
+        the fallback tail without inflating the corridor width."""
+        lengths_np = np.asarray(lengths)
+        finite = np.sort(scores[scores < INF])
+        if finite.size:
+            # 90th-percentile base, not max: one garbage read would
+            # otherwise blow the ub (and with it the k-condition and the
+            # corridor width) for every future batch — outliers are the
+            # fallback tail's job
+            q = int(finite[int(0.9 * (finite.size - 1))])
+            key = (int(lengths_np.min()), int(lengths_np.max()))
+            self._seed_ub_hint[key] = q + q // 4 + 2 * self.costs.mismatch
+
+    def _fill_ends_free_seeded(self, queries, qshift, lengths, mode):
+        """Exact (scores, end_ranks, end_offsets) via k-mer seeded
+        corridors (aligner/seeds.py certificate; ops/pallas_seed.py
+        kernel); None when ineligible — no ub hint yet, k-condition
+        unsatisfiable, graph unsupported — so the caller full-fills.
+
+        This is the batch analogue of the reference A*'s
+        work-proportional-to-score property for MAPPING spans (free
+        graph begin), where banding/drift cannot narrow the fill
+        (corner-anchored corridors): per-read work becomes
+        span x corridor-width instead of n_ranks x L."""
+        from ..aligner.seeds import SEED_K, KmerIndex
+        from ..aligner.wavefront import (
+            ends_free_device_params,
+            pack_queries,
+        )
+        from ..ops import pallas_seed as ps
+        from ..ops.pallas_fill import _interpret_mode
+
+        if jax.default_backend() == "cpu" and not _interpret_mode():
+            return None
+        n = self.flat.n_nodes
+        if mode != "all" and n < self.SEED_MIN_NODES:
+            return None
+        free_start, end_ok, jlo = ends_free_device_params(
+            self.flat, self.aln_type, lengths, self.dg.n_nodes_padded)
+        if not free_start:
+            # bounded graph begins anchor at the start node; the drift /
+            # banded machinery already narrows those fills
+            return None
+        lengths_np = np.asarray(lengths)
+        key = (int(lengths_np.min()), int(lengths_np.max()))
+        ub = self._seed_ub_hint.get(key)
+        if ub is None:
+            return None  # first batch of this profile learns the hint
+        c_min = min(self.costs.mismatch, self.costs.gap_extend)
+        if c_min <= 0:
+            return None
+        E = ub // c_min
+        jlo_np = np.asarray(jlo).astype(np.int64)
+        # per-read k-condition: any cost<=ub alignment spans >= jlo_b
+        # query chars, so it must contain an exact SEED_K-mer hit
+        kcond = (jlo_np - E) >= SEED_K * (E + 1)
+        if not kcond.any():
+            return None
+        if self._seed_index is None:
+            self._seed_index = KmerIndex(self.flat)
+        idx = self._seed_index
+        if not idx.ok:
+            return None
+        q_np, _ = pack_queries(queries, pad_to=int(qshift.shape[1]) - 1,
+                               place_on_device=False)
+        bounds = idx.seed_bounds(q_np, lengths_np)
+        if bounds is None:
+            return None  # repeat blowup
+        alpha_min, beta_max, nhits = bounds
+        seedable = kcond & (nhits > 0)
+        if not seedable.any():
+            return None
+        # no-hit reads with a holding k-condition are PROVEN to score
+        # > ub; they join the fallback tail with the unverified ones
+        a_in = np.where(seedable, alpha_min, 0)
+        b_in = np.where(seedable, beta_max, 0)
+        ub_np = np.full(lengths_np.shape[0], ub, dtype=np.int64)
+        res = ps.pallas_seed_scores(
+            self.dg, self.flat, qshift, lengths, self.costs, free_start,
+            end_ok, jlo, a_in, b_in, ub_np)
+        if res is None:
+            return None
+        sc, er, ej, ok = res
+        resolved = seedable & ok & (sc <= ub)
+        stats = {"seeded": int(resolved.sum()),
+                 "seed_tail": int((~resolved).sum()), "seed_ub": ub}
+        self.last_seed_stats = stats
+        if not resolved.any():
+            return None
+        sc = sc.astype(np.int64)
+        er = er.astype(np.int64)
+        ej = ej.astype(np.int64)
+        tail = np.nonzero(~resolved)[0]
+        if tail.size:
+            pad_to = -(-tail.size // 64) * 64
+            idx_pad = np.resize(tail, pad_to)
+            idx_dev = jnp.asarray(idx_pad)
+            q_sub = jnp.take(qshift, idx_dev, axis=0)
+            l_sub = jnp.take(lengths, idx_dev, axis=0)
+            sc2, er2, ej2 = self._fill_ends_free_capped(q_sub, l_sub,
+                                                        False)
+            ts = tail.size
+            sc[tail] = sc2[:ts]
+            er[tail] = er2[:ts]
+            ej[tail] = ej2[:ts]
+        self._learn_seed_ub(lengths, sc)
+        return sc, er, ej
+
     def _align_batch_ends_free(self, queries, qshift, lengths, two_piece):
         """Ends-free scores + alignments.
 
@@ -560,8 +705,8 @@ class BatchMapper:
             from concurrent.futures import ThreadPoolExecutor
 
             t0 = time.perf_counter()
-            sc, er, ej = self._fill_ends_free_capped(qshift, lengths,
-                                                     two_piece)
+            sc, er, ej = self._ends_free_scores(queries, qshift, lengths,
+                                                two_piece)
             stats = self.last_ends_free_stats = {
                 "device_s": time.perf_counter() - t0,
                 "anchored_ok": 0, "exact_fallback": 0, "host_s": 0.0,
