@@ -180,18 +180,25 @@ def main():
 
     # Baseline: native (C++) exact engine — single-core, same A* algorithm
     # family and data structures as the reference's Rust implementation.
+    # Rate from the MEDIAN per-read time: r03->r04 the mean-based figure
+    # drifted 0.178 -> 0.2188 on contention alone and moved vs_baseline
+    # 10390x -> 8532x with no device change (round-4 ADVICE).
+    import statistics
+
     from poasta_tpu.native import NativeAligner
 
     na = NativeAligner(graph)
     sample = reads[:16]
-    t0 = time.perf_counter()
+    per_read = []
     for i, q in enumerate(sample):
+        t0 = time.perf_counter()
         score, _, _ = na.align(q, costs)
+        per_read.append(time.perf_counter() - t0)
         assert score == int(scores[i]), (score, int(scores[i]))
-    host_elapsed = time.perf_counter() - t0
-    host_reads_per_sec = len(sample) / host_elapsed
+    host_reads_per_sec = 1.0 / statistics.median(per_read)
     extras["host_baseline_reads_per_sec"] = round(host_reads_per_sec, 4)
     extras["host_baseline_sample"] = len(sample)
+    extras["host_baseline_protocol"] = "1/median_per_read_s"
 
     # --- hybrid end-to-end alignments (device scores + native seeded
     # backtrace — the lasagna long-read serving path; exercises round
@@ -203,12 +210,17 @@ def main():
         hmap = BatchMapper(graph, costs)
         hsample = reads[:32]
         hout = hmap.align_batch(hsample)  # warm (device compile + seed)
-        t0 = time.perf_counter()
-        hout = hmap.align_batch(hsample)
-        el_h = time.perf_counter() - t0
+        ts_h = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            hout = hmap.align_batch(hsample)
+            ts_h.append(time.perf_counter() - t0)
+        el_h = statistics.median(ts_h)
         for i, (s, _aln) in enumerate(hout):
             assert s == int(scores[i]), (s, int(scores[i]))
         extras["hybrid_align_reads_per_sec"] = round(len(hsample) / el_h, 2)
+        extras["hybrid_align_spread"] = [round(t, 4) for t in
+                                         (min(ts_h), max(ts_h))]
     except AssertionError:
         raise  # a device-vs-native score mismatch must fail the run
     except Exception as exc:  # env-only leniency for the extra config
@@ -291,12 +303,27 @@ def main():
             preads.append(_mutate(rng, pbase[a:a + 5000], 0.015).encode())
         cfgp = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
         pmap = BatchMapper(gp, costs, aln_type=cfgp)
-        pmap.align_batch(preads)  # warm
-        t0 = time.perf_counter()
-        pout = pmap.align_batch(preads)
-        el_p = time.perf_counter() - t0
+        pmap.align_batch(preads)  # warm 1: compile + learn seed ub
+        pmap.align_batch(preads)  # warm 2: compile the seeded corridor
+        ts_p = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            pout = pmap.align_batch(preads)
+            ts_p.append(time.perf_counter() - t0)
+        el_p = statistics.median(ts_p)
         extras["pangenome_semiglobal_reads_per_sec"] = round(64 / el_p, 2)
+        extras["pangenome_spread"] = [round(t, 4) for t in
+                                      (min(ts_p), max(ts_p))]
         extras["pangenome_graph_nodes"] = N
+        # seeded-corridor engagement (round-4 VERDICT #2: an inert path
+        # must never again look like a shipped win)
+        sst = getattr(pmap, "last_seed_stats", None)
+        extras["seed_engaged"] = bool(sst) and sst.get("seeded", 0) > 0
+        if sst:
+            extras["pangenome_seeded"] = sst.get("seeded", 0)
+            extras["pangenome_seed_tail"] = sst.get("seed_tail", 0)
+            extras["pangenome_seed_k"] = sst.get("seed_k", 0)
+        _ = pout
     except Exception as exc:  # never fail the bench on the extra config
         extras["pangenome_semiglobal_error"] = str(exc)[:120]
 

@@ -48,14 +48,19 @@ from .pallas_trace import _schedule_exec, _sched_potentials
 def _seed_kernel(
     # scalar prefetch
     meta_ref,         # (4,): [n_real_ranks, end_rank, _, _]
+    c0_ref,           # (nblocks,): first table chunk per batch block
+    cn_ref,           # (nblocks,): chunk count per batch block (0: skip)
     # inputs
     tab_hbm,          # (Np_pad*R,) int32 HBM: [sym, wslot, end_ok,
     #                   slots*P, valid*P] per rank
     anystep_hbm,      # (Np_pad,) int32 HBM
-    qshift_ref,       # (B_BLK, LQ) VMEM — pack_queries layout
+    qshift_ref,       # (B_BLK, LQ) VMEM — pack_queries layout,
+    #                   pre-shifted left by the read's sig0 lanes
     stepbits_ref,     # (B_BLK, SW) VMEM
     nb_ref,           # (B_BLK, 128) int32 — read lengths
     jlo_ref,          # (B_BLK, 128) int32 — lowest permitted end offset
+    sig0_ref,         # (B_BLK, 128) int32 — window start entering the
+    #                   block's first rank (multiple of 128)
     # outputs
     val_ref,          # (B_BLK, Wb) int32 — best end value per lane
     jout_ref,         # (B_BLK, Wb) int32 — its global offset
@@ -68,15 +73,27 @@ def _seed_kernel(
     any_s,            # (2 * C,) SMEM
     tsem,             # (2,) table DMA semaphores
     *, W: int, P: int, Wb: int, o: int, e: int, x: int, B_BLK: int,
-    free_start: bool,
+    free_start: bool, max_run: int = 0,
 ):
     """Tilted corridor fill with per-read step schedules and end-state
     extraction.  Output lanes are BUCKETS, not offsets: when the window
     rolls, a lane's recorded best (value, offset, rank) simply stays —
     offsets are stored explicitly, so no eviction fold is needed and the
-    final cross-lane reduce recovers the batch end states."""
+    final cross-lane reduce recovers the batch end states.
+
+    Batch blocks are locus-sorted by the caller and each carries its own
+    rank range [c0*C, (c0+cn)*C): ranks outside it have empty windows
+    for every read in the block (their in-corridor rows are all-INF, so
+    skipping them computes the identical result) — per-block work is
+    locus-span x Wb instead of n_ranks x Wb.  c0*C is 4096-aligned so
+    the stepbits tile loads hit their r%4096==0 trigger; the window
+    enters the block at sig0 (the schedule's start at the previous
+    rank), with the query row pre-shifted to match."""
     n_nodes = meta_ref[0]
     end_rank = meta_ref[1]
+    blk = pl.program_id(0)
+    c0 = c0_ref[blk]
+    ncn = cn_ref[blk]
     R = 3 + 2 * P
     inf = INF
     C = BIG_CHUNK
@@ -95,31 +112,32 @@ def _seed_kernel(
     nb_col = nb_ref[:][:, :1]
     jlo_col = jlo_ref[:][:, :1]
 
-    n_chunks = (n_nodes + C - 1) // C
-
-    def tab_dma(k, buf):
+    def tab_dma(k_abs, buf):
         return pltpu.make_async_copy(
-            tab_hbm.at[pl.ds(k * CW, CW)],
+            tab_hbm.at[pl.ds(k_abs * CW, CW)],
             tab_s.at[pl.ds(buf * CW, CW)],
             tsem.at[buf])
 
-    def any_dma(k, buf):
+    def any_dma(k_abs, buf):
         return pltpu.make_async_copy(
-            anystep_hbm.at[pl.ds(k * C, C)],
+            anystep_hbm.at[pl.ds(k_abs * C, C)],
             any_s.at[pl.ds(buf * C, C)],
             tsem.at[buf])
 
-    tab_dma(0, 0).start()
-    any_dma(0, 0).start()
+    @pl.when(ncn > 0)
+    def _():
+        tab_dma(c0, 0).start()
+        any_dma(c0, 0).start()
 
-    def chunk_body(k, sig):
-        buf = jax.lax.rem(k, 2)
+    def chunk_body(kk, sig):
+        k = c0 + kk
+        buf = jax.lax.rem(kk, 2)
         tab_dma(k, buf).wait()
         any_dma(k, buf).wait()
 
-        @pl.when(k + 1 < n_chunks)
+        @pl.when(kk + 1 < ncn)
         def _():
-            nbuf = jax.lax.rem(k + 1, 2)
+            nbuf = jax.lax.rem(kk + 1, 2)
             tab_dma(k + 1, nbuf).start()
             any_dma(k + 1, nbuf).start()
 
@@ -203,7 +221,8 @@ def _seed_kernel(
                                        jnp.int32(inf))
             A = jnp.where(org, jnp.minimum(A, zero_at_origin), A)
 
-            pref = _prefix_min_rows(A, Wb, jnp.int32(inf), col32, masks)
+            pref = _prefix_min_rows(A, Wb, jnp.int32(inf), col32, masks,
+                                    max_shift=max_run)
             pref_m1 = _roll_lanes(pref, 1)
             pref_m1 = jnp.where(masks[1], pref_m1, inf)
             I = jnp.minimum(pref_m1 + o, inf)
@@ -234,20 +253,21 @@ def _seed_kernel(
         n_here = jnp.minimum(C, n_nodes - k * C)
         return jax.lax.fori_loop(0, n_here, body, sig)
 
-    sig0 = jnp.zeros((B_BLK, 1), jnp.int32)
-    jax.lax.fori_loop(0, n_chunks, chunk_body, sig0)
+    sig0 = sig0_ref[:][:, :1]
+    jax.lax.fori_loop(0, ncn, chunk_body, sig0)
 
 
 @functools.lru_cache(maxsize=None)
 def _seed_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
                LQ: int, o: int, e: int, x: int, B_BLK: int,
-               free_start: bool):
+               free_start: bool, max_run: int = 0):
     kernel = functools.partial(_seed_kernel, W=W, P=P, Wb=Wb, o=o, e=e,
-                               x=x, B_BLK=B_BLK, free_start=free_start)
+                               x=x, B_BLK=B_BLK, free_start=free_start,
+                               max_run=max_run)
     R = 3 + 2 * P
     CW = BIG_CHUNK * R
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # rank table stays in HBM
@@ -255,6 +275,8 @@ def _seed_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
             pl.BlockSpec((B_BLK, LQ), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B_BLK, SW), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B_BLK, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -290,13 +312,14 @@ def _seed_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
     )
 
     @jax.jit
-    def fn(tab, anystep, meta, qshift, stepbits, nb, jlo):
+    def fn(tab, anystep, meta, c0, cn, qshift, stepbits, nb, jlo, sig0):
         def tile(v):
             return jnp.broadcast_to(
                 v[:, None], (v.shape[0], 128)).astype(jnp.int32)
 
-        val, jout, rout = call(meta, tab, anystep, qshift, stepbits,
-                               tile(nb), tile(jlo))
+        val, jout, rout = call(meta, c0, cn, tab, anystep, qshift,
+                               stepbits, tile(nb), tile(jlo),
+                               tile(sig0))
         score = jnp.min(val, axis=1)
         tie = val == score[:, None]
         ej = jnp.max(jnp.where(tie, jout, jnp.int32(-1)), axis=1)
@@ -345,7 +368,10 @@ def build_seed_schedule(flat, lengths_np, k_np, Wb: int, Np: int,
     (:func:`pallas_trace.build_trace_schedule`), with the coverage bound
     anchored at the hits:  ``alpha_min + dmax[r] - K <= j <= beta_max +
     dmin[r] + K`` — algebraically the trace bound with a virtual anchor
-    at ``aj=0``, ``a_dmax=-alpha_min``, ``a_dmin=-beta_max``."""
+    at ``aj=0``, ``a_dmax=-alpha_min``, ``a_dmin=-beta_max``.  Returns
+    ``(stepbits, any_step, starts, ok)``; ``starts`` is the DEVICE
+    (B, Np) window-start array (the kernel's block-entry sig0 gathers
+    from it)."""
     B = lengths_np.shape[0]
     dmin_d, dmax_d = _sched_potentials(flat, Np)
     SW = ((Np + 31) // 32 + 127) // 128 * 128
@@ -358,22 +384,55 @@ def build_seed_schedule(flat, lengths_np, k_np, Wb: int, Np: int,
         jnp.asarray((-beta_max).astype(i32)),
         jnp.asarray((-alpha_min).astype(i32)),
         np.int32(flat.n_nodes))
-    return packed, any_step, np.asarray(ok)
+    return packed, any_step, starts, np.asarray(ok)
+
+
+@functools.lru_cache(maxsize=None)
+def _range_exec(Np: int):
+    """Per-read corridor rank range: first/last rank whose coverage
+    window (the schedule's own bound) intersects [0, n_b]."""
+
+    @jax.jit
+    def fn(dmin, dmax, lengths, k, alpha, beta, n_real):
+        K = jnp.maximum(k, 0).astype(jnp.int32)[:, None]
+        nb = lengths.astype(jnp.int32)[:, None]
+        lo = alpha.astype(jnp.int32)[:, None] + dmax[None, :] - K
+        hi = jnp.minimum(beta.astype(jnp.int32)[:, None] + dmin[None, :]
+                         + K, nb)
+        ridx = jnp.arange(Np, dtype=jnp.int32)[None, :]
+        ne = jnp.logical_and(
+            ridx < n_real, jnp.logical_and(lo <= hi, hi >= 0))
+        has = ne.any(axis=1)
+        r_lo = jnp.argmax(ne, axis=1).astype(jnp.int32)
+        r_hi = (Np - 1 - jnp.argmax(ne[:, ::-1], axis=1)).astype(jnp.int32)
+        return r_lo, r_hi, has
+
+    return fn
 
 
 WB_MAX = 4096  # corridor width budget; wider reads use the full fill
+
+# batch-block cap: smaller blocks localize rank ranges (each block scans
+# only its own reads' locus span), at the cost of more per-rank scalar
+# iterations when loci overlap; 16 measured best at pangenome shapes
+SEED_B_BLK = 16
 
 
 def pallas_seed_scores(dg, flat, qshift, lengths, costs, free_start,
                        end_ok, jlo, alpha_min, beta_max, ub_np):
     """(scores, end_ranks, end_offsets, ok) via the seeded corridor fill.
 
-    ``alpha_min/beta_max``: per-read hit-diagonal bounds from
-    :meth:`KmerIndex.seed_bounds`; ``ub_np``: per-read score upper
-    bounds the corridor is provably sufficient for (callers verify
-    ``score <= ub`` afterwards).  ``ok[b]`` False marks reads whose
-    corridor did not fit the width budget (fall back to the full fill);
-    their score lanes are INF.
+    ``alpha_min/beta_max``: per-read hit-diagonal cluster bounds from
+    :func:`poasta_tpu.aligner.seeds.propose_clusters`; ``ub_np``:
+    per-read score upper bounds the corridor margin is sized for
+    (callers verify ``score <= ub`` and the post-hoc certificate
+    afterwards).  ``ok[b]`` False marks reads whose corridor did not fit
+    the width budget (fall back to the full fill); their score lanes
+    are INF.
+
+    The batch is locus-sorted internally so consecutive reads share
+    rank ranges; each kernel block processes only its own chunk span.
+    Outputs are returned in the caller's order.
     """
     B, L = int(qshift.shape[0]), int(qshift.shape[1])
     Np = dg.n_nodes_padded
@@ -386,36 +445,125 @@ def pallas_seed_scores(dg, flat, qshift, lengths, costs, free_start,
     # quantization slack
     spread = np.maximum(beta_max - alpha_min, 0)
     need = int((spread + 2 * k_np).max()) + 1 if B else 0
-    Wb = max(256, -(-(need + 160) // 128) * 128)
+    # 512-quantized so batch-to-batch cluster-width jitter doesn't
+    # recompile the kernel (ub's run cap is pow2-quantized for the same
+    # reason)
+    Wb = max(256, -(-(need + 160) // 512) * 512)
     if Wb > WB_MAX:
         return None
-    stepbits, any_step, ok = build_seed_schedule(
-        flat, lengths_np, k_np, Wb, Np, alpha_min, beta_max)
-    if not ok.any():
-        return None
-
-    LQ = -(-max(L, Wb + 128) // 128) * 128
-    if LQ > L:
-        qshift = jnp.pad(jnp.asarray(qshift), ((0, 0), (0, LQ - L)))
-    tab_dev, Np_pad = _seed_big_table(dg, end_ok)
-    anyp = jnp.pad(any_step, (0, Np_pad - Np))
 
     from .pallas_fill import pick_b_blk
 
-    blk = pick_b_blk(dg.window, Wb, LQ, 4, n_rings=4)
+    import os
+
+    LQ = -(-max(L, Wb + 128) // 128) * 128
+    blk_cap = int(os.environ.get("POASTA_SEED_BLK", "0")) or SEED_B_BLK
+    blk = min(pick_b_blk(dg.window, Wb, LQ, 4, n_rings=4), blk_cap)
     while B % blk:
         blk //= 2
     if blk < 8:
         return None
+
+    import time as _time
+
+    prof = os.environ.get("POASTA_SEED_PROFILE")
+    marks = [("t0", _time.perf_counter())]
+
+    # locus sort: consecutive (sorted) reads fall into the same block,
+    # so block rank ranges stay narrow
+    perm = np.argsort(alpha_min + beta_max, kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(B)
+    a_p = alpha_min[perm]
+    b_p = beta_max[perm]
+    k_p = k_np[perm]
+    l_p = lengths_np[perm]
+    jlo_p = np.asarray(jlo).astype(np.int64)[perm]
+    perm_dev = jnp.asarray(perm.astype(np.int32))
+    q_p = jnp.take(jnp.asarray(qshift), perm_dev, axis=0)
+
+    stepbits, any_step, starts, ok = build_seed_schedule(
+        flat, l_p, k_p, Wb, Np, a_p, b_p)
+    if not ok.any():
+        return None
+    if prof:
+        ok.any(); marks.append(("sched", _time.perf_counter()))
+
+    dmin_d, dmax_d = _sched_potentials(flat, Np)
+    r_lo, r_hi, has = _range_exec(Np)(
+        dmin_d, dmax_d, jnp.asarray(l_p.astype(np.int32)),
+        jnp.asarray(k_p.astype(np.int32)),
+        jnp.asarray(a_p.astype(np.int32)),
+        jnp.asarray(b_p.astype(np.int32)), np.int32(flat.n_nodes))
+    r_lo_np = np.asarray(r_lo).astype(np.int64)
+    r_hi_np = np.asarray(r_hi).astype(np.int64)
+    has_np = np.asarray(has)
+    if prof:
+        marks.append(("ranges", _time.perf_counter()))
+
+    C = BIG_CHUNK
+    n_chunks = (flat.n_nodes + C - 1) // C
+    nblocks = B // blk
+    c0 = np.zeros(nblocks, dtype=np.int32)
+    cn = np.zeros(nblocks, dtype=np.int32)
+    blk_lo_rank = np.zeros(B, dtype=np.int64)
+    for i in range(nblocks):
+        sl = slice(i * blk, (i + 1) * blk)
+        hv = has_np[sl]
+        if not hv.any():
+            continue  # cn 0: the kernel skips the block entirely
+        lo = int(r_lo_np[sl][hv].min())
+        hi = int(r_hi_np[sl][hv].max())
+        # 4096-align the entry so the stepbits tile trigger (r%4096==0)
+        # fires on the block's first rank (4096 = 4 * BIG_CHUNK)
+        lo4 = (lo // 4096) * 4096
+        c0[i] = lo4 // C
+        cn[i] = min(n_chunks, -(-(hi + 1) // C)) - c0[i]
+        blk_lo_rank[sl] = lo4
+
+    # window position entering each block: the schedule's start at the
+    # rank before the block (0 for rank 0); query rows pre-shift to it
+    prev_idx = np.maximum(blk_lo_rank - 1, 0)
+    sig0 = jnp.take_along_axis(
+        starts, jnp.asarray(prev_idx.astype(np.int32))[:, None],
+        axis=1)[:, 0]
+    sig0 = jnp.where(jnp.asarray(blk_lo_rank == 0), jnp.int32(0), sig0)
+    if LQ > L:
+        q_p = jnp.pad(q_p, ((0, 0), (0, LQ - L)))
+    lane = jnp.arange(LQ, dtype=jnp.int32)[None, :] + sig0[:, None]
+    q_p = jnp.where(lane < LQ,
+                    jnp.take_along_axis(q_p, jnp.minimum(lane, LQ - 1),
+                                        axis=1), 0)
+
+    tab_dev, Np_pad = _seed_big_table(dg, end_ok)
+    anyp = jnp.pad(any_step, (0, Np_pad - Np))
+    if prof:
+        jax.block_until_ready(q_p); marks.append(("qprep", _time.perf_counter()))
+
+    from ..aligner.banded import ins_run_cap
+
+    max_run = ins_run_cap(costs, int(ub_np.max()), Wb)
     SW = int(stepbits.shape[1])
-    fn = _seed_exec(B // blk, Np, dg.window, P, Wb, SW, LQ,
-                    o, e, x, blk, bool(free_start))
-    score, er, ej = fn(tab_dev, anyp, dg.meta, qshift, stepbits,
-                       jnp.asarray(lengths_np.astype(np.int32)),
-                       jnp.asarray(np.asarray(jlo).astype(np.int32)))
-    sc = np.asarray(score)
-    sc = np.where(ok, sc, INF).astype(np.int64)
-    return sc, np.asarray(er), np.asarray(ej), ok
+    fn = _seed_exec(nblocks, Np, dg.window, P, Wb, SW, LQ,
+                    o, e, x, blk, bool(free_start), max_run)
+    score, er, ej = fn(tab_dev, anyp, dg.meta, jnp.asarray(c0),
+                       jnp.asarray(cn), q_p, stepbits,
+                       jnp.asarray(l_p.astype(np.int32)),
+                       jnp.asarray(jlo_p.astype(np.int32)), sig0)
+    if prof:
+        jax.block_until_ready(score)
+        marks.append(("kernel", _time.perf_counter()))
+    sc = np.asarray(score)[inv]
+    sc = np.where(ok[inv], sc, INF).astype(np.int64)
+    out = sc, np.asarray(er)[inv], np.asarray(ej)[inv], ok[inv]
+    if prof:
+        marks.append(("d2h", _time.perf_counter()))
+        deltas = {n: round(t - marks[i][1], 4)
+                  for i, (n, t) in enumerate(marks[1:])}
+        spans = [int(cn[i]) * BIG_CHUNK for i in range(nblocks)]
+        print(f"[seed-profile] Wb={Wb} blk={blk} spans={spans} {deltas}",
+              flush=True)
+    return out
 
 
 # VMEM_BUDGET re-exported check keeps pick_b_blk honest about the four

@@ -577,16 +577,28 @@ class BatchMapper:
 
     def _fill_ends_free_seeded(self, queries, qshift, lengths, mode):
         """Exact (scores, end_ranks, end_offsets) via k-mer seeded
-        corridors (aligner/seeds.py certificate; ops/pallas_seed.py
-        kernel); None when ineligible — no ub hint yet, k-condition
-        unsatisfiable, graph unsupported — so the caller full-fills.
+        corridors; None when ineligible — no ub hint yet, graph
+        unsupported — so the caller full-fills.
+
+        Post-hoc certification (aligner/seeds.py): corridors are a
+        GUESS built from each read's dominant hit cluster; after the
+        corridor fill (ops/pallas_seed.py) returns score s_b, the
+        interruption-counting certificate proves — at c = s_b, not the
+        a-priori ub — that no alignment outside the corridor can score
+        <= s_b.  Certified reads are bit-identical to the full fill
+        (score AND end-state tie-breaks); everything else (no cluster,
+        unverified score, failed certificate) joins the fallback tail.
 
         This is the batch analogue of the reference A*'s
         work-proportional-to-score property for MAPPING spans (free
         graph begin), where banding/drift cannot narrow the fill
         (corner-anchored corridors): per-read work becomes
         span x corridor-width instead of n_ranks x L."""
-        from ..aligner.seeds import SEED_K, KmerIndex
+        from ..aligner.seeds import (
+            KmerIndex,
+            certify_reads,
+            propose_clusters,
+        )
         from ..aligner.wavefront import (
             ends_free_device_params,
             pack_queries,
@@ -610,44 +622,64 @@ class BatchMapper:
         ub = self._seed_ub_hint.get(key)
         if ub is None:
             return None  # first batch of this profile learns the hint
-        c_min = min(self.costs.mismatch, self.costs.gap_extend)
-        if c_min <= 0:
-            return None
-        E = ub // c_min
-        jlo_np = np.asarray(jlo).astype(np.int64)
-        # per-read k-condition: any cost<=ub alignment spans >= jlo_b
-        # query chars, so it must contain an exact SEED_K-mer hit
-        kcond = (jlo_np - E) >= SEED_K * (E + 1)
-        if not kcond.any():
+        e = self.costs.gap_extend
+        if e <= 0:
             return None
         if self._seed_index is None:
             self._seed_index = KmerIndex(self.flat)
         idx = self._seed_index
         if not idx.ok:
             return None
+        jlo_pre = np.asarray(jlo).astype(np.int64)
+        # necessary certificate condition at ANY achieved score c >= 0:
+        # T(c) <= T(0) = jlo - (k-1), so jlo <= k-1 (e.g. the reference's
+        # unbounded-qry-end offset>0 quirk, jlo ~ 1) can never certify —
+        # skip the corridor fill outright
+        if not (jlo_pre - (idx.k - 1) > 0).any():
+            return None
+        import time as _time
+
+        t0 = _time.perf_counter()
         q_np, _ = pack_queries(queries, pad_to=int(qshift.shape[1]) - 1,
                                place_on_device=False)
-        bounds = idx.seed_bounds(q_np, lengths_np)
-        if bounds is None:
+        hits = idx.seed_hits(q_np, lengths_np)
+        if hits is None:
             return None  # repeat blowup
-        alpha_min, beta_max, nhits = bounds
-        seedable = kcond & (nhits > 0)
+        B = lengths_np.shape[0]
+        ub_np = np.full(B, ub, dtype=np.int64)
+        K_u = ub_np // e
+        a_star, b_star, n_cluster = propose_clusters(hits, K_u)
+        t_hits = _time.perf_counter() - t0
+        seedable = (n_cluster > 0) & hits.clean
         if not seedable.any():
             return None
-        # no-hit reads with a holding k-condition are PROVEN to score
-        # > ub; they join the fallback tail with the unverified ones
-        a_in = np.where(seedable, alpha_min, 0)
-        b_in = np.where(seedable, beta_max, 0)
-        ub_np = np.full(lengths_np.shape[0], ub, dtype=np.int64)
+        a_in = np.where(seedable, a_star, 0)
+        b_in = np.where(seedable, b_star, 0)
+        t0 = _time.perf_counter()
         res = ps.pallas_seed_scores(
             self.dg, self.flat, qshift, lengths, self.costs, free_start,
             end_ok, jlo, a_in, b_in, ub_np)
         if res is None:
             return None
         sc, er, ej, ok = res
-        resolved = seedable & ok & (sc <= ub)
+        t_fill = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        jlo_np = np.asarray(jlo).astype(np.int64)
+        verified = seedable & ok & (sc <= ub)
+        cert_in = np.where(verified, sc, -1)  # skip uncertifiable rows
+        certified, T_np = certify_reads(hits, a_star, b_star, cert_in,
+                                        K_u, idx.k, jlo_np, self.costs,
+                                        idx.all_acgt)
+        t_cert = _time.perf_counter() - t0
+        resolved = verified & certified
         stats = {"seeded": int(resolved.sum()),
-                 "seed_tail": int((~resolved).sum()), "seed_ub": ub}
+                 "seed_tail": int((~resolved).sum()), "seed_ub": ub,
+                 "seed_k": idx.k,
+                 "cert_failed": int((verified & ~certified).sum()),
+                 "unverified": int((seedable & ~verified).sum()),
+                 "no_cluster": int((~seedable).sum()),
+                 "hits_s": round(t_hits, 4), "fill_s": round(t_fill, 4),
+                 "cert_s": round(t_cert, 4)}
         self.last_seed_stats = stats
         if not resolved.any():
             return None

@@ -419,6 +419,96 @@ def main():
         and (ej2s == ejxs).all(), (er2s[:8], erxs[:8])
     print("OK")
 
+    print("device traceback kernels (byte-identity vs native):")
+    _run_test_file("tests/test_trace.py", [
+        "test_anchored_ends_free_trace_matches_native",
+        "test_trace_edge_cases",
+        "test_trace_cost_equals_score",
+    ], param_calls=[
+        ("test_global_trace_matches_native", (5, GapAffine(4, 2, 6))),
+        ("test_global_trace_matches_native", (29, GapAffine(3, 1, 9))),
+    ])
+    print("  forced big-kernel trace path ...", end=" ", flush=True)
+    import poasta_tpu.ops.pallas_trace as _pt
+
+    class _MP:  # pytest-monkeypatch stand-in with explicit undo
+        def __init__(self):
+            self._saved = []
+
+        def setattr(self, target, name, value):
+            self._saved.append((target, name, getattr(target, name)))
+            setattr(target, name, value)
+
+        def undo(self):
+            for t, n_, v in reversed(self._saved):
+                setattr(t, n_, v)
+
+    mp = _MP()
+    try:
+        _run_test_file("tests/test_trace.py", [],
+                       param_calls=[("test_big_trace_matches_native",
+                                     (mp,))])
+    finally:
+        mp.undo()
+
+    print("seeded corridor fills (post-hoc certificate):")
+    import os as _os
+
+    _os.environ["POASTA_SEED"] = "all"
+    _os.environ["POASTA_SEED_DEBUG"] = "1"
+    try:
+        from poasta_tpu.aligner.costs import UNBOUNDED, EndsFree, included
+        from poasta_tpu.parallel import BatchMapper
+
+        rng = random.Random(23)
+        n = 3000
+        base = "".join(rng.choice("ACGT") for _ in range(n))
+        gsd = POAGraph()
+        gsd.add_alignment_with_weights("s0", base.encode(), None, [1] * n)
+        for v in range(0, n - 3, 97):
+            gsd.add_edge(v, v + 3, 0, 1)
+        gsd.post_process()
+
+        def _mut(rng, s, d):
+            out = []
+            for ch in s:
+                r = rng.random()
+                if r < d:
+                    continue
+                out.append(rng.choice("ACGT") if r < 2.5 * d else ch)
+                if rng.random() < d:
+                    out.append(rng.choice("ACGT"))
+            return "".join(out) or "A"
+
+        cfgs = EndsFree(UNBOUNDED, included(0), UNBOUNDED, UNBOUNDED)
+        # (costs, divergence): the engagement envelope scales with the
+        # cost model — (3,1,9) at 1.5% has T<0 by design, so it runs at
+        # the divergence where its certificate engages
+        for costs_s, div in ((GapAffine(4, 2, 6), 0.015),
+                             (GapAffine(3, 1, 9), 0.005)):
+            print(f"  seeded == full fill, {costs_s} d={div} ...",
+                  end=" ", flush=True)
+            reads = []
+            for _ in range(64):
+                a = rng.randrange(0, n - 1200)
+                reads.append(_mut(rng, base[a:a + 1200], div).encode())
+            reads[11] = "".join(rng.choice("ACGT")
+                                for _ in range(1200)).encode()  # garbage
+            msd = BatchMapper(gsd, costs_s, aln_type=cfgs)
+            qsd, lsd = pack_queries(reads)
+            msd._ends_free_scores(reads, qsd, lsd, False)  # learn ub
+            scs, ers, ejs = msd._ends_free_scores(reads, qsd, lsd, False)
+            st = msd.last_seed_stats
+            assert st["seeded"] >= 48 and st["seed_tail"] >= 1, st
+            refs = msd._fill_ends_free_capped(qsd, lsd, False)
+            assert (np.asarray(scs) == np.asarray(refs[0])).all()
+            assert (np.asarray(ers) == np.asarray(refs[1])).all()
+            assert (np.asarray(ejs) == np.asarray(refs[2])).all()
+            print(f"OK (seeded {st['seeded']}/64, k={st['seed_k']})")
+    finally:
+        _os.environ.pop("POASTA_SEED", None)
+        _os.environ.pop("POASTA_SEED_DEBUG", None)
+
     if "--soak" in sys.argv:
         at = sys.argv.index("--soak")
         if at + 1 >= len(sys.argv) or not sys.argv[at + 1].isdigit():

@@ -207,8 +207,9 @@ def test_seeded_alignments_end_to_end():
 
 
 def test_unbounded_qry_end_never_seeds():
-    """Unbounded qry_free_end -> jlo ~ 1 -> the k-condition can never
-    hold, so the exact fallback serves (correctness gate, not a skip)."""
+    """Unbounded qry_free_end -> jlo ~ 1 -> the certificate can never
+    hold at any achieved score (T(c) <= T(0) = jlo - (k-1) <= 0), so
+    the exact fallback serves (correctness gate, not a skip)."""
     rng = random.Random(17)
     g, base, reads = _seeded_case(rng, 1200, 8, 600, 0.01)
     cfg = EndsFree(UNBOUNDED, UNBOUNDED, UNBOUNDED, UNBOUNDED)
@@ -219,3 +220,108 @@ def test_unbounded_qry_end_never_seeds():
     assert getattr(m, "last_seed_stats", None) is None
     ref = m._fill_ends_free_capped(qshift, lengths, False)
     np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref[0]))
+
+
+def test_guaranteed_hits_engagement_boundary():
+    """Pin the certificate's engagement envelope (VERDICT r4 #2): the
+    interruption-counting bound T = (jlo - c//c_rm) - (c//c_int + 1)(k-1)
+    at the bench operating point, and the exact c where it crosses 0."""
+    from poasta_tpu.aligner.seeds import guaranteed_hits
+
+    # costs 4/2/6: c_rm = min(4, 2) = 2, c_int = min(4, 6+2) = 4
+    assert guaranteed_hits(5000, 1650, 10, COSTS) == 458
+    # round 4's per-character bound gave NO guarantee here (E = 825,
+    # runs >= (5000-825)/826 ~ 5 < k); the counting bound gives 458
+    assert guaranteed_hits(5000, 1815, 10, COSTS) > 0   # engaged
+    assert guaranteed_hits(5000, 1816, 10, COSTS) <= 0  # boundary
+    # degenerate cost models give no guarantee
+    assert guaranteed_hits(5000, 100, 10, GapAffine(0, 0, 6)) <= 0
+    assert guaranteed_hits(5000, 100, 10, GapAffine(4, 0, 6)) <= 0
+
+
+def test_certify_synthetic_hit_sets():
+    """certify_reads on hand-built hit sets: scattered exterior hits
+    below T pass; >= T co-windowed exterior hits must refuse."""
+    import numpy as np
+
+    from poasta_tpu.aligner.seeds import SeedHits, certify_reads
+
+    k = 10
+    jlo = np.array([400, 400], dtype=np.int64)
+    scores = np.array([40, 40], dtype=np.int64)  # R=20, I=10, T=281
+    K_u = np.array([60, 60], dtype=np.int64)
+    # read 0: dense cluster at diag ~0 plus 5 scattered far hits
+    a0 = np.concatenate([np.zeros(50), [5000, 9000, -4000, 7000, 12000]])
+    # read 1: same cluster plus 290 co-windowed exterior hits at 5000
+    a1 = np.concatenate([np.zeros(50), np.full(290, 5000.0)])
+    alpha = np.concatenate([a0, a1]).astype(np.int64)
+    beta = alpha.copy()
+    start = np.array([0, a0.size, a0.size + a1.size], dtype=np.int64)
+    hits = SeedHits(alpha, beta, start, np.array([True, True]))
+    A_star = np.array([0, 0], dtype=np.int64)
+    B_star = np.array([0, 0], dtype=np.int64)
+    ok, T = certify_reads(hits, A_star, B_star, scores, K_u, k, jlo,
+                          COSTS, True)
+    assert T[0] == T[1] == 281
+    assert ok[0]          # 5 scattered << T
+    assert not ok[1]      # 290 co-windowed >= T: could carry an
+    #                       all-exterior alignment — must refuse
+    # all_acgt=False forbids certification outright
+    ok2, _ = certify_reads(hits, A_star, B_star, scores, K_u, k, jlo,
+                           COSTS, False)
+    assert not ok2.any()
+
+
+def test_two_locus_repeat_refuses_certificate():
+    """A read that occurs EXACTLY at two distant loci: optimal end-state
+    ties span both, a one-cluster corridor cannot see the other copy,
+    and the exterior copy's hits form a >= T window — the certificate
+    must refuse and the fallback must serve, keeping end-state
+    tie-breaks byte-identical to the full fill."""
+    rng = random.Random(19)
+    seg = "".join(rng.choice("ACGT") for _ in range(600))
+    left = "".join(rng.choice("ACGT") for _ in range(500))
+    mid = "".join(rng.choice("ACGT") for _ in range(800))
+    right = "".join(rng.choice("ACGT") for _ in range(500))
+    base = left + seg + mid + seg + right
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None,
+                                 [1] * len(base))
+    g.post_process()
+    reads = [seg.encode()]
+    # normal unique-locus reads so the batch still exercises seeding
+    for _ in range(7):
+        a = rng.randrange(0, len(base) - 600)
+        reads.append(_mutate(rng, base[a:a + 600], 0.01).encode())
+    m = BatchMapper(g, COSTS, aln_type=SEMI)
+    qshift, lengths = pack_queries(reads)
+    m._ends_free_scores(reads, qshift, lengths, False)  # learn ub
+    sc, er, ej = m._ends_free_scores(reads, qshift, lengths, False)
+    st = m.last_seed_stats
+    ref = m._fill_ends_free_capped(qshift, lengths, False)
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(er), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(ej), np.asarray(ref[2]))
+    # the repeat read must NOT have been certified into the seeded set
+    assert st["seed_tail"] >= 1, st
+
+
+def test_non_acgt_read_never_certifies():
+    """A read with an ambiguity code could exact-match a same-byte graph
+    symbol without appearing in the index — hits.clean gates it to the
+    fallback."""
+    rng = random.Random(31)
+    g, base, reads = _seeded_case(rng, 1200, 8, 600, 0.01)
+    nread = bytearray(reads[3])
+    nread[100:110] = b"N" * 10
+    reads[3] = bytes(nread)
+    m = BatchMapper(g, COSTS, aln_type=SEMI)
+    qshift, lengths = pack_queries(reads)
+    m._ends_free_scores(reads, qshift, lengths, False)
+    sc, er, ej = m._ends_free_scores(reads, qshift, lengths, False)
+    st = m.last_seed_stats
+    assert st["no_cluster"] >= 1 or st["seed_tail"] >= 1, st
+    ref = m._fill_ends_free_capped(qshift, lengths, False)
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(er), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(ej), np.asarray(ref[2]))
