@@ -418,3 +418,17 @@ def certify_reads(hits: SeedHits, A_star, B_star, scores, K_u, k: int,
         order = np.argsort(ev, kind="stable")
         out[b] = int(np.cumsum(dv[order]).max()) < T
     return out, T_out
+
+
+def subset_hits(hits: SeedHits, idx: np.ndarray) -> SeedHits:
+    """Row-subset of a hit set (for retry tails): gathers each selected
+    read's CSR slice; duplicate rows (pow-of-two padding) are fine."""
+    counts = (hits.start[1:] - hits.start[:-1])[idx]
+    start = np.zeros(idx.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=start[1:])
+    total = int(start[-1])
+    src = np.repeat(hits.start[idx], counts) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(start[:-1], counts))
+    return SeedHits(hits.alpha[src], hits.beta[src], start,
+                    hits.clean[idx])

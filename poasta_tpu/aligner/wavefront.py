@@ -385,7 +385,8 @@ _END_OK_CACHE: dict = {}  # (id(flat), bound, Np) -> (flat ref, mask)
 
 
 def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
-                            n_nodes_padded: int, two_piece: bool = False):
+                            n_nodes_padded: int, two_piece: bool = False,
+                            with_jlo: bool = True):
     """Lower an ``EndsFree`` span to device arrays for the bounded fills.
 
     Returns ``(free_start, end_ok, jlo)``:
@@ -415,6 +416,10 @@ def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
     ck = (id(flat), aln_type.graph_free_end, n_nodes_padded)
     ent = _END_OK_CACHE.get(ck)
     if ent is not None and ent[0] is flat:
+        if not with_jlo:
+            # callers with a host-side jlo mirror (the seeded corridor
+            # path) skip the device jlo dispatches entirely
+            return free_start, ent[1], None
         li = lengths.astype(jnp.int32)
         qkind, qval = aln_type.qry_free_end
         if qkind == "unbounded":
@@ -459,7 +464,7 @@ def ends_free_device_params(flat: FlatGraph, aln_type, lengths,
         jlo = jnp.maximum(li - qval, 0)
     else:
         jlo = jnp.maximum(li - qval + 1, 0)
-    return free_start, end_ok_dev, jlo
+    return free_start, end_ok_dev, (jlo if with_jlo else None)
 
 
 @functools.lru_cache(maxsize=None)

@@ -259,7 +259,7 @@ def _seed_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _seed_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
-               LQ: int, o: int, e: int, x: int, B_BLK: int,
+               LQ: int, LRAW: int, o: int, e: int, x: int, B_BLK: int,
                free_start: bool, max_run: int = 0):
     kernel = functools.partial(_seed_kernel, W=W, P=P, Wb=Wb, o=o, e=e,
                                x=x, B_BLK=B_BLK, free_start=free_start,
@@ -311,13 +311,58 @@ def _seed_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
         grid_spec=grid_spec,
     )
 
+    Np_pad = ((Np + BIG_CHUNK - 1) // BIG_CHUNK) * BIG_CHUNK
+    SW_local = SW
+
     @jax.jit
-    def fn(tab, anystep, meta, c0, cn, qshift, stepbits, nb, jlo, sig0):
+    def fn(tab, meta, dmin, dmax, qshift_raw, perm, nb, k, a_min, b_max,
+           jlo, n_real):
+        """Fused pipeline: schedule -> block rank ranges -> sig0/query
+        prep -> corridor kernel -> end-state reduce, ONE dispatch and
+        ONE (4, B) device->host transfer per call.  The eager version
+        paid ~25 ms of tether RPC latency for the schedule meta fetch
+        plus ~10 ms per extra XLA dispatch."""
+        from .pallas_trace import _schedule_body
+
         def tile(v):
             return jnp.broadcast_to(
                 v[:, None], (v.shape[0], 128)).astype(jnp.int32)
 
-        val, jout, rout = call(meta, c0, cn, tab, anystep, qshift,
+        B = nb.shape[0]
+        aj0 = jnp.zeros((B,), jnp.int32)
+        stepbits, any_step, starts, ok, r_lo, r_hi, has = _schedule_body(
+            dmin, dmax, nb, k, aj0, (-b_max).astype(jnp.int32),
+            (-a_min).astype(jnp.int32), n_real,
+            Wb=Wb, Np=Np, SW=SW_local)
+        anyp = jnp.pad(any_step, (0, Np_pad - Np))
+
+        # per-block chunk ranges (4096-aligned entry so the stepbits
+        # tile trigger fires on the block's first rank)
+        C = BIG_CHUNK
+        n_chunks = (n_real + C - 1) // C
+        r_lo_b = jnp.min(jnp.where(has, r_lo, Np).reshape(nblocks, B_BLK),
+                         axis=1)
+        r_hi_b = jnp.max(jnp.where(has, r_hi, -1).reshape(nblocks, B_BLK),
+                         axis=1)
+        has_b = has.reshape(nblocks, B_BLK).any(axis=1)
+        lo4 = (r_lo_b // 4096) * 4096
+        c0 = jnp.where(has_b, lo4 // C, 0).astype(jnp.int32)
+        cend = jnp.minimum(n_chunks, -(-(r_hi_b + 1) // C))
+        cn = jnp.where(has_b, cend - c0, 0).astype(jnp.int32)
+        blk_lo = jnp.repeat(lo4, B_BLK)
+
+        prev_idx = jnp.maximum(blk_lo - 1, 0)
+        sig0 = jnp.take_along_axis(starts, prev_idx[:, None],
+                                   axis=1)[:, 0]
+        sig0 = jnp.where(blk_lo == 0, jnp.int32(0), sig0)
+        q = jnp.take(qshift_raw, perm, axis=0)
+        if LQ > LRAW:
+            q = jnp.pad(q, ((0, 0), (0, LQ - LRAW)))
+        lane = jnp.arange(LQ, dtype=jnp.int32)[None, :] + sig0[:, None]
+        q = jnp.where(lane < LQ,
+                      jnp.take_along_axis(q, jnp.minimum(lane, LQ - 1),
+                                          axis=1), 0)
+        val, jout, rout = call(meta, c0, cn, tab, anyp, q,
                                stepbits, tile(nb), tile(jlo),
                                tile(sig0))
         score = jnp.min(val, axis=1)
@@ -326,7 +371,8 @@ def _seed_exec(nblocks: int, Np: int, W: int, P: int, Wb: int, SW: int,
         at_j = jnp.logical_and(tie, jout == ej[:, None])
         er = jnp.min(jnp.where(at_j, rout, jnp.int32(2**30)), axis=1)
         score = jnp.where(score >= INF, jnp.int32(INF), score)
-        return score, er, ej
+        # one stacked block: a single device->host transfer
+        return jnp.stack([score, er, ej, ok.astype(jnp.int32)])
 
     return fn
 
@@ -467,7 +513,7 @@ def pallas_seed_scores(dg, flat, qshift, lengths, costs, free_start,
     import time as _time
 
     prof = os.environ.get("POASTA_SEED_PROFILE")
-    marks = [("t0", _time.perf_counter())]
+    t_start = _time.perf_counter()
 
     # locus sort: consecutive (sorted) reads fall into the same block,
     # so block rank ranges stay narrow
@@ -479,90 +525,32 @@ def pallas_seed_scores(dg, flat, qshift, lengths, costs, free_start,
     k_p = k_np[perm]
     l_p = lengths_np[perm]
     jlo_p = np.asarray(jlo).astype(np.int64)[perm]
-    perm_dev = jnp.asarray(perm.astype(np.int32))
-    q_p = jnp.take(jnp.asarray(qshift), perm_dev, axis=0)
 
-    stepbits, any_step, starts, ok = build_seed_schedule(
-        flat, l_p, k_p, Wb, Np, a_p, b_p)
-    if not ok.any():
-        return None
-    if prof:
-        ok.any(); marks.append(("sched", _time.perf_counter()))
-
+    tab_dev, _Np_pad = _seed_big_table(dg, end_ok)
     dmin_d, dmax_d = _sched_potentials(flat, Np)
-    r_lo, r_hi, has = _range_exec(Np)(
-        dmin_d, dmax_d, jnp.asarray(l_p.astype(np.int32)),
-        jnp.asarray(k_p.astype(np.int32)),
-        jnp.asarray(a_p.astype(np.int32)),
-        jnp.asarray(b_p.astype(np.int32)), np.int32(flat.n_nodes))
-    r_lo_np = np.asarray(r_lo).astype(np.int64)
-    r_hi_np = np.asarray(r_hi).astype(np.int64)
-    has_np = np.asarray(has)
-    if prof:
-        marks.append(("ranges", _time.perf_counter()))
-
-    C = BIG_CHUNK
-    n_chunks = (flat.n_nodes + C - 1) // C
-    nblocks = B // blk
-    c0 = np.zeros(nblocks, dtype=np.int32)
-    cn = np.zeros(nblocks, dtype=np.int32)
-    blk_lo_rank = np.zeros(B, dtype=np.int64)
-    for i in range(nblocks):
-        sl = slice(i * blk, (i + 1) * blk)
-        hv = has_np[sl]
-        if not hv.any():
-            continue  # cn 0: the kernel skips the block entirely
-        lo = int(r_lo_np[sl][hv].min())
-        hi = int(r_hi_np[sl][hv].max())
-        # 4096-align the entry so the stepbits tile trigger (r%4096==0)
-        # fires on the block's first rank (4096 = 4 * BIG_CHUNK)
-        lo4 = (lo // 4096) * 4096
-        c0[i] = lo4 // C
-        cn[i] = min(n_chunks, -(-(hi + 1) // C)) - c0[i]
-        blk_lo_rank[sl] = lo4
-
-    # window position entering each block: the schedule's start at the
-    # rank before the block (0 for rank 0); query rows pre-shift to it
-    prev_idx = np.maximum(blk_lo_rank - 1, 0)
-    sig0 = jnp.take_along_axis(
-        starts, jnp.asarray(prev_idx.astype(np.int32))[:, None],
-        axis=1)[:, 0]
-    sig0 = jnp.where(jnp.asarray(blk_lo_rank == 0), jnp.int32(0), sig0)
-    if LQ > L:
-        q_p = jnp.pad(q_p, ((0, 0), (0, LQ - L)))
-    lane = jnp.arange(LQ, dtype=jnp.int32)[None, :] + sig0[:, None]
-    q_p = jnp.where(lane < LQ,
-                    jnp.take_along_axis(q_p, jnp.minimum(lane, LQ - 1),
-                                        axis=1), 0)
-
-    tab_dev, Np_pad = _seed_big_table(dg, end_ok)
-    anyp = jnp.pad(any_step, (0, Np_pad - Np))
-    if prof:
-        jax.block_until_ready(q_p); marks.append(("qprep", _time.perf_counter()))
 
     from ..aligner.banded import ins_run_cap
 
     max_run = ins_run_cap(costs, int(ub_np.max()), Wb)
-    SW = int(stepbits.shape[1])
-    fn = _seed_exec(nblocks, Np, dg.window, P, Wb, SW, LQ,
+    SW = ((Np + 31) // 32 + 127) // 128 * 128
+    nblocks = B // blk
+    fn = _seed_exec(nblocks, Np, dg.window, P, Wb, SW, LQ, L,
                     o, e, x, blk, bool(free_start), max_run)
-    score, er, ej = fn(tab_dev, anyp, dg.meta, jnp.asarray(c0),
-                       jnp.asarray(cn), q_p, stepbits,
-                       jnp.asarray(l_p.astype(np.int32)),
-                       jnp.asarray(jlo_p.astype(np.int32)), sig0)
+    i32 = np.int32
+    packed4 = fn(tab_dev, dg.meta, dmin_d, dmax_d, jnp.asarray(qshift),
+                 jnp.asarray(perm.astype(i32)),
+                 jnp.asarray(l_p.astype(i32)),
+                 jnp.asarray(k_p.astype(i32)),
+                 jnp.asarray(a_p.astype(i32)),
+                 jnp.asarray(b_p.astype(i32)),
+                 jnp.asarray(jlo_p.astype(i32)), i32(flat.n_nodes))
+    out4 = np.asarray(packed4)
+    ok = out4[3][inv].astype(bool)
+    sc = np.where(ok, out4[0][inv], INF).astype(np.int64)
+    out = sc, out4[1][inv].astype(np.int64), out4[2][inv].astype(np.int64), ok
     if prof:
-        jax.block_until_ready(score)
-        marks.append(("kernel", _time.perf_counter()))
-    sc = np.asarray(score)[inv]
-    sc = np.where(ok[inv], sc, INF).astype(np.int64)
-    out = sc, np.asarray(er)[inv], np.asarray(ej)[inv], ok[inv]
-    if prof:
-        marks.append(("d2h", _time.perf_counter()))
-        deltas = {n: round(t - marks[i][1], 4)
-                  for i, (n, t) in enumerate(marks[1:])}
-        spans = [int(cn[i]) * BIG_CHUNK for i in range(nblocks)]
-        print(f"[seed-profile] Wb={Wb} blk={blk} spans={spans} {deltas}",
-              flush=True)
+        print(f"[seed-profile] Wb={Wb} blk={blk} fused "
+              f"{round(_time.perf_counter() - t_start, 4)}s", flush=True)
     return out
 
 

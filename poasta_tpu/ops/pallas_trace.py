@@ -778,49 +778,70 @@ def _decode_exec(T_MAX: int, Np: int, B: int, Wb: int, P: int):
     return fn
 
 
+def _schedule_body(dmin, dmax, lengths, k, aj, a_dmin, a_dmax, n_real,
+                   *, Wb: int, Np: int, SW: int):
+    """Traced schedule construction (shared by :func:`_schedule_exec`
+    and the fused seed-corridor executor): per-read slope-limited
+    128-quantized window starts, packed step bits, plus the corridor
+    rank range (first/last rank whose window intersects [0, n_b])."""
+    i64 = jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32
+    K = jnp.maximum(k, 0).astype(i64)[:, None]
+    nb = lengths.astype(i64)[:, None]
+    ajc = aj.astype(i64)[:, None]
+    lo = ajc - (a_dmax.astype(i64)[:, None] - dmax[None, :]) - K
+    hi = jnp.minimum(
+        ajc - (a_dmin.astype(i64)[:, None] - dmin[None, :]) + K, nb)
+    ridx = jnp.arange(Np, dtype=i64)[None, :]
+    nonempty = jnp.logical_and(ridx < n_real,
+                               jnp.logical_and(lo <= hi, hi >= 0))
+    need = jnp.where(nonempty, hi - (Wb - 1), 0)
+    A = -(-jnp.maximum(need, 0) // 128)
+    t = A - ridx
+    req = jnp.flip(jax.lax.cummax(jnp.flip(t, 1), axis=1), 1) + ridx
+    s = jax.lax.cummax(jnp.maximum(req, 0), axis=1)
+    start = (s * 128).astype(jnp.int32)
+    start = jnp.where(ridx < n_real, start, 0).astype(jnp.int32)
+    viol = jnp.logical_and(
+        nonempty,
+        jnp.logical_or(start.astype(i64) > jnp.maximum(lo, 0),
+                       start.astype(i64) + Wb - 1 < hi))
+    ok = jnp.logical_not(viol.any(axis=1))
+    prev = jnp.concatenate(
+        [jnp.zeros((start.shape[0], 1), jnp.int32), start[:, :-1]],
+        axis=1)
+    bits = (start - prev) > 0
+    any_step = bits.any(axis=0).astype(jnp.int32)
+    pad = SW * 32 - Np
+    bits_p = jnp.pad(bits, ((0, 0), (0, pad))).astype(jnp.uint32)
+    lane = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    words = (bits_p.reshape(bits_p.shape[0], SW, 32) << lane).sum(
+        axis=-1, dtype=jnp.uint32)
+    packed = jax.lax.bitcast_convert_type(words, jnp.int32)
+    has = nonempty.any(axis=1)
+    r_lo = jnp.argmax(nonempty, axis=1).astype(jnp.int32)
+    r_hi = (Np - 1
+            - jnp.argmax(nonempty[:, ::-1], axis=1)).astype(jnp.int32)
+    return packed, any_step, start, ok, r_lo, r_hi, has
+
+
 @functools.lru_cache(maxsize=None)
 def _schedule_exec(Wb: int, Np: int, SW: int):
     """Device-side schedule construction (jitted): the (B, Np) bound
     arrays never touch the host — at pangenome scale the numpy version
     spent 1.5 s/call on them plus a 12.8 MB starts upload (measured
-    on-chip), vs ~ms of XLA elementwise + cummax scans."""
+    on-chip), vs ~ms of XLA elementwise + cummax scans.  The fourth
+    output stacks (ok, r_lo, r_hi, has) so callers pay ONE
+    device->host transfer — each np.asarray costs ~25 ms of RPC
+    latency on tethered chips."""
 
     @jax.jit
     def fn(dmin, dmax, lengths, k, aj, a_dmin, a_dmax, n_real):
-        i64 = jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32
-        K = jnp.maximum(k, 0).astype(i64)[:, None]
-        nb = lengths.astype(i64)[:, None]
-        ajc = aj.astype(i64)[:, None]
-        lo = ajc - (a_dmax.astype(i64)[:, None] - dmax[None, :]) - K
-        hi = jnp.minimum(
-            ajc - (a_dmin.astype(i64)[:, None] - dmin[None, :]) + K, nb)
-        ridx = jnp.arange(Np, dtype=i64)[None, :]
-        nonempty = jnp.logical_and(ridx < n_real,
-                                   jnp.logical_and(lo <= hi, hi >= 0))
-        need = jnp.where(nonempty, hi - (Wb - 1), 0)
-        A = -(-jnp.maximum(need, 0) // 128)
-        t = A - ridx
-        req = jnp.flip(jax.lax.cummax(jnp.flip(t, 1), axis=1), 1) + ridx
-        s = jax.lax.cummax(jnp.maximum(req, 0), axis=1)
-        start = (s * 128).astype(jnp.int32)
-        start = jnp.where(ridx < n_real, start, 0).astype(jnp.int32)
-        viol = jnp.logical_and(
-            nonempty,
-            jnp.logical_or(start.astype(i64) > jnp.maximum(lo, 0),
-                           start.astype(i64) + Wb - 1 < hi))
-        ok = jnp.logical_not(viol.any(axis=1))
-        prev = jnp.concatenate(
-            [jnp.zeros((start.shape[0], 1), jnp.int32), start[:, :-1]],
-            axis=1)
-        bits = (start - prev) > 0
-        any_step = bits.any(axis=0).astype(jnp.int32)
-        pad = SW * 32 - Np
-        bits_p = jnp.pad(bits, ((0, 0), (0, pad))).astype(jnp.uint32)
-        lane = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-        words = (bits_p.reshape(bits_p.shape[0], SW, 32) << lane).sum(
-            axis=-1, dtype=jnp.uint32)
-        packed = jax.lax.bitcast_convert_type(words, jnp.int32)
-        return packed, any_step, start, ok
+        packed, any_step, start, ok, r_lo, r_hi, has = _schedule_body(
+            dmin, dmax, lengths, k, aj, a_dmin, a_dmax, n_real,
+            Wb=Wb, Np=Np, SW=SW)
+        meta4 = jnp.stack([ok.astype(jnp.int32), r_lo, r_hi,
+                           has.astype(jnp.int32)])
+        return packed, any_step, start, meta4
 
     return fn
 
@@ -890,11 +911,11 @@ def build_trace_schedule(flat, lengths_np, k_np, Wb: int, Np: int,
 
     SW = ((Np + 31) // 32 + 127) // 128 * 128
     fn = _schedule_exec(Wb, Np, SW)
-    packed, any_step, starts, ok = fn(
+    packed, any_step, starts, meta4 = fn(
         dmin_d, dmax_d, jnp.asarray(lengths_np.astype(np.int32)),
         jnp.asarray(k_np.astype(np.int32)), jnp.asarray(aj),
         jnp.asarray(a_dmin), jnp.asarray(a_dmax), np.int32(n))
-    return packed, any_step, starts, np.asarray(ok)
+    return packed, any_step, starts, np.asarray(meta4)[0].astype(bool)
 
 
 def replay_steps(ops_row, anchor_j, node_of_rank):

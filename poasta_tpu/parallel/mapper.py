@@ -346,6 +346,9 @@ class BatchMapper:
         # unsupported graph so the build isn't retried per batch
         self._seed_index = None
         self._seed_ub_hint: dict = {}
+        # identity-cached host copy of the batch lengths: np.asarray on
+        # a tethered device array costs ~25 ms of RPC latency per call
+        self._len_cache: tuple = (None, None)
 
     def score_batch(self, queries) -> np.ndarray:
         from ..aligner.banded import BandedScorer
@@ -559,21 +562,43 @@ class BatchMapper:
                 self._learn_seed_ub(lengths, out[0])
         return out
 
-    def _learn_seed_ub(self, lengths, scores):
-        """Set the next batch's seed ub from this batch's scores: a
-        verified corridor only needs ub >= each read's score; +25% +
-        constant headroom keeps marginally-worse future reads out of
-        the fallback tail without inflating the corridor width."""
+    def _lengths_np(self, lengths):
+        if self._len_cache[0] is lengths:
+            return self._len_cache[1]
         lengths_np = np.asarray(lengths)
+        self._len_cache = (lengths, lengths_np)
+        return lengths_np
+
+    def _host_jlo(self, lengths_np):
+        """Host mirror of ends_free_device_params' jlo (one-piece):
+        avoids a per-call device->host fetch of the device jlo array."""
+        li = lengths_np.astype(np.int64)
+        qkind, qval = self.aln_type.qry_free_end
+        if qkind == "unbounded":
+            return np.minimum(li, 1)
+        if qkind == "included":
+            return np.maximum(li - qval, 0)
+        return np.maximum(li - qval + 1, 0)
+
+    def _learn_seed_ub(self, lengths, scores):
+        """Set the next batch's seed ub pair from this batch's scores.
+
+        ``tight``: p95 + ~6% headroom — sizes the first-tier corridor
+        margin (and with it Wb, the dominant per-cell cost term); reads
+        above it retry at ``wide``.  ``wide``: p90 + 25% + constant —
+        robust to batch drift; only reads above THIS pay the full fill.
+        Percentile bases (not max) keep one garbage read from blowing
+        the corridor width for every future batch — outliers are the
+        fallback tail's job."""
+        lengths_np = self._lengths_np(lengths)
         finite = np.sort(scores[scores < INF])
         if finite.size:
-            # 90th-percentile base, not max: one garbage read would
-            # otherwise blow the ub (and with it the k-condition and the
-            # corridor width) for every future batch — outliers are the
-            # fallback tail's job
-            q = int(finite[int(0.9 * (finite.size - 1))])
+            q90 = int(finite[int(0.9 * (finite.size - 1))])
+            q95 = int(finite[int(0.95 * (finite.size - 1))])
             key = (int(lengths_np.min()), int(lengths_np.max()))
-            self._seed_ub_hint[key] = q + q // 4 + 2 * self.costs.mismatch
+            wide = q90 + q90 // 4 + 2 * self.costs.mismatch
+            tight = min(q95 + q95 // 16 + 2 * self.costs.mismatch, wide)
+            self._seed_ub_hint[key] = (tight, wide)
 
     def _fill_ends_free_seeded(self, queries, qshift, lengths, mode):
         """Exact (scores, end_ranks, end_offsets) via k-mer seeded
@@ -598,6 +623,7 @@ class BatchMapper:
             KmerIndex,
             certify_reads,
             propose_clusters,
+            subset_hits,
         )
         from ..aligner.wavefront import (
             ends_free_device_params,
@@ -611,17 +637,19 @@ class BatchMapper:
         n = self.flat.n_nodes
         if mode != "all" and n < self.SEED_MIN_NODES:
             return None
-        free_start, end_ok, jlo = ends_free_device_params(
-            self.flat, self.aln_type, lengths, self.dg.n_nodes_padded)
+        free_start, end_ok, _ = ends_free_device_params(
+            self.flat, self.aln_type, lengths, self.dg.n_nodes_padded,
+            with_jlo=False)
         if not free_start:
             # bounded graph begins anchor at the start node; the drift /
             # banded machinery already narrows those fills
             return None
-        lengths_np = np.asarray(lengths)
+        lengths_np = self._lengths_np(lengths)
         key = (int(lengths_np.min()), int(lengths_np.max()))
-        ub = self._seed_ub_hint.get(key)
-        if ub is None:
+        hint = self._seed_ub_hint.get(key)
+        if hint is None:
             return None  # first batch of this profile learns the hint
+        ub_tight, ub_wide = hint
         e = self.costs.gap_extend
         if e <= 0:
             return None
@@ -630,7 +658,7 @@ class BatchMapper:
         idx = self._seed_index
         if not idx.ok:
             return None
-        jlo_pre = np.asarray(jlo).astype(np.int64)
+        jlo_pre = self._host_jlo(lengths_np)
         # necessary certificate condition at ANY achieved score c >= 0:
         # T(c) <= T(0) = jlo - (k-1), so jlo <= k-1 (e.g. the reference's
         # unbounded-qry-end offset>0 quirk, jlo ~ 1) can never certify —
@@ -646,46 +674,88 @@ class BatchMapper:
         if hits is None:
             return None  # repeat blowup
         B = lengths_np.shape[0]
-        ub_np = np.full(B, ub, dtype=np.int64)
-        K_u = ub_np // e
-        a_star, b_star, n_cluster = propose_clusters(hits, K_u)
+        # one proposal (wide window tolerates every drift the wide tier
+        # admits); only the corridor MARGIN differs between tiers
+        K_wide = np.full(B, ub_wide // e, dtype=np.int64)
+        a_star, b_star, n_cluster = propose_clusters(hits, K_wide)
         t_hits = _time.perf_counter() - t0
         seedable = (n_cluster > 0) & hits.clean
         if not seedable.any():
             return None
-        a_in = np.where(seedable, a_star, 0)
-        b_in = np.where(seedable, b_star, 0)
-        t0 = _time.perf_counter()
-        res = ps.pallas_seed_scores(
-            self.dg, self.flat, qshift, lengths, self.costs, free_start,
-            end_ok, jlo, a_in, b_in, ub_np)
-        if res is None:
-            return None
-        sc, er, ej, ok = res
-        t_fill = _time.perf_counter() - t0
-        t0 = _time.perf_counter()
-        jlo_np = np.asarray(jlo).astype(np.int64)
-        verified = seedable & ok & (sc <= ub)
-        cert_in = np.where(verified, sc, -1)  # skip uncertifiable rows
-        certified, T_np = certify_reads(hits, a_star, b_star, cert_in,
-                                        K_u, idx.k, jlo_np, self.costs,
-                                        idx.all_acgt)
-        t_cert = _time.perf_counter() - t0
-        resolved = verified & certified
+        jlo_np = jlo_pre
+        sc = np.full(B, INF, dtype=np.int64)
+        er = np.zeros(B, dtype=np.int64)
+        ej = np.zeros(B, dtype=np.int64)
+        resolved = np.zeros(B, dtype=bool)
+        t_fill = t_cert = 0.0
+        n_cert_failed = n_unverified = 0
+        attempts = 0
+        # two-tier corridor ladder: the tight tier (max + ~6% headroom)
+        # keeps the margin — and with it Wb, the per-cell cost — small;
+        # the occasional above-max read retries at the wide tier's
+        # corridor (still ~5x cheaper than the full bounded fill) before
+        # anything falls back
+        for ub in dict.fromkeys((min(ub_tight, ub_wide), ub_wide)):
+            active = seedable & ~resolved
+            if not active.any():
+                break
+            act_idx = np.nonzero(active)[0]
+            if act_idx.size == B:
+                idxpad = act_idx
+                q_sub, hits_sub = qshift, hits
+                l_sub, jlo_sub = lengths_np, jlo_np
+                a_sub, b_sub = (np.where(seedable, a_star, 0),
+                                np.where(seedable, b_star, 0))
+            else:
+                pad_to = max(8, -(-act_idx.size // 8) * 8)
+                idxpad = np.resize(act_idx, pad_to)
+                q_sub = jnp.take(jnp.asarray(qshift),
+                                 jnp.asarray(idxpad.astype(np.int32)),
+                                 axis=0)
+                hits_sub = subset_hits(hits, idxpad)
+                l_sub = lengths_np[idxpad]
+                jlo_sub = jlo_np[idxpad]
+                a_sub = a_star[idxpad]
+                b_sub = b_star[idxpad]
+            nb_sub = idxpad.shape[0]
+            ub_sub = np.full(nb_sub, ub, dtype=np.int64)
+            t0 = _time.perf_counter()
+            res = ps.pallas_seed_scores(
+                self.dg, self.flat, q_sub, l_sub, self.costs, free_start,
+                end_ok, jlo_sub, a_sub, b_sub, ub_sub)
+            t_fill += _time.perf_counter() - t0
+            if res is None:
+                break  # width budget: a wider tier cannot help
+            attempts += 1
+            s_s, er_s, ej_s, ok_s = res
+            t0 = _time.perf_counter()
+            verified = ok_s & (s_s <= ub)
+            cert_in = np.where(verified, s_s, -1)
+            certified, _T = certify_reads(
+                hits_sub, a_sub, b_sub, cert_in, ub_sub // e, idx.k,
+                jlo_sub, self.costs, idx.all_acgt)
+            t_cert += _time.perf_counter() - t0
+            done = verified & certified
+            # duplicate padded rows resolve the same read identically
+            sc[idxpad[done]] = s_s[done]
+            er[idxpad[done]] = er_s[done]
+            ej[idxpad[done]] = ej_s[done]
+            resolved[idxpad[done]] = True
+            if ub == ub_wide:
+                n_cert_failed = int((verified & ~certified).sum())
+                n_unverified = int((ok_s & ~verified).sum())
         stats = {"seeded": int(resolved.sum()),
-                 "seed_tail": int((~resolved).sum()), "seed_ub": ub,
-                 "seed_k": idx.k,
-                 "cert_failed": int((verified & ~certified).sum()),
-                 "unverified": int((seedable & ~verified).sum()),
+                 "seed_tail": int((~resolved).sum()),
+                 "seed_ub": [ub_tight, ub_wide], "seed_k": idx.k,
+                 "seed_attempts": attempts,
+                 "cert_failed": n_cert_failed,
+                 "unverified": n_unverified,
                  "no_cluster": int((~seedable).sum()),
                  "hits_s": round(t_hits, 4), "fill_s": round(t_fill, 4),
                  "cert_s": round(t_cert, 4)}
         self.last_seed_stats = stats
         if not resolved.any():
             return None
-        sc = sc.astype(np.int64)
-        er = er.astype(np.int64)
-        ej = ej.astype(np.int64)
         tail = np.nonzero(~resolved)[0]
         if tail.size:
             pad_to = -(-tail.size // 64) * 64
