@@ -325,3 +325,32 @@ def test_non_acgt_read_never_certifies():
     np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(er), np.asarray(ref[1]))
     np.testing.assert_array_equal(np.asarray(ej), np.asarray(ref[2]))
+
+
+@pytest.mark.parametrize("seed,costs", [
+    (43, GapAffine(3, 1, 9)),
+    (47, GapAffine(5, 2, 3)),
+    (53, GapAffine(2, 2, 11)),
+])
+def test_seeded_randomized_costs(seed, costs):
+    """Certificate soundness is cost-model-generic: equality vs the
+    full fill under randomized (mismatch, extend, open), divergence
+    placed inside each model's engagement envelope."""
+    rng = random.Random(seed)
+    g, base = _backbone_graph(rng, 1400)
+    reads = []
+    for _ in range(16):
+        a = rng.randrange(0, 1400 - 700)
+        reads.append(_mutate(rng, base[a:a + 700], 0.004).encode())
+    reads[3] = bytes("".join(rng.choice("ACGT") for _ in range(700)),
+                     "ascii")  # garbage
+    m = BatchMapper(g, costs, aln_type=SEMI)
+    qshift, lengths = pack_queries(reads)
+    m._ends_free_scores(reads, qshift, lengths, False)  # learn ub
+    sc, er, ej = m._ends_free_scores(reads, qshift, lengths, False)
+    st = m.last_seed_stats
+    assert st["seeded"] >= 10, st
+    ref = m._fill_ends_free_capped(qshift, lengths, False)
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(er), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(ej), np.asarray(ref[2]))
