@@ -193,7 +193,7 @@ def _flush_sorted(mapper, chunk, batch_size, emit_record, verbose=0):
     # time is mostly accelerator/remote wait, so the overlap pays even
     # on few-core hosts.  Scoring calls are serialized on one thread
     # (the scorer's caches are not written concurrently).
-    pipeline = len(batches) > 1 and mapper.takes_banded_path(queries[0])
+    pipeline = len(batches) > 1 and mapper.supports_prescore(queries[0])
     with ThreadPoolExecutor(max_workers=1) as scorer_thread:
         fut = (scorer_thread.submit(mapper.prescore, queries[0])
                if pipeline else None)

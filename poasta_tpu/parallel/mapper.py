@@ -429,8 +429,12 @@ class BatchMapper:
         # path is single-device); both paths emit identical alignments
         # (tests/test_native.py), so output bytes don't depend on this.
         if self.ends_free:
+            pre_ef = None
+            if prescored is not None and prescored[0] is queries:
+                pre_ef = prescored[1]
             return self._align_batch_ends_free(queries, qshift, lengths,
-                                               two_piece)
+                                               two_piece,
+                                               pre_scores=pre_ef)
         pre_scores = None
         if prescored is not None and prescored[0] is queries:
             pre_scores = prescored[1]
@@ -772,7 +776,8 @@ class BatchMapper:
         self._learn_seed_ub(lengths, sc)
         return sc, er, ej
 
-    def _align_batch_ends_free(self, queries, qshift, lengths, two_piece):
+    def _align_batch_ends_free(self, queries, qshift, lengths, two_piece,
+                               pre_scores=None):
         """Ends-free scores + alignments.
 
         Production path: the device fill returns each read's optimal
@@ -807,8 +812,11 @@ class BatchMapper:
             from concurrent.futures import ThreadPoolExecutor
 
             t0 = time.perf_counter()
-            sc, er, ej = self._ends_free_scores(queries, qshift, lengths,
-                                                two_piece)
+            if pre_scores is not None:
+                sc, er, ej = pre_scores  # scored by prescore() already
+            else:
+                sc, er, ej = self._ends_free_scores(queries, qshift,
+                                                    lengths, two_piece)
             stats = self.last_ends_free_stats = {
                 "device_s": time.perf_counter() - t0,
                 "anchored_ok": 0, "exact_fallback": 0, "host_s": 0.0,
@@ -950,6 +958,15 @@ class BatchMapper:
         through the banded scorer — exact via verify-and-retry."""
         return np.asarray(self._banded_scorer.scores(qshift, lengths))
 
+    def supports_prescore(self, queries) -> bool:
+        """Whether prescore() can overlap device scoring with host
+        backtraces for this batch (the lasagna pipeline gate)."""
+        if self.ends_free:
+            # the ends-free native path prescoreable whenever the
+            # native engine loads (prescore returns None otherwise)
+            return True
+        return self.takes_banded_path(queries)
+
     def takes_banded_path(self, queries) -> bool:
         """Whether align_batch would use the banded score+backtrace path
         for this batch (i.e. whether prescore() has anything to overlap).
@@ -976,6 +993,24 @@ class BatchMapper:
         from ..aligner.wavefront import pack_queries
 
         two_piece = getattr(self.costs, "is_two_piece", False)
+        if self.ends_free:
+            # ends-free scoring phase (seeded corridors / capped fill):
+            # overlapping it with the previous batch's native backtraces
+            # is the same reader/aligner/writer overlap the reference's
+            # lasagna gets from threads (lasagna.rs:217-273)
+            if not queries:
+                return None
+            try:
+                from ..native import NativeAligner
+
+                if getattr(self, "_native", None) is None:
+                    self._native = NativeAligner(self.graph)
+            except Exception:
+                return None  # dense fallback path: nothing to overlap
+            qshift, lengths = pack_queries(queries)
+            sc = self._ends_free_scores(queries, qshift, lengths,
+                                        two_piece)
+            return (queries, sc, qshift, lengths)
         if (not self.takes_banded_path(queries)
                 or not self._init_banded(two_piece)):
             return None

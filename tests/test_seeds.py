@@ -354,3 +354,20 @@ def test_seeded_randomized_costs(seed, costs):
     np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(er), np.asarray(ref[1]))
     np.testing.assert_array_equal(np.asarray(ej), np.asarray(ref[2]))
+
+
+def test_ends_free_prescore_pipeline():
+    """prescore() + align_batch(prescored=...) on a mapping span emits
+    the same output as the direct call (the lasagna pipeline overlap
+    now covers ends-free serving)."""
+    rng = random.Random(59)
+    g, base, reads = _seeded_case(rng, 1200, 8, 600, 0.01)
+    m = BatchMapper(g, COSTS, aln_type=SEMI)
+    assert m.supports_prescore(reads)
+    ref = m.align_batch(reads)
+    pre = m.prescore(reads)
+    assert pre is not None and pre[0] is reads
+    out = m.align_batch(reads, prescored=pre)
+    for (s1, a1), (s0, a0) in zip(out, ref):
+        assert s1 == s0
+        assert list(a1) == list(a0)
