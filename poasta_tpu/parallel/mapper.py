@@ -491,7 +491,7 @@ class BatchMapper:
         from ..aligner.wavefront import INF as _INF
         from ..aligner.wavefront import dp_fill_ends_free_with_ends
 
-        lengths_np = np.asarray(lengths)
+        lengths_np = self._lengths_np(lengths)
         n_min, n_max = int(lengths_np.min()), int(lengths_np.max())
         L = int(qshift.shape[1])
         costs = self.costs
@@ -776,6 +776,15 @@ class BatchMapper:
         self._learn_seed_ub(lengths, sc)
         return sc, er, ej
 
+    def _seed_len_cache(self, queries, lengths):
+        """Pre-seed the host lengths cache from the raw reads: each
+        align_batch call packs a FRESH device lengths array, so the
+        identity cache would miss every call and np.asarray(lengths)
+        would pay a ~25 ms tether fetch per batch."""
+        self._len_cache = (lengths, np.fromiter(
+            (len(q) for q in queries), dtype=np.int64,
+            count=len(queries)))
+
     def _align_batch_ends_free(self, queries, qshift, lengths, two_piece,
                                pre_scores=None):
         """Ends-free scores + alignments.
@@ -811,6 +820,7 @@ class BatchMapper:
             import time
             from concurrent.futures import ThreadPoolExecutor
 
+            self._seed_len_cache(queries, lengths)
             t0 = time.perf_counter()
             if pre_scores is not None:
                 sc, er, ej = pre_scores  # scored by prescore() already
@@ -1008,6 +1018,7 @@ class BatchMapper:
             except Exception:
                 return None  # dense fallback path: nothing to overlap
             qshift, lengths = pack_queries(queries)
+            self._seed_len_cache(queries, lengths)
             sc = self._ends_free_scores(queries, qshift, lengths,
                                         two_piece)
             return (queries, sc, qshift, lengths)
