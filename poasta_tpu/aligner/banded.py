@@ -1430,6 +1430,7 @@ class BandedScorer:
             key = (n_min, n_max, ub, use_pallas, use_mesh,
                    int(qshift.shape[1]))
             cached = self._prep_cache.get(key)
+            L = int(qshift.shape[1])
             if cached is None:
                 wstart, width, lo, hi = band_windows(
                     self.flat, n_min, n_max, costs, ub,
@@ -1439,13 +1440,24 @@ class BandedScorer:
                     # 128-align windows so in-kernel dynamic slices stay legal
                     wstart = (wstart // 128) * 128
                     width += 128
+                if width >= L:
+                    # "band as wide as the full fill" — degenerate but
+                    # EXACT with zeroed window starts (every offset is
+                    # in-window), and the banded kernels run ~4x faster
+                    # than the plain full fill at tail shapes (measured
+                    # round 5: the mixed-div 128-row extreme tail at
+                    # 7.2 Gcells/s via dp_fill_scores vs ~30 banded) —
+                    # so serve it here instead of refusing
+                    wstart = np.zeros_like(wstart)
+                    width = L
                 cached = (wstart, width)
                 self._prep_cache[key] = cached
             wstart, width = cached
             self._last_fill_width = width  # for the cells-filled counter
-            L = int(qshift.shape[1])
-            if width >= L:
-                return None  # band as wide as the full fill: no point
+            # full-width windows compute every cell: callers may accept
+            # the scores as exact without the <=ub verification
+            self._last_fill_exact = (width >= L
+                                     and int(wstart.max()) == 0)
             # dynamic_slice clamps starts; guarantee every window fits
             required_L = _round_up(int(wstart.max()) + width, 128)
             q_in = qshift
@@ -1687,6 +1699,7 @@ class BandedScorer:
         cur_n_min, cur_n_max = n_min, n_max
         for attempt in range(max_retries):
             sub = None
+            self._last_fill_exact = False  # set only by _fill_once
             if (drift_ok
                     and cur_n_max - cur_n_min >= self.DRIFT_MIN_SPREAD):
                 # per-read drifting windows: width stops paying the
@@ -1701,7 +1714,7 @@ class BandedScorer:
             use_pallas = use_pallas and not self._prep_cache.get(
                 ("nopallas", cur_n_min, cur_n_max))
             if sub is None:
-                break  # band as wide as the full fill
+                break  # no applicable banded engine for this shape
             self.last_attempts += 1
             self.stats["fills"] += 1
             self.stats["tiers"] += 1
@@ -1709,7 +1722,11 @@ class BandedScorer:
                 self.flat.n_nodes * self._last_fill_width
                 * int(q_cur.shape[0])
             )
-            done = sub <= ub
+            if getattr(self, "_last_fill_exact", False):
+                # full-width windows: scores are exact regardless of ub
+                done = np.ones_like(sub, dtype=bool)
+            else:
+                done = sub <= ub
             out[map_idx[done]] = sub[done]
             # count only newly-resolved reads: mesh mode retries the whole
             # batch, so earlier tiers' reads verify again at later tiers
@@ -1815,8 +1832,16 @@ class BandedScorer:
         if self.last_attempts > 0 and len(np.unique(map_idx)) < B:
             # the band resolved most of the batch; full-fill only the
             # unresolved tail (banding stays enabled for this profile),
-            # and future calls start at the tier that did the bulk work
-            self._ub_hint.setdefault((n_min, n_max), tiers[0][0])
+            # and future calls start at the tier that did the BULK work
+            # — by newly-resolved count, NOT tiers[0] via setdefault:
+            # that pinned the hint to this call's own starting guess
+            # forever, and on the mixed-divergence bench the first tier
+            # sat just below the low-divergence bulk's scores and
+            # resolved ~nothing, so every batch repaid a dead
+            # whole-batch fill (measured: 1752 -> 0 resolved, 1924 ->
+            # 768 of 1024; scripts/mixed_div_profile.py round 5)
+            self._ub_hint[(n_min, n_max)] = max(tiers,
+                                                key=lambda t: t[1])[0]
             self.stats["cells_filled"] += (
                 self.flat.n_nodes * int(q_cur.shape[1]) * int(q_cur.shape[0])
             )

@@ -62,6 +62,18 @@ def main():
 
     smix._fill_once = wrap("shared", smix._fill_once)
     smix._fill_once_drift = wrap("drift", smix._fill_once_drift)
+    full0 = smix._full_scores
+
+    def full_spy(qshift, lengths):
+        t0 = time.perf_counter()
+        out = full0(qshift, lengths)
+        fills.append(dict(path="fullfill", rows=int(qshift.shape[0]),
+                          width=int(qshift.shape[1]),
+                          wall_s=round(time.perf_counter() - t0, 4),
+                          skipped=False))
+        return out
+
+    smix._full_scores = full_spy
 
     smix.scores(qm, lm)  # warm: compile + converge ub hint
     out = {"warm_fills": list(fills)}
