@@ -1441,6 +1441,12 @@ class BandedScorer:
                     wstart = (wstart // 128) * 128
                     width += 128
                 if width >= L:
+                    if not (use_pallas or pallas_mesh):
+                        # the XLA banded body at full width is ~15x
+                        # slower than _full_scores' capped bounded
+                        # fill — only the Pallas kernels make the
+                        # full-width band pay
+                        return None
                     # "band as wide as the full fill" — degenerate but
                     # EXACT with zeroed window starts (every offset is
                     # in-window), and the banded kernels run ~4x faster
@@ -1543,6 +1549,12 @@ class BandedScorer:
                     self._prep_cache[("nopallas", n_min, n_max)] = True
                     use_pallas = False
                     self._prep_cache.pop(key, None)
+                    if getattr(self, "_last_fill_exact", False):
+                        # clamped full-width band exists only for the
+                        # Pallas kernels; without them _full_scores'
+                        # capped bounded fill is the faster fallback
+                        self._last_fill_exact = False
+                        return None
                     continue
             if pallas_mesh:
                 from ..ops.pallas_fill import prepare_banded

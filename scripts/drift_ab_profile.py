@@ -95,8 +95,19 @@ def main():
     fsv = gsv.flatten()
     qs, ls = pack_queries(sv_reads)
 
-    drift = run_arm("drift", BandedScorer(fsv, costs), qs, ls)
-    shared_s = BandedScorer(fsv, costs)
+    aln_type = None
+    if os.environ.get("DRIFT_AB_EF"):
+        from poasta_tpu.aligner.costs import EndsFree, included
+
+        aln_type = EndsFree(("unbounded", None), included(50),
+                            included(0), included(50))
+
+    def mk():
+        return (BandedScorer(fsv, costs, aln_type=aln_type)
+                if aln_type is not None else BandedScorer(fsv, costs))
+
+    drift = run_arm("drift", mk(), qs, ls)
+    shared_s = mk()
     shared_s.DRIFT_MIN_SPREAD = 1 << 30
     shared = run_arm("shared", shared_s, qs, ls)
     assert drift["scores_sum"] == shared["scores_sum"]
