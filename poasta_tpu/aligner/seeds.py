@@ -233,16 +233,15 @@ class KmerIndex:
         pidx = lo[rep] + off
         alpha = j_end[rep] - self.post_dmax[pidx]
         beta = j_end[rep] - self.post_dmin[pidx]
-        hit_rid = rid[rep]  # nondecreasing: rows scanned in order
 
-        per_read = np.zeros(B, dtype=np.int64)
-        if total:
-            np.add.at(per_read, rid, cnt)
+        # per-read counts via bincount (np.add.at was ~0.45 s/batch at
+        # 512 x 5 kb — scattered adds); rows come out of np.nonzero in
+        # row-major order, so per-read hit slices are contiguous
+        per_read = (np.bincount(rid, weights=cnt, minlength=B)
+                    .astype(np.int64) if total else
+                    np.zeros(B, dtype=np.int64))
         start = np.zeros(B + 1, dtype=np.int64)
         np.cumsum(per_read, out=start[1:])
-        # hit_rid is already sorted (row-major scan); alpha/beta slices
-        # per read are therefore contiguous
-        assert total == 0 or bool((np.diff(hit_rid) >= 0).all())
         return SeedHits(alpha, beta, start, clean)
 
     def seed_bounds(self, q_np: np.ndarray, lengths_np: np.ndarray,

