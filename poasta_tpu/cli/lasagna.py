@@ -223,6 +223,11 @@ def _flush_sorted(mapper, chunk, batch_size, emit_record, verbose=0):
                     f" host {ef['host_s']:.2f}s,"
                     f" ok {ef['anchored_ok']},"
                     f" exact-fallback {ef['exact_fallback']}]")
+        sd = getattr(mapper, "last_seed_stats", None)
+        if sd:
+            msg += (f" [seeded corridors: {sd['seeded']} seeded,"
+                    f" {sd['seed_tail']} tail, k={sd['seed_k']},"
+                    f" attempts {sd.get('seed_attempts', 1)}]")
         print(msg, file=sys.stderr)
 
 

@@ -746,8 +746,11 @@ class BatchMapper:
             ej[idxpad[done]] = ej_s[done]
             resolved[idxpad[done]] = True
             if ub == ub_wide:
-                n_cert_failed = int((verified & ~certified).sum())
-                n_unverified = int((ok_s & ~verified).sum())
+                # stats over the DISTINCT reads only (np.resize pads the
+                # subset by cycling it, so raw sums overcount dupes)
+                nd = act_idx.size
+                n_cert_failed = int((verified & ~certified)[:nd].sum())
+                n_unverified = int((ok_s & ~verified)[:nd].sum())
         stats = {"seeded": int(resolved.sum()),
                  "seed_tail": int((~resolved).sum()),
                  "seed_ub": [ub_tight, ub_wide], "seed_k": idx.k,
