@@ -451,6 +451,32 @@ def main():
     finally:
         mp.undo()
 
+    print("  full-width band clamp (ladder terminal tier == full fill) "
+          "...", end=" ", flush=True)
+    # garbage reads drive the ladder past every band width; the clamped
+    # zero-start full-width tier must accept them EXACTLY (no ub check)
+    rngc = random.Random(83)
+    basec = "".join(rngc.choice("ACGT") for _ in range(700))
+    gc = POAGraph()
+    gc.add_alignment_with_weights("s0", basec.encode(), None, [1] * 700)
+    creads = []
+    for i in range(64):
+        if i % 8 == 7:
+            creads.append("".join(rngc.choice("ACGT")
+                                  for _ in range(700)).encode())
+        else:
+            creads.append(mutate(basec, 0.05).encode())
+    flatc = gc.flatten()
+    qc, lc = pack_queries(creads)
+    bsc = BandedScorer(flatc, costs)
+    gotc = np.asarray(bsc.scores(qc, lc, ub=120))
+    dgc = DeviceGraph.build(flatc)
+    refc = np.asarray(dp_fill_scores(dgc, qc, lc, costs))
+    assert (gotc == refc).all(), (gotc[:8], refc[:8])
+    gotc2 = np.asarray(bsc.scores(qc, lc))
+    assert (gotc2 == refc).all()
+    print("OK")
+
     print("seeded corridor fills (post-hoc certificate):")
     import os as _os
 

@@ -330,3 +330,50 @@ def test_long_insertion_reads_stay_exact_with_run_cap():
     finally:
         bd.FORCE_TRUNC_ON_CPU = False
     assert (out == ref).all(), (out, ref)
+
+
+def test_fallback_hint_converges_to_bulk_tier():
+    """When the ladder ends in the full-fill fallback, the next call's
+    starting tier must be the tier that resolved the MOST reads — round
+    4 pinned tiers[0] (this call's own starting guess) via setdefault,
+    so a guess below the bulk's scores replayed a dead whole-batch fill
+    forever (measured on the mixed-div bench: ub 1752 resolved 0/1024
+    before 1924 resolved 768)."""
+    import random
+
+    from poasta_tpu.native import NativeAligner
+
+    rng = random.Random(91)
+    base = "".join(rng.choice("ACGT") for _ in range(700))
+
+    def mutate(s, d):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < d:
+                continue
+            out.append(rng.choice("ACGT") if r < 2 * d else ch)
+            if rng.random() < d:
+                out.append(rng.choice("ACGT"))
+        return "".join(out) or "A"
+
+    g = POAGraph()
+    g.add_alignment_with_weights("s0", base.encode(), None, [1] * 700)
+    # bulk at moderate divergence + one garbage read that never
+    # verifies inside the retry budget (forces the fallback branch)
+    queries = [mutate(base, 0.05).encode() for _ in range(7)]
+    queries.append("".join(rng.choice("ACGT") for _ in range(700)).encode())
+    flat = g.flatten()
+    qshift, lengths = pack_queries(queries)
+    bs = BandedScorer(flat, COSTS)
+    na = NativeAligner(g)
+    oracle = [na.align(q, COSTS)[0] for q in queries]
+    # deliberately-too-low starting ub: resolves nothing at tier 0
+    got = bs.scores(qshift, lengths, ub=8, max_retries=3)
+    assert list(np.asarray(got)) == oracle
+    key = (int(np.asarray(lengths).min()), int(np.asarray(lengths).max()))
+    hint = bs._ub_hint.get(key)
+    assert hint is not None and hint > 8, hint
+    # second call starts at the learned bulk tier and stays exact
+    got2 = bs.scores(qshift, lengths)
+    assert list(np.asarray(got2)) == oracle
