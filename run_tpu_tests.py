@@ -531,6 +531,10 @@ def main():
             assert (np.asarray(ers) == np.asarray(refs[1])).all()
             assert (np.asarray(ejs) == np.asarray(refs[2])).all()
             print(f"OK (seeded {st['seeded']}/64, k={st['seed_k']})")
+        # deep loci: nonzero block chunk entry (c0>0) + window entry
+        # (sig0>0) through real Mosaic compilation
+        _run_test_file("tests/test_seeds.py",
+                       ["test_block_rank_skip_nonzero_entry"])
     finally:
         _os.environ.pop("POASTA_SEED", None)
         _os.environ.pop("POASTA_SEED_DEBUG", None)

@@ -372,3 +372,27 @@ def test_ends_free_prescore_pipeline():
     for (s1, a1), (s0, a0) in zip(out, ref):
         assert s1 == s0
         assert list(a1) == list(a0)
+
+
+def test_block_rank_skip_nonzero_entry():
+    """Loci deep in a 6k-node graph force nonzero block chunk entries
+    (c0 > 0) and window entry positions (sig0 > 0) — the 4096-aligned
+    stepbits-tile trigger and the pre-shifted query rows must still
+    reproduce the full fill bit-for-bit.  Small-graph tests never leave
+    chunk 0, so this is the only CPU coverage of the skip machinery."""
+    rng = random.Random(61)
+    g, base = _backbone_graph(rng, 6000)
+    reads = []
+    for _ in range(16):
+        a = rng.randrange(4200, 5200)  # beyond the first 4096-rank tile
+        reads.append(_mutate(rng, base[a:a + 600], 0.01).encode())
+    m = BatchMapper(g, COSTS, aln_type=SEMI)
+    qshift, lengths = pack_queries(reads)
+    m._ends_free_scores(reads, qshift, lengths, False)  # learn ub
+    sc, er, ej = m._ends_free_scores(reads, qshift, lengths, False)
+    st = m.last_seed_stats
+    assert st["seeded"] >= 14, st
+    ref = m._fill_ends_free_capped(qshift, lengths, False)
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(er), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(ej), np.asarray(ref[2]))
