@@ -42,7 +42,7 @@ from .pallas_fill import (
     _prefix_min_rows,
     _roll_lanes,
 )
-from .pallas_trace import _schedule_exec, _sched_potentials
+from .pallas_trace import _sched_potentials
 
 
 def _seed_kernel(
@@ -404,56 +404,6 @@ def _seed_big_table(dg, end_ok):
     while len(_SEED_TABLES) > 8:
         _SEED_TABLES.pop(next(iter(_SEED_TABLES)))
     return tab_dev, Np_pad
-
-
-def build_seed_schedule(flat, lengths_np, k_np, Wb: int, Np: int,
-                        alpha_min, beta_max):
-    """Per-read window schedule from hit-diagonal bounds.
-
-    Same slope-limited 128-quantized construction as the trace schedule
-    (:func:`pallas_trace.build_trace_schedule`), with the coverage bound
-    anchored at the hits:  ``alpha_min + dmax[r] - K <= j <= beta_max +
-    dmin[r] + K`` — algebraically the trace bound with a virtual anchor
-    at ``aj=0``, ``a_dmax=-alpha_min``, ``a_dmin=-beta_max``.  Returns
-    ``(stepbits, any_step, starts, ok)``; ``starts`` is the DEVICE
-    (B, Np) window-start array (the kernel's block-entry sig0 gathers
-    from it)."""
-    B = lengths_np.shape[0]
-    dmin_d, dmax_d = _sched_potentials(flat, Np)
-    SW = ((Np + 31) // 32 + 127) // 128 * 128
-    fn = _schedule_exec(Wb, Np, SW)
-    i32 = np.int32
-    packed, any_step, starts, ok = fn(
-        dmin_d, dmax_d, jnp.asarray(lengths_np.astype(i32)),
-        jnp.asarray(k_np.astype(i32)),
-        jnp.asarray(np.zeros(B, i32)),
-        jnp.asarray((-beta_max).astype(i32)),
-        jnp.asarray((-alpha_min).astype(i32)),
-        np.int32(flat.n_nodes))
-    return packed, any_step, starts, np.asarray(ok)
-
-
-@functools.lru_cache(maxsize=None)
-def _range_exec(Np: int):
-    """Per-read corridor rank range: first/last rank whose coverage
-    window (the schedule's own bound) intersects [0, n_b]."""
-
-    @jax.jit
-    def fn(dmin, dmax, lengths, k, alpha, beta, n_real):
-        K = jnp.maximum(k, 0).astype(jnp.int32)[:, None]
-        nb = lengths.astype(jnp.int32)[:, None]
-        lo = alpha.astype(jnp.int32)[:, None] + dmax[None, :] - K
-        hi = jnp.minimum(beta.astype(jnp.int32)[:, None] + dmin[None, :]
-                         + K, nb)
-        ridx = jnp.arange(Np, dtype=jnp.int32)[None, :]
-        ne = jnp.logical_and(
-            ridx < n_real, jnp.logical_and(lo <= hi, hi >= 0))
-        has = ne.any(axis=1)
-        r_lo = jnp.argmax(ne, axis=1).astype(jnp.int32)
-        r_hi = (Np - 1 - jnp.argmax(ne[:, ::-1], axis=1)).astype(jnp.int32)
-        return r_lo, r_hi, has
-
-    return fn
 
 
 WB_MAX = 4096  # corridor width budget; wider reads use the full fill
