@@ -345,7 +345,7 @@ class BatchMapper:
         # built lazily on first eligible batch; False marks an
         # unsupported graph so the build isn't retried per batch
         self._seed_index = None
-        self._seed_ub_hint: dict = {}
+        self._seed_rate = None  # (tight, wide) per-char score rates
         # identity-cached host copy of the batch lengths: np.asarray on
         # a tethered device array costs ~25 ms of RPC latency per call
         self._len_cache: tuple = (None, None)
@@ -585,24 +585,30 @@ class BatchMapper:
         return np.maximum(li - qval + 1, 0)
 
     def _learn_seed_ub(self, lengths, scores):
-        """Set the next batch's seed ub pair from this batch's scores.
+        """Learn per-CHARACTER score rates from this batch's scores.
 
-        ``tight``: p95 + ~6% headroom — sizes the first-tier corridor
-        margin (and with it Wb, the dominant per-cell cost term); reads
-        above it retry at ``wide``.  ``wide``: p90 + 25% + constant —
-        robust to batch drift; only reads above THIS pay the full fill.
-        Percentile bases (not max) keep one garbage read from blowing
-        the corridor width for every future batch — outliers are the
-        fallback tail's job."""
+        Rates, not absolute scores: streaming batches are length-sorted,
+        so every batch has a fresh (n_min, n_max) — an absolute-ub hint
+        keyed by it never transfers and seeding would only ever engage
+        on repeated identical batches (found via the lasagna CLI e2e).
+        Per-read ubs then scale with each read's own length.
+
+        ``tight`` (p95 rate + ~6%) sizes the first-tier corridor margin
+        (and with it Wb, the dominant per-cell cost); reads above it
+        retry at ``wide`` (p90 rate + 25%) corridors; only reads above
+        THAT pay the full fill.  Percentile bases keep one garbage read
+        from blowing the corridor width for every future batch."""
         lengths_np = self._lengths_np(lengths)
-        finite = np.sort(scores[scores < INF])
-        if finite.size:
-            q90 = int(finite[int(0.9 * (finite.size - 1))])
-            q95 = int(finite[int(0.95 * (finite.size - 1))])
-            key = (int(lengths_np.min()), int(lengths_np.max()))
-            wide = q90 + q90 // 4 + 2 * self.costs.mismatch
-            tight = min(q95 + q95 // 16 + 2 * self.costs.mismatch, wide)
-            self._seed_ub_hint[key] = (tight, wide)
+        sc = np.asarray(scores, dtype=np.float64)
+        ln = np.maximum(lengths_np.astype(np.float64), 1.0)
+        ok = sc < INF
+        if ok.any():
+            rates = np.sort(sc[ok] / ln[ok])
+            q90 = rates[int(0.9 * (rates.size - 1))]
+            q95 = rates[int(0.95 * (rates.size - 1))]
+            wide = q90 * 1.25
+            tight = min(q95 * 1.0625, wide)
+            self._seed_rate = (tight, wide)
 
     def _fill_ends_free_seeded(self, queries, qshift, lengths, mode):
         """Exact (scores, end_ranks, end_offsets) via k-mer seeded
@@ -649,11 +655,9 @@ class BatchMapper:
             # banded machinery already narrows those fills
             return None
         lengths_np = self._lengths_np(lengths)
-        key = (int(lengths_np.min()), int(lengths_np.max()))
-        hint = self._seed_ub_hint.get(key)
-        if hint is None:
-            return None  # first batch of this profile learns the hint
-        ub_tight, ub_wide = hint
+        rate = getattr(self, "_seed_rate", None)
+        if rate is None:
+            return None  # the first batch learns the score rates
         e = self.costs.gap_extend
         if e <= 0:
             return None
@@ -678,9 +682,13 @@ class BatchMapper:
         if hits is None:
             return None  # repeat blowup
         B = lengths_np.shape[0]
+        pad_c = 2 * self.costs.mismatch
+        ub_tight_np = (rate[0] * lengths_np + pad_c).astype(np.int64)
+        ub_wide_np = (rate[1] * lengths_np + pad_c).astype(np.int64)
+        ub_tight_np = np.minimum(ub_tight_np, ub_wide_np)
         # one proposal (wide window tolerates every drift the wide tier
         # admits); only the corridor MARGIN differs between tiers
-        K_wide = np.full(B, ub_wide // e, dtype=np.int64)
+        K_wide = ub_wide_np // e
         a_star, b_star, n_cluster = propose_clusters(hits, K_wide)
         t_hits = _time.perf_counter() - t0
         seedable = (n_cluster > 0) & hits.clean
@@ -694,12 +702,16 @@ class BatchMapper:
         t_fill = t_cert = 0.0
         n_cert_failed = n_unverified = 0
         attempts = 0
-        # two-tier corridor ladder: the tight tier (max + ~6% headroom)
-        # keeps the margin — and with it Wb, the per-cell cost — small;
-        # the occasional above-max read retries at the wide tier's
-        # corridor (still ~5x cheaper than the full bounded fill) before
-        # anything falls back
-        for ub in dict.fromkeys((min(ub_tight, ub_wide), ub_wide)):
+        # two-tier corridor ladder: the tight tier (p95 rate + ~6%
+        # headroom) keeps the margin — and with it Wb, the per-cell
+        # cost — small; the occasional above-tight read retries at the
+        # wide tier's corridor (still ~5x cheaper than the full bounded
+        # fill) before anything falls back
+        tiers = [ub_tight_np]
+        if (ub_wide_np > ub_tight_np).any():
+            tiers.append(ub_wide_np)
+        for t_i, ub_arr in enumerate(tiers):
+            is_wide = t_i == len(tiers) - 1
             active = seedable & ~resolved
             if not active.any():
                 break
@@ -721,8 +733,7 @@ class BatchMapper:
                 jlo_sub = jlo_np[idxpad]
                 a_sub = a_star[idxpad]
                 b_sub = b_star[idxpad]
-            nb_sub = idxpad.shape[0]
-            ub_sub = np.full(nb_sub, ub, dtype=np.int64)
+            ub_sub = ub_arr[idxpad]
             t0 = _time.perf_counter()
             res = ps.pallas_seed_scores(
                 self.dg, self.flat, q_sub, l_sub, self.costs, free_start,
@@ -733,7 +744,7 @@ class BatchMapper:
             attempts += 1
             s_s, er_s, ej_s, ok_s = res
             t0 = _time.perf_counter()
-            verified = ok_s & (s_s <= ub)
+            verified = ok_s & (s_s <= ub_sub)
             cert_in = np.where(verified, s_s, -1)
             certified, _T = certify_reads(
                 hits_sub, a_sub, b_sub, cert_in, ub_sub // e, idx.k,
@@ -745,7 +756,7 @@ class BatchMapper:
             er[idxpad[done]] = er_s[done]
             ej[idxpad[done]] = ej_s[done]
             resolved[idxpad[done]] = True
-            if ub == ub_wide:
+            if is_wide:
                 # stats over the DISTINCT reads only (np.resize pads the
                 # subset by cycling it, so raw sums overcount dupes)
                 nd = act_idx.size
@@ -753,7 +764,8 @@ class BatchMapper:
                 n_unverified = int((ok_s & ~verified)[:nd].sum())
         stats = {"seeded": int(resolved.sum()),
                  "seed_tail": int((~resolved).sum()),
-                 "seed_ub": [ub_tight, ub_wide], "seed_k": idx.k,
+                 "seed_ub": [round(float(rate[0]), 4),
+                             round(float(rate[1]), 4)], "seed_k": idx.k,
                  "seed_attempts": attempts,
                  "cert_failed": n_cert_failed,
                  "unverified": n_unverified,

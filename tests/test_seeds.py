@@ -171,7 +171,7 @@ def test_seeded_fill_matches_full_fill():
     m = BatchMapper(g, COSTS, aln_type=SEMI)
     qshift, lengths = pack_queries(reads)
     sc0, er0, ej0 = m._ends_free_scores(reads, qshift, lengths, False)
-    assert m._seed_ub_hint  # hint learned from the first (full) fill
+    assert m._seed_rate is not None  # rates learned from the full fill
     sc1, er1, ej1 = m._ends_free_scores(reads, qshift, lengths, False)
     st = m.last_seed_stats
     assert st["seeded"] >= 56, st
@@ -393,6 +393,35 @@ def test_block_rank_skip_nonzero_entry():
     st = m.last_seed_stats
     assert st["seeded"] >= 14, st
     ref = m._fill_ends_free_capped(qshift, lengths, False)
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(er), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(ej), np.asarray(ref[2]))
+
+
+def test_rate_hint_transfers_across_length_profiles():
+    """Streaming batches are length-sorted, so every batch has a fresh
+    (n_min, n_max); the learned per-char score RATES must transfer so
+    the second batch seeds even at different read lengths (the round-4
+    absolute-ub hint never transferred — found via the lasagna e2e)."""
+    rng = random.Random(67)
+    g, base = _backbone_graph(rng, 1400)
+    short = []
+    for _ in range(8):
+        a = rng.randrange(0, 1400 - 500)
+        short.append(_mutate(rng, base[a:a + 500], 0.01).encode())
+    long = []
+    for _ in range(8):
+        a = rng.randrange(0, 1400 - 800)
+        long.append(_mutate(rng, base[a:a + 800], 0.01).encode())
+    m = BatchMapper(g, COSTS, aln_type=SEMI)
+    q1, l1 = pack_queries(short)
+    m._ends_free_scores(short, q1, l1, False)  # learns rates
+    assert m._seed_rate is not None
+    q2, l2 = pack_queries(long)
+    sc, er, ej = m._ends_free_scores(long, q2, l2, False)
+    st = m.last_seed_stats
+    assert st is not None and st["seeded"] >= 6, st
+    ref = m._fill_ends_free_capped(q2, l2, False)
     np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(er), np.asarray(ref[1]))
     np.testing.assert_array_equal(np.asarray(ej), np.asarray(ref[2]))
