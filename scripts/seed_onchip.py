@@ -64,8 +64,8 @@ def main():
     t0 = time.perf_counter()
     sc0, er0, ej0 = pm._ends_free_scores(preads, qshift, lengths, False)
     out["first_full_fill_s"] = round(time.perf_counter() - t0, 3)
-    out["seed_ub_hint"] = dict(
-        (str(k), v) for k, v in pm._seed_ub_hint.items())
+    out["seed_rate"] = (list(pm._seed_rate)
+                        if getattr(pm, "_seed_rate", None) else None)
     t0 = time.perf_counter()
     sc1, er1, ej1 = pm._ends_free_scores(preads, qshift, lengths, False)
     out["seeded_fill_s_cold"] = round(time.perf_counter() - t0, 3)

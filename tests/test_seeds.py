@@ -4,9 +4,10 @@ The seeded path must return BIT-IDENTICAL (score, end_rank, end_offset)
 to the full bounded fill (``dp_fill_ends_free_with_ends``) — same
 values, same largest-offset/lowest-rank tie-breaks (the reference's
 end-state convention, ``gap_affine.rs:219-241``) — whenever it reports
-a read as resolved, and must route every other read (no hits, failed
-k-condition, unverified score) through the exact fallback.  Kernels run
-in Pallas interpret mode (CPU); on-chip validation: run_tpu_tests.py.
+a read as resolved, and must route every other read (no cluster,
+unverified score, refused post-hoc certificate) through the exact
+fallback.  Kernels run in Pallas interpret mode (CPU); on-chip
+validation: run_tpu_tests.py (gates + the seed_fuzz adversarial sweep).
 """
 
 import random
