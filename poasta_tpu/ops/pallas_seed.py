@@ -410,7 +410,9 @@ WB_MAX = 4096  # corridor width budget; wider reads use the full fill
 
 # batch-block cap: smaller blocks localize rank ranges (each block scans
 # only its own reads' locus span), at the cost of more per-rank scalar
-# iterations when loci overlap; 16 measured best at pangenome shapes
+# iterations when loci overlap.  Three-point A/B on the 50k-node
+# pangenome config (64 x 5 kb, POASTA_SEED_BLK override): blk=8
+# 0.145 s, blk=16 0.120 s, blk=32 0.162 s per corridor fill — 16 wins
 SEED_B_BLK = 16
 
 
